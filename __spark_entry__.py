@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl load-stage on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (tables
+region nation customer supplier part orders lineitem events documents
+embeddings are pre-registered views).
+
+Column names are aliased identically on both sides; doubles are
+decimal-cast before aggregation then rounded+double-cast so both
+engines produce bit-identical values.
 """
 
 from __future__ import annotations
@@ -12,27 +17,647 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Synthesized URL corpus: deterministic URLs from the documents table.
+# The same SQL snippet runs on Spark and DuckDB, guaranteeing identical
+# inputs for the crawl-operator queries.
+# ---------------------------------------------------------------------------
+
+URLS_SQL = """
+SELECT doc_id,
+       source,
+       CASE CAST(doc_id % 12 AS INT)
+         WHEN 0  THEN 'https://' || source || '.example.org/files/paper' || CAST(doc_id AS STRING) || '.pdf'
+         WHEN 1  THEN 'https://' || source || '.example.org/article/download/' || CAST(doc_id AS STRING)
+         WHEN 2  THEN 'https://repo.' || source || '.org/handle/123/' || CAST(doc_id AS STRING)
+         WHEN 3  THEN 'https://doi.org/10.1234/' || source || '.' || CAST(doc_id AS STRING)
+         WHEN 4  THEN 'https://' || source || '.example.org/article/' || CAST(doc_id AS STRING) || '?jsessionid=ABC' || CAST(doc_id AS STRING) || '&page=2'
+         WHEN 5  THEN 'https://' || source || '.example.org/view.php?token=XYZ' || CAST(doc_id AS STRING)
+         WHEN 6  THEN 'https://www.facebook.com/' || source || '/' || CAST(doc_id AS STRING)
+         WHEN 7  THEN 'https://' || source || '.example.org/login'
+         WHEN 8  THEN 'https://' || source || '.example.org/css/style' || CAST(doc_id AS STRING) || '.css'
+         WHEN 9  THEN 'https://' || source || '.example.org/'
+         WHEN 10 THEN 'https://' || source || '.example.org/datasets/' || CAST(doc_id AS STRING) || '/data.csv'
+         ELSE         'https://' || source || '.example.org/page/' || CAST(doc_id AS STRING) || '.html'
+       END AS url,
+       CAST(doc_id % 12 AS INT) AS url_kind
+FROM documents
+"""
+
+# RE2-safe subset of the filter battery (no lookarounds) used for the
+# oracle-checked reject query. The FULL Java battery (F1-F16, bounded
+# lookbehinds) runs JVM-side in the engine and is golden-tested in
+# tests/test_filters.py.
+DOC_URL_RE = "^.+(?:pdf|download|/doc|document|(?:/|[?]|&)file|/fulltext|attachment|/paper|/get).*$"
+DATASET_URL_RE = "^.+(?:dataset[s]?/.*|[.](?:xls[xbm]?|[ct]sv|tab|json|zip|[rt]ar|parquet|avro)([?].+)?)$"
+DOMAIN_REJECT_RE = "^https?://[^/]*(?:facebook|twitter|linkedin|youtube)[.][^/]*/.*$"
+DIRECTORY_REJECT_RE = "^https?://.*/(?:login|admin|about|register|signup)(?:/.*)?$"
+PLAIN_DOMAIN_RE = "^https?://[^/?]+/?$"
+MEDIA_EXT_RE = "^.+[.](?:css|js|png|jpg|jpeg|gif|mp4|mp3)([?].+)?$"
+
+REJECT_REASON_SQL = f"""
+SELECT CASE
+    WHEN regexp_matches(url, '{DIRECTORY_REJECT_RE}') THEN 'directory_with_problems'
+    WHEN regexp_matches(url, '{DOMAIN_REJECT_RE}')    THEN 'domain_with_problems'
+    WHEN regexp_matches(url, '{PLAIN_DOMAIN_RE}')     THEN 'plain_domain'
+    WHEN regexp_matches(url, '{MEDIA_EXT_RE}')        THEN 'irrelevant_extension'
+    ELSE NULL END AS reject_reason,
+  url, doc_id, url_kind, source
+FROM ({URLS_SQL})
+"""
+
+# Spark rlike == java.util.regex "find" semantics; the patterns above are
+# anchored so find==match on both engines.
+
+
+def _q_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    return spark.sql(URLS_SQL)
+
+
+# --- crawl operator queries -------------------------------------------------
+
+
+def q_reject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F14: the reject battery as one vectorized pass; per-reason
+    counters fall out as groupBy (reference counters:
+    PublicationsRetriever.java:192-213)."""
+    urls = _q_urls(spark, sf_dir)
+    reason = (
+        F.when(F.col("url").rlike(DIRECTORY_REJECT_RE), "directory_with_problems")
+        .when(F.col("url").rlike(DOMAIN_REJECT_RE), "domain_with_problems")
+        .when(F.col("url").rlike(PLAIN_DOMAIN_RE), "plain_domain")
+        .when(F.col("url").rlike(MEDIA_EXT_RE), "irrelevant_extension")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        urls.select(reason.alias("reject_reason"))
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy(F.col("reject_reason").asc_nulls_first())
+    )
+
+
+def q_best_url_per_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: best-url-per-id window ladder
+    (LoaderAndChecker.java:188-257). Groups = doc_id % 97 buckets."""
+    from publicationsretriever_spark.operators.besturl import pick_best_url_per_id
+
+    urls = _q_urls(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("id"),
+        F.col("doc_id").alias("order_in_id"),
+        "url",
+    )
+    best = pick_best_url_per_id(urls).filter(F.col("is_best"))
+    return best.select("id", "url", "priority").orderBy("id")
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 exact path: frontier rows not in the seen set (anti-join).
+    Seen = urls of even doc_id."""
+    from publicationsretriever_spark.operators.seen import anti_join_seen
+
+    urls = _q_urls(spark, sf_dir).withColumn("url_hash", F.md5("url"))
+    seen = urls.filter(F.col("doc_id") % 2 == 0).select("url_hash")
+    out = anti_join_seen(urls, seen, "url_hash")
+    return out.select("doc_id", "url").orderBy("doc_id")
+
+
+def q_recross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast left join of candidates against already-found
+    results; hits short-circuit the fetch
+    (ConnSupportUtils.handleReCrossedTargetUrl, :369-375)."""
+    _load(spark, sf_dir, "documents")
+    urls = _q_urls(spark, sf_dir)
+    results = urls.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("url").alias("r_url"), F.col("doc_id").alias("orig_id")
+    )
+    joined = urls.join(
+        F.broadcast(results), urls["url"] == results["r_url"], "left"
+    )
+    return joined.select(
+        "doc_id",
+        "url",
+        F.when(F.col("orig_id").isNotNull(), F.lit("recrossed"))
+        .otherwise(F.lit("fetch"))
+        .alias("route"),
+        F.col("orig_id"),
+    ).orderBy("doc_id")
+
+
+def q_domain_block_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: block-domain-after-N-times
+    (ConnSupportUtils.countAndBlockDomainAfterTimes, :924-944):
+    blocked iff bad > N and NOT(good + N >= bad), N=10.
+    Domains = event user_ids; bad = 'error' events, good = 'click'."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("bad_times"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("good_times"),
+    )
+    n = 10
+    return agg.select(
+        "user_id",
+        "bad_times",
+        "good_times",
+        (
+            (F.col("bad_times") > n) & ~((F.col("good_times") + n) >= F.col("bad_times"))
+        ).alias("blocked"),
+    ).orderBy("user_id")
+
+
+def q_path_block_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: two-level aggregate — block (domain,path) after >10 403s,
+    then block domains with >50 blocked paths
+    (ConnSupportUtils.countAndBlockPathAfterTimes, :832-846). Domains =
+    user_id, paths = event_type."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    paths = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("times"))
+        .withColumn("path_blocked", F.col("times") > 10)
+    )
+    domains = (
+        paths.filter(F.col("path_blocked"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("blocked_paths"))
+        .withColumn("domain_blocked", F.col("blocked_paths") > 2)
+    )
+    return domains.orderBy("user_id")
+
+
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: payload-hash dedup — same hash from different url => keep
+    first, point losers at the winner
+    (ConnSupportUtils.checkAndHandleDuplicateHash, :414-455).
+    Hash = md5(text) over a truncated prefix to force collisions."""
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 20)).alias("payload_hash")
+    )
+    w = W.partitionBy("payload_hash").orderBy("doc_id")
+    return (
+        docs.withColumn("rank_in_hash", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("rank_in_hash") == 1)
+        .withColumn(
+            "canonical_doc", F.min("doc_id").over(W.partitionBy("payload_hash"))
+        )
+        .select("doc_id", "payload_hash", "is_canonical", "canonical_doc")
+        .orderBy("doc_id")
+    )
+
+
+def q_temporal_id_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: token/jsessionid strip keeping trailing params
+    (UrlUtils.removeTemporalIdentifier, :267-300)."""
+    _load(spark, sf_dir, "documents")
+    urls = _q_urls(spark, sf_dir)
+    pat = r"^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$"
+    stripped = F.regexp_replace("url", pat, "$1$2")
+    fixed = F.regexp_replace(stripped, r"^([^?]+)&", "$1?")
+    return urls.select(
+        "doc_id",
+        "url",
+        F.when(F.col("url").rlike(pat), fixed).otherwise(F.col("url")).alias("clean_url"),
+    ).orderBy("doc_id")
+
+
+def q_url_triple_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: domain + top-3-level-domain extraction (UrlUtils.java:29,
+    236-258) — RE2-safe equivalent of the URL_TRIPLE domain group."""
+    urls = _q_urls(spark, sf_dir)
+    dom = F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+).*$", 1))
+    top3 = F.regexp_extract(dom, r"(?:^|[.])([^.]+[.][^.]+[.][^.]+)$", 1)
+    top3 = F.when(top3 != "", top3).otherwise(dom)
+    return urls.select(
+        "doc_id", "url", dom.alias("domain"), top3.alias("top3_domain")
+    ).orderBy("doc_id")
+
+
+def q_host_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning: host-bucket histogram (bucket = md5-hash of domain
+    mod 32 — the frontier's physical partitioning key; N5/C4)."""
+    urls = _q_urls(spark, sf_dir)
+    dom = F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+).*$", 1))
+    bucket = (
+        F.conv(F.substring(F.md5(dom), 1, 4), 16, 10).cast("int") % 32
+    ).alias("host_bucket")
+    return (
+        urls.select(bucket)
+        .groupBy("host_bucket")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("host_bucket")
+    )
+
+
+def q_retry_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7: wasUrlValid/couldRetry ladder
+    (LoaderAndChecker.getWasValidAndCouldRetry, :724-767) over synthetic
+    error classes derived from events."""
+    from publicationsretriever_spark.functions.retry import was_valid_and_could_retry
+
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").select(
+        "event_id",
+        F.element_at(
+            F.array(
+                F.lit("http_404"), F.lit("http_403"), F.lit("http_503"),
+                F.lit("http_500"), F.lit("http_511"), F.lit("conn_timeout"),
+                F.lit("unsupported_head"), F.lit("domain_blocked"),
+                F.lit("http_429"), F.lit("http_200"),
+            ),
+            (F.col("event_id") % 10 + 1).cast("int"),
+        ).alias("error_class"),
+        F.concat(F.lit("https://h"), (F.col("event_id") % 7), F.lit(".org/x")).alias("url"),
+    )
+    res = ev.withColumn(
+        "r", was_valid_and_could_retry(F.col("error_class"), F.col("url"))
+    )
+    return res.select(
+        "event_id",
+        "error_class",
+        F.col("r.wasUrlValid").alias("was_url_valid"),
+        F.col("r.couldRetry").alias("could_retry"),
+    ).orderBy("event_id")
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: politeness — per-host serialization with a 3s gap becomes a
+    deterministic schedule: k-th url of a host fetches at slot k
+    (ConnSupportUtils.applyPolitenessDelay, :561-598; per-host lock
+    replaced by host-partition + row_number)."""
+    urls = _q_urls(spark, sf_dir)
+    dom = F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+).*$", 1))
+    w = W.partitionBy("domain").orderBy("doc_id")
+    d = urls.select("doc_id", "url", dom.alias("domain"))
+    return d.withColumn("fetch_slot", F.row_number().over(w)).withColumn(
+        "fetch_offset_ms", (F.col("fetch_slot") - 1) * 3000
+    ).orderBy("doc_id")
+
+
+def q_host_quota_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 skew control: per-round host quota — rank>Q spills to the next
+    round (SURVEY.md §2.6 N5; kills hot-domain skew). Q=8."""
+    urls = _q_urls(spark, sf_dir)
+    dom = F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+).*$", 1))
+    w = W.partitionBy("domain").orderBy("doc_id")
+    d = urls.select("doc_id", dom.alias("domain"))
+    d = d.withColumn("rank_in_host", F.row_number().over(w)).withColumn(
+        "round", F.floor((F.col("rank_in_host") - 1) / 8).cast("int")
+    )
+    return (
+        d.groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.count_distinct("domain").alias("n_hosts"))
+        .orderBy("round")
+    )
+
+
+# --- relational core (TPC-H-ish) --------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_dup_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: in-batch duplicate detection + logging
+    (FileUtils.getNextIdUrlPairBatchFromJson dup log, :282-285)."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("times"))
+        .filter(F.col("times") > 1)
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30min starts a new session (window lag +
+    running sum) — the round/batch barrier analog on the event stream."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    d = ev.withColumn("new_session", (gap.isNull() | (gap > 1800)).cast("int"))
+    d = d.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        d.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style tumbling 1h window aggregate over events (batch
+    equivalent of the Structured Streaming path)."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "reject_stats": q_reject_stats,
+        "best_url_per_id": q_best_url_per_id,
+        "seen_antijoin": q_seen_antijoin,
+        "recross_join": q_recross_join,
+        "domain_block_rule": q_domain_block_rule,
+        "path_block_rule": q_path_block_rule,
+        "payload_dedup": q_payload_dedup,
+        "temporal_id_strip": q_temporal_id_strip,
+        "url_triple_split": q_url_triple_split,
+        "host_bucket_hist": q_host_bucket_hist,
+        "retry_classification": q_retry_classification,
+        "politeness_schedule": q_politeness_schedule,
+        "host_quota_spill": q_host_quota_spill,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "dup_log": q_dup_log,
+        "sessionize": q_sessionize,
+        "tumbling_agg": q_tumbling_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    urls = URLS_SQL
+    dom = "lower(regexp_extract(url, '^https?://([^/:?#]+).*$', 1))"
+    return {
+        "reject_stats": f"""
+            SELECT reject_reason, count(*) AS n_urls
+            FROM ({REJECT_REASON_SQL})
+            GROUP BY reject_reason ORDER BY reject_reason NULLS FIRST
+        """,
+        "best_url_per_id": f"""
+            WITH u AS (
+              SELECT CAST(doc_id % 97 AS BIGINT) AS id, doc_id AS order_in_id, url,
+                CASE
+                  WHEN regexp_matches(lower(url), '{DOC_URL_RE}')
+                    OR regexp_matches(lower(url), '{DATASET_URL_RE}') THEN 0
+                  WHEN url LIKE '%/handle/%' THEN 1
+                  WHEN url NOT LIKE '%doi.org%' THEN 2
+                  ELSE 3 END AS priority
+              FROM ({urls})
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY id
+                ORDER BY priority ASC,
+                         CASE WHEN priority = 0 THEN order_in_id ELSE -order_in_id END ASC
+              ) AS rn
+              FROM u
+            )
+            SELECT id, url, CAST(priority AS INT) AS priority
+            FROM ranked WHERE rn = 1 ORDER BY id
+        """,
+        "seen_antijoin": f"""
+            WITH u AS (SELECT doc_id, url, md5(url) AS url_hash FROM ({urls}))
+            SELECT doc_id, url FROM u
+            WHERE url_hash NOT IN (SELECT md5(url) FROM ({urls}) WHERE doc_id % 2 = 0)
+            ORDER BY doc_id
+        """,
+        "recross_join": f"""
+            WITH u AS ({urls}),
+            results AS (SELECT url AS r_url, doc_id AS orig_id FROM u WHERE doc_id % 5 = 0)
+            SELECT u.doc_id, u.url,
+                   CASE WHEN r.orig_id IS NOT NULL THEN 'recrossed' ELSE 'fetch' END AS route,
+                   r.orig_id
+            FROM u LEFT JOIN results r ON u.url = r.r_url
+            ORDER BY u.doc_id
+        """,
+        "domain_block_rule": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bad_times,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS good_times,
+                   (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 10
+                    AND NOT (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) + 10
+                             >= sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)))
+                   AS blocked
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "path_block_rule": """
+            WITH paths AS (
+              SELECT user_id, event_type, count(*) AS times
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, count(DISTINCT event_type) AS blocked_paths,
+                   count(DISTINCT event_type) > 2 AS domain_blocked
+            FROM paths WHERE times > 10
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "payload_dedup": """
+            SELECT doc_id, md5(substr(text, 1, 20)) AS payload_hash,
+                   row_number() OVER (PARTITION BY md5(substr(text, 1, 20)) ORDER BY doc_id) = 1 AS is_canonical,
+                   min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 20))) AS canonical_doc
+            FROM documents ORDER BY doc_id
+        """,
+        "temporal_id_strip": rf"""
+            WITH u AS ({urls})
+            SELECT doc_id, url,
+              CASE WHEN regexp_matches(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$')
+                THEN regexp_replace(
+                       regexp_replace(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$', '\1\2'),
+                       '^([^?]+)&', '\1?')
+                ELSE url END AS clean_url
+            FROM u ORDER BY doc_id
+        """,
+        "url_triple_split": f"""
+            WITH u AS ({urls}),
+            d AS (SELECT doc_id, url, {dom} AS domain FROM u)
+            SELECT doc_id, url, domain,
+              CASE WHEN regexp_extract(domain, '(?:^|[.])([^.]+[.][^.]+[.][^.]+)$', 1) <> ''
+                   THEN regexp_extract(domain, '(?:^|[.])([^.]+[.][^.]+[.][^.]+)$', 1)
+                   ELSE domain END AS top3_domain
+            FROM d ORDER BY doc_id
+        """,
+        "host_bucket_hist": f"""
+            WITH u AS ({urls}),
+            d AS (SELECT {dom} AS domain FROM u)
+            SELECT CAST(CAST(concat('0x', substr(md5(domain), 1, 4)) AS INT) % 32 AS INT) AS host_bucket,
+                   count(*) AS n_urls
+            FROM d GROUP BY 1 ORDER BY host_bucket
+        """,
+        "retry_classification": """
+            WITH ev AS (
+              SELECT event_id,
+                (['http_404','http_403','http_503','http_500','http_511','conn_timeout',
+                  'unsupported_head','domain_blocked','http_429','http_200'])[CAST(event_id % 10 AS INT) + 1] AS error_class,
+                concat('https://h', CAST(event_id % 7 AS STRING), '.org/x') AS url
+              FROM events
+            )
+            SELECT event_id, error_class,
+              CASE WHEN error_class IN ('http_404','http_400','http_410','http_414','http_422')
+                   THEN 'false' ELSE 'true' END AS was_url_valid,
+              CASE
+                WHEN error_class IN ('http_404','http_400','http_410','http_414','http_422') THEN 'false'
+                WHEN error_class IN ('http_403','http_408','http_425','http_426','http_429','http_503') THEN 'true'
+                WHEN error_class IN ('conn_timeout','unsupported_head','domain_blocked') THEN 'true'
+                ELSE 'false' END AS could_retry
+            FROM ev ORDER BY event_id
+        """,
+        "politeness_schedule": f"""
+            WITH u AS ({urls}),
+            d AS (SELECT doc_id, url, {dom} AS domain FROM u)
+            SELECT doc_id, url, domain,
+                   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS fetch_slot,
+                   (row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1) * 3000 AS fetch_offset_ms
+            FROM d ORDER BY doc_id
+        """,
+        "host_quota_spill": f"""
+            WITH u AS ({urls}),
+            d AS (SELECT doc_id, {dom} AS domain FROM u),
+            r AS (SELECT doc_id, domain,
+                         CAST(floor((row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1) / 8.0) AS INT) AS round
+                  FROM d)
+            SELECT round, count(*) AS n_urls, count(DISTINCT domain) AS n_hosts
+            FROM r GROUP BY round ORDER BY round
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "dup_log": """
+            SELECT user_id, event_type, count(*) AS times
+            FROM events GROUP BY user_id, event_type
+            HAVING count(*) > 1 ORDER BY user_id, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_id, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "tumbling_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the crawl load-stage on sf0.001 — filter battery (full
+    Java-regex version) -> best-url-per-id -> canonicalize -> special
+    rewrite -> frontier with host buckets."""
+    from publicationsretriever_spark.functions import filters as FL
+    from publicationsretriever_spark.functions import urls as U
+    from publicationsretriever_spark.operators.besturl import pick_best_url_per_id
+
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _q_urls(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("id"), F.col("doc_id").alias("order_in_id"), "url"
+    )
+    gated = urls.withColumn(
+        "reject_reason",
+        FL.DEFAULT_BATTERY.page_url_reject_reason(F.lower(F.col("url"))),
+    )
+    accepted = gated.filter(F.col("reject_reason").isNull())
+    best = pick_best_url_per_id(accepted).filter(F.col("is_best"))
+    canon = best.withColumn("canon_url", U.canonicalize_udf(F.col("url")))
+    out = U.with_special_rewrite(canon, "canon_url")
+    return out.select(
+        "id",
+        "url",
+        "canon_url",
+        "special_url",
+        U.url_hash64(F.col("canon_url")).alias("url_hash"),
+        U.host_bucket(U.top3_domain(U.domain_of(F.col("url"))), 32).alias("host_bucket"),
+        "priority",
+    )

@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized via a count-style action (collect on
+aggregates, count on wide outputs) — never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: crawl load-stage ops + relational core + skew/politeness
+HEADLINE = [
+    "reject_stats",
+    "best_url_per_id",
+    "seen_antijoin",
+    "recross_join",
+    "payload_dedup",
+    "host_quota_spill",
+    "politeness_schedule",
+    "retry_classification",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "sessionize",
+    "tumbling_agg",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from publicationsretriever_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+    # warm-up: trigger codegen/JIT on a tiny SF so measured numbers are
+    # steady-state compute, not first-call compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for n in names:
+        try:
+            qs[n](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.time()
+        try:
+            qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[n] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {n}: {e}", file=sys.stderr)
+            timings[n] = -1.0
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

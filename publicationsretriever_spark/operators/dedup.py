@@ -1,0 +1,148 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+The reference dedups exact payloads by md5
+(ConnSupportUtils.checkAndHandleDuplicateHash,
+util/http/ConnSupportUtils.java:414-455) and URLs by a seen-set; a
+100 TB corpus needs the near-duplicate family as well. All operators
+are pure DataFrame compositions (shuffle-conscious: the LSH variants
+band-bucket BEFORE the pair join so the join key is the bucket, never
+the full cross product).
+
+Portability note: hashes are md5-based (not xxhash64) so every operator
+here has an exact DuckDB-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array column (lowercased, whitespace-split).
+    JVM-side: split + transform over a sequence — no Python."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy; winner = min(id). Adds
+    (content_hash, is_canonical, canonical_id)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signatures: for seed i, sig_i = min over shingles of
+    md5(i || shingle) (string min — portable & deterministic). One
+    explode + groupBy; partial aggregation (map-side min) keeps the
+    shuffle small."""
+    ex = df.select(id_col, F.explode(_shingles(F.col(text_col), k)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs: band the signature (rows_per_band =
+    num_hashes/bands), bucket-join on (band_idx, band_hash). Scale path:
+    the self-join key is the band bucket — cardinality ~n*bands, never
+    n^2. Returns distinct candidate pairs (id_a < id_b, n_shared_bands).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+    |A ∩ B| via shingle join, |A ∪ B| = |A|+|B|-∩. For corpora where
+    common shingles explode the join, run after an LSH prefilter."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: per bit i, sign of sum over tokens of
+    (+1 if bit_i(md5(token)) else -1). ``bits`` kept small (16) so the
+    explode stays 16x tokens; md5-nibble based for oracle portability.
+    Returns (id, simhash as bigint)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("t")
+    )
+    # token hash: first 16 hex chars of md5 -> 4 bits per nibble
+    toks = toks.withColumn("th", F.substring(F.md5("t"), 1, bits // 4))
+    aggs = []
+    for i in range(bits):
+        nibble = F.conv(F.substring(F.col("th"), i // 4 + 1, 1), 16, 10).try_cast("int")
+        bit = F.shiftright(nibble, 3 - (i % 4)) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    summed = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(2 ** (bits - 1 - i))).otherwise(0)
+    return summed.select(F.col(id_col), sim.alias("simhash"))

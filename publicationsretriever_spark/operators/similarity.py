@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-side via zip_with/aggregate
+(no Python in the row path). Scale path: sign-LSH bucketing (random
+hyperplane projections) so candidate generation is a bucket join, then
+exact cosine only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product over two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is broadcast (small side);
+    the big vectors table streams through one codegen'd stage — no
+    shuffle except the final per-query top-k window on #queries keys.
+    Ties broken by id for determinism."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    joined = vectors.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
+def signlsh_bucket(vec: Column, planes: list[int]) -> Column:
+    """Sign-LSH bucket id: concatenated sign bits of the chosen
+    coordinates (axis-aligned hyperplanes — deterministic, no random
+    state, oracle-portable). For production swap in dense Gaussian
+    planes via a broadcast matrix + Pandas UDF."""
+    bits = [
+        F.when(F.element_at(vec, p + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    planes: list[int] | None = None,
+) -> DataFrame:
+    """ANN: join only within matching sign-LSH buckets, then exact
+    cosine + top-k. Recall < 1 by construction; the bucket join replaces
+    the cross product (candidate set ~ n / 2^bits per query)."""
+    planes = planes or [0, 1, 2, 3]
+    v = vectors.withColumn("_bucket", signlsh_bucket(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        signlsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    joined = v.join(F.broadcast(q), "_bucket")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )

@@ -1,0 +1,522 @@
+"""The frontier-round crawl engine (SURVEY.md §3.1 Spark lifecycle).
+
+One ROUND = one Spark job over the current frontier slice:
+
+  frontier -> domain gate -> blacklist anti-join -> filter battery ->
+  clean/canonicalize/hash -> in-round dedup + seen anti-join (J2) ->
+  best-url-per-id (J4, seeds) -> re-cross broadcast join (J3) ->
+  special rewrite (P9) -> host-bucket repartition + quota (N5) ->
+  fetch mapInPandas (N1-N13, token-bucket politeness, redirect hops) ->
+  classify (N9) -> split(results | pages) -> link gate (F15) + caps ->
+  new frontier rows -> state merge = one committed snapshot.
+
+This replaces the reference's per-record virtual-thread pipeline
+(LoaderAndChecker.loadAndCheckIdUrlPairs, util/url/LoaderAndChecker.java:156-300
+-> HttpConnUtils.connectAndCheckMimeType :114-270 -> PageCrawler.visit
+crawler/PageCrawler.java:86-292) with round-granular semantics: shared
+state (seen set, domain counters, results cache) is only updated at
+round boundaries, making the crawl DETERMINISTIC — the reference's
+racy cross-thread updates (e.g. countInsertAndGetTimes,
+ConnSupportUtils.java:947-957) become per-round aggregates.
+
+Scale design (10^10 frontier):
+- frontier partitioned by host_bucket: all URLs of a top-3-domain live
+  in ONE task -> politeness needs no locks (replaces the per-domain
+  mutex, util/http/DomainConnectionData.java:13).
+- per-round per-host quota caps hot hosts; excess rows spill to the
+  next round (kills zipf-head skew; the reference instead serializes
+  threads on the domain lock).
+- seen-check = bloom prefilter + exact anti-join (operators/seen.py).
+- re-cross and domain_state joins are broadcast by construction
+  (#domains << #urls).
+- all counters are groupBy aggregates merged into domain_state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import filters as FL
+from ..functions import mime as M
+from ..functions import retry as R
+from ..functions import urls as U
+from ..operators.besturl import pick_best_url_per_id
+from ..operators.seen import filter_unseen
+from ..sources.synthetic_web import SyntheticWeb
+
+#: reference constants
+MAX_PAGE_REDIRECTS = 7       # HttpConnUtils.java:68
+MAX_LINK_REDIRECTS = 2       # HttpConnUtils.java:69
+MAX_POSSIBLE_DOC_LINKS = 5   # PageCrawler.java:58
+MAX_REMAINING_LINKS = 10     # PageCrawler.java:62
+MAX_LINKS_PER_PAGE = 500     # PageCrawler.java:57
+POLITENESS_MS = 3000         # ConnSupportUtils.java:75
+
+RESULT_SCHEMA = (
+    "id string, sourceUrl string, pageUrl string, docOrDatasetUrl string, "
+    "wasUrlChecked string, wasUrlValid string, "
+    "wasDocumentOrDatasetAccessible string, wasDirectLink string, "
+    "couldRetry string, fileHash string, fileSize string, mimeType string, "
+    "filePath string, error string, round int"
+)
+
+FETCH_OUT_SCHEMA = (
+    "id string, url string, canon_url string, url_hash long, host string, "
+    "host_bucket int, depth int, kind string, fetch_url string, "
+    "final_url string, status int, hops int, error_class string, "
+    "content_type string, content_disposition string, content_length long, "
+    "body_kind string, image_id string, html_links array<string>, "
+    "planned_fetch_ms long"
+)
+
+
+@dataclass
+class CrawlState:
+    """The engine's catalog — every reference global hash-structure as a
+    DataFrame (SURVEY.md §1.3)."""
+
+    results: DataFrame
+    seen: DataFrame            # url_hash long
+    blocked_domains: DataFrame  # domain string
+    frontier: DataFrame | None = None
+    payloads: DataFrame | None = None
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        web: SyntheticWeb,
+        num_buckets: int = 32,
+        host_quota: int = 50,
+        battery: FL.FilterBattery = FL.DEFAULT_BATTERY,
+    ):
+        self.spark = spark
+        self.web = web
+        self.num_buckets = num_buckets
+        self.host_quota = host_quota
+        self.battery = battery
+        # the synthetic web ships to executors once per job via closure
+        self._responses = web.responses
+
+    # ------------------------------------------------------------------
+    # fetch stage: mapInPandas over host-bucketed partitions
+    # ------------------------------------------------------------------
+
+    def _fetch_udf(self):
+        responses = self._responses  # captured; ships once per task set
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np  # noqa: F401
+
+            # per-host virtual politeness clock: all rows of one host are
+            # in this partition (host_bucket repartition), so the token
+            # bucket is task-local (N5; no global lock).
+            last_fetch_ms: dict[str, int] = {}
+
+            def resolve(url: str) -> dict:
+                return responses.get(url) or {
+                    "status": 404, "location": None, "content_type": None,
+                    "content_disposition": None, "content_length": 0,
+                    "body_kind": "error", "image_id": None, "html_links": [],
+                }
+
+            for pdf in batches:
+                # deterministic order inside the task: (priority surrogate)
+                pdf = pdf.sort_values(["host", "url_hash"], kind="mergesort")
+                out_rows = []
+                for row in pdf.itertuples(index=False):
+                    host = row.host or ""
+                    t = last_fetch_ms.get(host, 0)
+                    planned = t + POLITENESS_MS if t else 0
+                    last_fetch_ms[host] = planned if planned else POLITENESS_MS
+
+                    max_hops = (
+                        MAX_PAGE_REDIRECTS if row.kind in ("seed", "redirect")
+                        else MAX_LINK_REDIRECTS
+                    )
+                    url = row.fetch_url
+                    hops = 0
+                    resp = resolve(url)
+                    while resp["status"] in (301, 302, 303, 307, 308):
+                        loc = resp["location"]
+                        if loc is None or hops >= max_hops:
+                            break
+                        hops += 1
+                        url = loc
+                        resp = resolve(url)
+                    if resp["status"] in (301, 302, 303, 307, 308):
+                        error_class = "redirect_limit"
+                    elif resp["status"] == 200:
+                        error_class = None
+                    elif resp["status"] == -1:
+                        error_class = "conn_timeout"
+                    else:
+                        error_class = f"http_{resp['status']}"
+
+                    out_rows.append({
+                        "id": row.id, "url": row.url,
+                        "canon_url": row.canon_url, "url_hash": row.url_hash,
+                        "host": row.host, "host_bucket": row.host_bucket,
+                        "depth": row.depth, "kind": row.kind,
+                        "fetch_url": row.fetch_url, "final_url": url,
+                        "status": resp["status"], "hops": hops,
+                        "error_class": error_class,
+                        "content_type": resp["content_type"],
+                        "content_disposition": resp["content_disposition"],
+                        "content_length": resp["content_length"],
+                        "body_kind": resp["body_kind"],
+                        "image_id": resp["image_id"],
+                        "html_links": list(resp["html_links"] or []),
+                        "planned_fetch_ms": planned,
+                    })
+                yield pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
+                    columns=[f.split()[0] for f in FETCH_OUT_SCHEMA.split(", ")]
+                )
+
+        return fetch
+
+    # ------------------------------------------------------------------
+
+    def prepare_frontier(self, raw: DataFrame, round_no: int) -> DataFrame:
+        """Stages 1-9: gate, clean, canonicalize, hash, bucket."""
+        url = F.col("url")
+        df = raw.withColumn("domain", U.domain_of(url))
+        df = df.withColumn("reject_reason", F.when(
+            F.col("domain").isNull(), F.lit("domain_unretrievable")
+        ).otherwise(
+            self.battery.page_url_reject_reason(F.lower(url))
+            if round_no == 0
+            else self.battery.internal_link_reject_reason(F.lower(url))
+        ))
+        df = df.withColumn("clean_url", U.clean_url(url))
+        df = df.withColumn(
+            "canon_url",
+            F.when(F.col("reject_reason").isNull(), U.canonicalize_udf(F.col("clean_url"))),
+        )
+        df = df.withColumn(
+            "reject_reason",
+            F.when(
+                F.col("reject_reason").isNull() & F.col("canon_url").isNull(),
+                F.lit("unnormalizable"),
+            ).otherwise(F.col("reject_reason")),
+        )
+        df = df.withColumn("url_hash", U.url_hash64(F.col("canon_url")))
+        df = df.withColumn("top3", U.top3_domain(F.col("domain")))
+        df = df.withColumn("host_bucket", U.host_bucket(F.col("top3"), self.num_buckets))
+        return df
+
+    def run_round(self, state: CrawlState, frontier: DataFrame, round_no: int) -> tuple[CrawlState, DataFrame]:
+        """Run one round; returns (new state, next-round frontier)."""
+        spark = self.spark
+        staged = self.prepare_frontier(frontier, round_no).cache()
+
+        rejected = staged.filter(F.col("reject_reason").isNotNull())
+        reject_results = rejected.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.lit("null").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("null").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("false").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.concat(F.lit("Discarded: "), F.col("reject_reason")).alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        ok = staged.filter(F.col("reject_reason").isNull())
+
+        # in-round dedup (first occurrence by deterministic order) + J2
+        w = Window.partitionBy("url_hash").orderBy("order_in_id", "id")
+        ok = ok.withColumn("_rn", F.row_number().over(w))
+        in_round_dups = ok.filter(F.col("_rn") > 1)
+        ok = ok.filter(F.col("_rn") == 1).drop("_rn")
+        seen_count = state.metrics[-1]["seen_total"] if state.metrics else 0
+        unseen = filter_unseen(ok, state.seen, "url_hash", seen_count=seen_count)
+        cross_round_dups = ok.join(state.seen, "url_hash", "left_semi")
+        dup_results = in_round_dups.drop("_rn").unionByName(cross_round_dups).select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.lit("null").alias("pageUrl"),
+            F.lit("duplicate").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("null").alias("wasUrlValid"),
+            F.lit("null").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("null").alias("wasDirectLink"),
+            F.lit("true").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.lit("duplicate url").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        # J4: best-url-per-id (seed rounds group by id)
+        if round_no == 0:
+            picked = pick_best_url_per_id(unseen).filter(F.col("is_best")).drop("is_best")
+        else:
+            picked = unseen.withColumn("priority", F.lit(0))
+
+        # J3: re-cross against prior results (broadcast — results' doc urls)
+        prior_docs = state.results.filter(
+            ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
+        ).select(
+            F.col("docOrDatasetUrl").alias("_hit_url"),
+            F.col("id").alias("_orig_id"),
+            F.col("mimeType").alias("_orig_mime"),
+        ).dropDuplicates(["_hit_url"])
+        crossed = picked.join(
+            F.broadcast(prior_docs),
+            picked["canon_url"] == prior_docs["_hit_url"],
+            "left",
+        )
+        recross_hits = crossed.filter(F.col("_orig_id").isNotNull())
+        recross_results = recross_hits.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("url").alias("pageUrl"),
+            F.col("canon_url").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("true").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("true").alias("wasDirectLink"),
+            F.lit("true").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.coalesce(F.col("_orig_mime"), F.lit("null")).alias("mimeType"),
+            F.concat(F.lit("already retrieved by "), F.col("_orig_id")).alias("filePath"),
+            F.lit("null").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+        to_fetch = crossed.filter(F.col("_orig_id").isNull()).drop(
+            "_hit_url", "_orig_id", "_orig_mime"
+        )
+
+        # P9 + blacklist + quota, then the physical move: one host -> one task
+        to_fetch = U.with_special_rewrite(to_fetch, "canon_url", "fetch_url")
+        to_fetch = to_fetch.join(
+            F.broadcast(state.blocked_domains), on=to_fetch["domain"] == state.blocked_domains["domain"], how="left_anti"
+        )
+        wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
+        to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq))
+        spill = to_fetch.filter(F.col("_hq") > self.host_quota).drop("_hq")
+        to_fetch = to_fetch.filter(F.col("_hq") <= self.host_quota).drop("_hq")
+
+        fetch_in = to_fetch.select(
+            "id", "url", "canon_url", "url_hash",
+            F.col("top3").alias("host"), "host_bucket", "depth", "kind",
+            "fetch_url",
+        ).repartition(self.num_buckets, "host_bucket")
+        fetched = fetch_in.mapInPandas(self._fetch_udf(), schema=FETCH_OUT_SCHEMA).cache()
+
+        # N9 classification on fetch results (native columns)
+        classified = fetched.withColumn(
+            "mime_res",
+            M.classify_mime(
+                F.col("final_url"), F.col("content_type"), F.col("content_disposition")
+            ),
+        ).withColumn(
+            "category",
+            F.when(F.col("error_class").isNotNull(), "error")
+            .when(
+                F.col("mime_res.mime_category").isNotNull()
+                | (F.col("body_kind") == "image"),
+                F.coalesce(F.col("mime_res.mime_category"), F.lit("document")),
+            )
+            .when(M.is_html_mime(F.col("content_type")), "page")
+            .otherwise("other"),
+        )
+
+        # successes -> results + payload join
+        payload_meta = self.web.payloads_df(self.spark).select(
+            "image_id", F.col("phash").alias("_phash"),
+            F.length("bytes").alias("_fsize"),
+        )
+        docs = classified.filter(F.col("category").isin("document", "dataset")).join(
+            F.broadcast(payload_meta), "image_id", "left"
+        )
+        doc_results = docs.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("url").alias("pageUrl"),
+            F.col("final_url").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("true").alias("wasDocumentOrDatasetAccessible"),
+            F.when(F.col("hops") == 0, "true").otherwise("false").alias("wasDirectLink"),
+            F.lit("true").alias("couldRetry"),
+            F.coalesce(F.col("_phash").cast("string"), F.lit("null")).alias("fileHash"),
+            F.coalesce(F.col("_fsize").cast("string"), F.lit("null")).alias("fileSize"),
+            F.coalesce(F.col("mime_res.plain_mime"), F.col("content_type"), F.lit("null")).alias("mimeType"),
+            F.coalesce(F.col("image_id"), F.lit("null")).alias("filePath"),
+            F.lit("null").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        # errors -> N7 retry ladder
+        errors = classified.filter(F.col("category") == "error")
+        err_struct = R.was_valid_and_could_retry(F.col("error_class"), F.col("final_url"))
+        error_results = errors.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("url").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            err_struct["wasUrlValid"].alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            err_struct["couldRetry"].alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            err_struct["error_msg"].alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        # 'other' (non-doc non-page) -> unreachable
+        others = classified.filter(F.col("category") == "other")
+        other_results = others.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("url").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("false").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.coalesce(F.col("content_type"), F.lit("null")).alias("mimeType"),
+            F.lit("null").alias("filePath"),
+            F.lit("not a document or page").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        # pages -> G9 candidate ranking over extracted links (F15 gate)
+        pages = classified.filter(F.col("category") == "page")
+        links = pages.select(
+            F.col("id"), F.col("url").alias("page_url"),
+            F.col("final_url").alias("page_final"),
+            F.posexplode(F.slice("html_links", 1, MAX_LINKS_PER_PAGE)).alias("pos", "link"),
+        )
+        links = links.withColumn(
+            "link_reject", self.battery.internal_link_reject_reason(F.lower(F.col("link")))
+        ).filter(F.col("link_reject").isNull()).drop("link_reject")
+        links = links.withColumn(
+            "is_doc_like",
+            FL.is_possible_doc_url(F.lower(F.col("link")))
+            | FL.is_possible_dataset_url(F.lower(F.col("link"))),
+        )
+        wl = Window.partitionBy("page_url").orderBy(
+            F.col("is_doc_like").desc(), F.col("pos")
+        )
+        links = links.withColumn("_lr", F.row_number().over(wl))
+        links = links.filter(
+            (F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS))
+            | (~F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS))
+        )
+        next_frontier = links.select(
+            F.col("id"),
+            F.col("pos").cast("long").alias("order_in_id"),
+            F.col("link").alias("url"),
+            F.lit(1).alias("depth"),
+            F.lit("internal").alias("kind"),
+        )
+        # spilled rows re-enter untouched next round
+        spill_frontier = spill.select(
+            "id", "order_in_id", "url", "depth", "kind"
+        )
+        next_frontier = next_frontier.unionByName(spill_frontier)
+
+        # pages that produced no accepted links -> "no doc url found" rows
+        page_results = pages.join(
+            links.select("page_url").distinct(),
+            pages["url"] == F.col("page_url"),
+            "left_anti",
+        ).select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("final_url").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("false").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.lit("no docUrl found on page").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+
+        new_results = (
+            reject_results.unionByName(dup_results)
+            .unionByName(recross_results)
+            .unionByName(doc_results)
+            .unionByName(error_results)
+            .unionByName(other_results)
+            .unionByName(page_results)
+        )
+
+        # payload table: J5 dedup by phash (row_number over fetch order)
+        new_payloads = docs.filter(F.col("image_id").isNotNull()).select("image_id").distinct()
+
+        # seen update: every checked url enters the seen set
+        new_seen = state.seen.unionByName(
+            staged.filter(F.col("url_hash").isNotNull()).select("url_hash")
+        ).unionByName(
+            fetched.select(U.url_hash64(F.col("final_url")).alias("url_hash"))
+        ).distinct().cache()
+
+        # A2-style domain blocking from per-round aggregates
+        bad = fetched.filter(
+            F.col("error_class").rlike("^http_5..$") | (F.col("error_class") == "conn_timeout")
+        ).groupBy("host").agg(F.count(F.lit(1)).alias("bad"))
+        newly_blocked = bad.filter(F.col("bad") > 10).select(F.col("host").alias("domain"))
+        blocked = state.blocked_domains.unionByName(newly_blocked).distinct()
+
+        seen_total = new_seen.count()
+        metrics = {
+            "round": round_no,
+            "frontier_in": staged.count(),
+            "rejected": rejected.count(),
+            "fetched": fetched.count(),
+            "results": new_results.count(),
+            "seen_total": seen_total,
+        }
+        state.metrics.append(metrics)
+
+        new_state = CrawlState(
+            results=state.results.unionByName(new_results).cache(),
+            seen=new_seen,
+            blocked_domains=blocked,
+            payloads=(
+                new_payloads if state.payloads is None
+                else state.payloads.unionByName(new_payloads).distinct()
+            ),
+            metrics=state.metrics,
+        )
+        staged.unpersist()
+        return new_state, next_frontier
+
+    def crawl(self, seeds: DataFrame, max_rounds: int = 3) -> CrawlState:
+        spark = self.spark
+        state = CrawlState(
+            results=_empty(spark, RESULT_SCHEMA),
+            seen=_empty(spark, "url_hash long"),
+            blocked_domains=_empty(spark, "domain string"),
+        )
+        frontier = seeds.withColumn("depth", F.lit(0)).withColumn(
+            "kind", F.lit("seed")
+        )
+        for rnd in range(max_rounds):
+            if frontier.isEmpty():
+                break
+            state, frontier = self.run_round(state, frontier, rnd)
+            frontier = frontier.cache()
+        state.frontier = frontier
+        return state

@@ -1,0 +1,187 @@
+"""Deterministic synthetic web — the hermetic replacement for live HTTP.
+
+The reference's fetch surface (HttpConnUtils.connectAndCheckMimeType,
+util/http/HttpConnUtils.java:114-270) is replaced by a generated,
+seed-deterministic host graph:
+
+- hosts with zipfian URL counts (a few hot hosts + long tail) to
+  exercise politeness serialization and salting/skew handling,
+- landing pages with internal links (doc links, trap links, footer
+  noise, javascript: links, dynamic '{{' links),
+- redirect chains (incl. >7 hops to hit the page-redirect cap,
+  HttpConnUtils.java:68),
+- error injections (403/404/429/5XX/timeout),
+- image payloads (image+caption rows per BASELINE.json input_hint).
+
+Everything derives from (seed, url) hashes — no RNG state threading, so
+any row can be recomputed anywhere (executors, oracle, tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from .imagecodec import make_payload_row
+
+
+def _h(s: str, seed: int = 42) -> int:
+    return int.from_bytes(
+        hashlib.sha256(f"{seed}:{s}".encode()).digest()[:8], "big"
+    )
+
+
+@dataclass
+class SyntheticWeb:
+    """A generated host graph. ``resolve(url)`` is the fetch oracle."""
+
+    seed: int = 42
+    n_hosts: int = 20
+    pages_per_host_max: int = 30  # zipf-ish: host i gets max/(i+1) pages
+    responses: dict[str, dict] = field(default_factory=dict)
+    payloads: dict[str, dict] = field(default_factory=dict)
+    seeds: list[tuple[str, str]] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._build()
+
+    # -- construction ------------------------------------------------------
+
+    def _host(self, i: int) -> str:
+        return f"host{i}.example{i % 3}.org"
+
+    def _build(self) -> None:
+        for hi in range(self.n_hosts):
+            host = self._host(hi)
+            n_pages = max(1, self.pages_per_host_max // (hi + 1))
+            for pi in range(n_pages):
+                self._build_page(host, hi, pi)
+        # a redirect chain that exceeds the 7-hop cap (HttpConnUtils.java:68)
+        deep = [f"https://host0.example0.org/chain/{i}" for i in range(9)]
+        for i, u in enumerate(deep[:-1]):
+            self.responses[u] = {
+                "status": 301, "location": deep[i + 1], "content_type": None,
+                "content_disposition": None, "content_length": 0,
+                "body_kind": "redirect", "image_id": None, "html_links": [],
+            }
+        self.responses[deep[-1]] = self._image_response("chain-end")
+        self.seeds.append(("chain::0001", deep[0]))
+
+    def _image_response(self, image_id: str) -> dict:
+        if image_id not in self.payloads:
+            self.payloads[image_id] = make_payload_row(image_id)
+        data = self.payloads[image_id]
+        return {
+            "status": 200, "location": None, "content_type": "image/png",
+            "content_disposition": None, "content_length": len(data["bytes"]),
+            "body_kind": "image", "image_id": image_id, "html_links": [],
+        }
+
+    def _build_page(self, host: str, hi: int, pi: int) -> None:
+        page_url = f"https://{host}/article/{pi}"
+        rv = _h(page_url, self.seed)
+        image_id = f"img-{hi}-{pi}"
+        doc_url = f"https://{host}/files/{pi}/fulltext.pdf"  # F1 match
+        kind = rv % 10
+
+        if kind < 5:
+            # healthy page -> links incl. one doc link + noise
+            links = [
+                doc_url,
+                f"https://{host}/about",                       # F3 reject
+                f"https://{host}/article/{pi}/citation?format=ris",  # F10 reject
+                f"mailto:editor@{host}",                       # F12 reject
+                f"https://{host}/article/{(pi + 1) % (pi + 2)}",  # sibling page
+            ]
+            self.responses[page_url] = {
+                "status": 200, "location": None,
+                "content_type": "text/html; charset=utf-8",
+                "content_disposition": None, "content_length": 4096,
+                "body_kind": "html", "image_id": None, "html_links": links,
+            }
+            self.responses[doc_url] = self._image_response(image_id)
+        elif kind == 5:
+            # redirect to doc
+            self.responses[page_url] = {
+                "status": 302, "location": doc_url, "content_type": None,
+                "content_disposition": None, "content_length": 0,
+                "body_kind": "redirect", "image_id": None, "html_links": [],
+            }
+            self.responses[doc_url] = self._image_response(image_id)
+        elif kind == 6:
+            self.responses[page_url] = {
+                "status": 404, "location": None, "content_type": None,
+                "content_disposition": None, "content_length": 0,
+                "body_kind": "error", "image_id": None, "html_links": [],
+            }
+        elif kind == 7:
+            self.responses[page_url] = {
+                "status": 503, "location": None, "content_type": None,
+                "content_disposition": None, "content_length": 0,
+                "body_kind": "error", "image_id": None, "html_links": [],
+            }
+        elif kind == 8:
+            # direct image with octet-stream + disposition (N9 possible-path)
+            resp = self._image_response(image_id)
+            resp["content_type"] = "application/octet-stream"
+            resp["content_disposition"] = f'attachment; filename="{image_id}.png"'
+            self.responses[page_url] = resp
+        else:
+            # page with only trap links -> no doc found
+            self.responses[page_url] = {
+                "status": 200, "location": None, "content_type": "text/html",
+                "content_disposition": None, "content_length": 2048,
+                "body_kind": "html", "image_id": None,
+                "html_links": [
+                    f"https://{host}/login",
+                    f"https://www.facebook.com/{host}",
+                    "javascript:void(0)",
+                ],
+            }
+        self.seeds.append((f"{host}::{pi:04d}", page_url))
+
+    # -- oracle interface ---------------------------------------------------
+
+    def resolve(self, url: str) -> dict:
+        """Fetch oracle: response record or a synthetic 404."""
+        return self.responses.get(
+            url,
+            {
+                "status": 404, "location": None, "content_type": None,
+                "content_disposition": None, "content_length": 0,
+                "body_kind": "error", "image_id": None, "html_links": [],
+            },
+        )
+
+    # -- DataFrame exports ----------------------------------------------------
+
+    def seeds_df(self, spark):
+        rows = [(i, n, u) for n, (i, u) in enumerate(self.seeds) for i, u in [(i, u)]]
+        rows = [(sid, n, u) for n, (sid, u) in enumerate(self.seeds)]
+        return spark.createDataFrame(rows, ["id", "order_in_id", "url"])
+
+    def responses_df(self, spark):
+        rows = [
+            (u, r["status"], r["location"], r["content_type"],
+             r["content_disposition"], r["content_length"], r["body_kind"],
+             r["image_id"], r["html_links"])
+            for u, r in sorted(self.responses.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, status int, location string, content_type string, "
+            "content_disposition string, content_length long, body_kind string, "
+            "image_id string, html_links array<string>",
+        )
+
+    def payloads_df(self, spark):
+        rows = [
+            (p["image_id"], bytearray(p["bytes"]), p["w"], p["h"], p["fmt"],
+             p["caption"], p["phash"])
+            for p in sorted(self.payloads.values(), key=lambda p: p["image_id"])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
