@@ -418,6 +418,145 @@ def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- training-data pipeline queries (dedup / similarity / text) -------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy (operators/dedup.exact_dedup)."""
+    from publicationsretriever_spark.operators.dedup import exact_dedup
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "content_hash", "is_canonical", "canonical_id"
+    ).orderBy("doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->
+    bucket-join; operators/dedup.minhash_lsh_pairs)."""
+    from publicationsretriever_spark.operators.dedup import minhash_lsh_pairs
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs >= 0.8 (operators/dedup.ngram_jaccard_pairs)."""
+    from publicationsretriever_spark.operators.dedup import ngram_jaccard_pairs
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (operators/dedup.simhash64, 16-bit portable)."""
+    from publicationsretriever_spark.operators.dedup import simhash64
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return simhash64(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword heuristics
+    (operators/textstats.quality_score)."""
+    from publicationsretriever_spark.operators import textstats as TS
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        TS.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID marker-word vote (operators/textstats.lang_id)."""
+    from publicationsretriever_spark.operators import textstats as TS
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return (
+        docs.select(TS.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint dedup groups (operators/textstats.fingerprint)."""
+    from publicationsretriever_spark.operators import textstats as TS
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return (
+        docs.select(TS.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (operators/similarity);
+    queries = first 4 vectors."""
+    from publicationsretriever_spark.operators.similarity import brute_force_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram — the ANN candidate-generation stage
+    (operators/similarity.signlsh_bucket)."""
+    from publicationsretriever_spark.operators.similarity import signlsh_bucket
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return (
+        emb.select(signlsh_bucket(F.col("embedding"), [0, 1, 2, 3]).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column hygiene: per-label norms (F.aggregate JVM-side)."""
+    from publicationsretriever_spark.operators.similarity import l2_norm
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return (
+        emb.select("label", F.round(l2_norm(F.col("embedding")), 4).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -436,6 +575,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_classification": q_retry_classification,
         "politeness_schedule": q_politeness_schedule,
         "host_quota_spill": q_host_quota_spill,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_stats": q_embedding_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dup_log": q_dup_log,
@@ -575,6 +724,180 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT round, count(*) AS n_urls, count(DISTINCT domain) AS n_hosts
             FROM r GROUP BY round ORDER BY round
+        """,
+
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS content_hash,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_minhash_lsh": """
+            WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+              FROM words WHERE len(w) >= 3
+            ),
+            sigs AS (
+              SELECT doc_id,
+                   min(md5('0|' || sh)) AS mh0,
+                   min(md5('1|' || sh)) AS mh1,
+                   min(md5('2|' || sh)) AS mh2,
+                   min(md5('3|' || sh)) AS mh3,
+                   min(md5('4|' || sh)) AS mh4,
+                   min(md5('5|' || sh)) AS mh5,
+                   min(md5('6|' || sh)) AS mh6,
+                   min(md5('7|' || sh)) AS mh7
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(mh4 || '|' || mh5) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(mh6 || '|' || mh7) AS bh FROM sigs
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "dedup_ngram_jaccard": """
+            WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]) AS sh
+              FROM words WHERE len(w) >= 5
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.sh = b.sh
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents
+            ),
+            th AS (SELECT doc_id, substr(md5(t), 1, 4) AS th FROM toks),
+            bitsums AS (
+              SELECT doc_id,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b0,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b1,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b2,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b3,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b4,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b5,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b6,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b7,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b8,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b9,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b10,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b11,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b12,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b13,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b14,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b15
+              FROM th GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN b0 > 0 THEN 32768 ELSE 0 END + CASE WHEN b1 > 0 THEN 16384 ELSE 0 END + CASE WHEN b2 > 0 THEN 8192 ELSE 0 END + CASE WHEN b3 > 0 THEN 4096 ELSE 0 END + CASE WHEN b4 > 0 THEN 2048 ELSE 0 END + CASE WHEN b5 > 0 THEN 1024 ELSE 0 END + CASE WHEN b6 > 0 THEN 512 ELSE 0 END + CASE WHEN b7 > 0 THEN 256 ELSE 0 END + CASE WHEN b8 > 0 THEN 128 ELSE 0 END + CASE WHEN b9 > 0 THEN 64 ELSE 0 END + CASE WHEN b10 > 0 THEN 32 ELSE 0 END + CASE WHEN b11 > 0 THEN 16 ELSE 0 END + CASE WHEN b12 > 0 THEN 8 ELSE 0 END + CASE WHEN b13 > 0 THEN 4 ELSE 0 END + CASE WHEN b14 > 0 THEN 2 ELSE 0 END + CASE WHEN b15 > 0 THEN 1 ELSE 0 END AS BIGINT) AS simhash
+            FROM bitsums ORDER BY doc_id
+        """,
+        "text_quality": """
+            WITH d AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,
+                     length(text) AS n_chars_actual,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, n_chars_actual, len(w) AS n_tokens,
+                round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE)
+                      / greatest(len(w), 1), 6) AS stopword_ratio,
+                round(CAST(n_punct AS DOUBLE) / greatest(n_chars_actual, 1), 6) AS punct_ratio
+              FROM d
+            )
+            SELECT doc_id, n_chars_actual, n_tokens, stopword_ratio, punct_ratio,
+              round((CAST(n_chars_actual BETWEEN 50 AND 20000 AS INT)
+                   + CAST(punct_ratio < 0.2 AS INT)
+                   + CAST(stopword_ratio > 0.01 AS INT)) / 3.0, 6) AS quality
+            FROM m ORDER BY doc_id
+        """,
+        "lang_id": """
+            WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+            sc AS (
+              SELECT doc_id,
+                 len(list_filter(w, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+                 len(list_filter(w, x -> list_contains(['the','and','of','to','a'], x))) AS s_en,
+                 len(list_filter(w, x -> list_contains(['el','los','que','y','una'], x))) AS s_es,
+                 len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+              FROM d
+            ),
+            pred AS (
+              SELECT doc_id, CASE
+                WHEN s_fr > greatest(0, s_de, s_en, s_es) THEN 'fr'
+                WHEN s_es > greatest(0, s_de, s_en) THEN 'es'
+                WHEN s_en > greatest(0, s_de) THEN 'en'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+              FROM sc
+            )
+            SELECT lang_pred, count(*) AS n_docs FROM pred
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "doc_fingerprint": """
+            WITH fp AS (
+              SELECT md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64)) AS fp
+              FROM documents
+            )
+            SELECT fp, count(*) AS n_docs FROM fp
+            GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_lsh_buckets": """
+            SELECT (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket,
+                   count(*) AS n_vecs
+            FROM embeddings GROUP BY 1 ORDER BY bucket
+        """,
+        "embedding_stats": """
+            WITH n AS (
+              SELECT label,
+                     round(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm,
+                   round(max(norm), 4) AS max_norm
+            FROM n GROUP BY label ORDER BY label
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -22,11 +22,13 @@ def _shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array column (lowercased, whitespace-split).
     JVM-side: split + transform over a sequence — no Python."""
     words = F.split(F.lower(F.trim(text)), "\\s+")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
-    return F.transform(
+    n = F.size(words) - (k - 1)
+    shingled = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
+    # guard: sequence(0, -1) DESCENDS in Spark; short texts get no shingles
+    return F.when(n > 0, shingled).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All native column expressions (JVM-side); every operator has an exact
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny marker-word lists for the n-gram/stopword language heuristic.
+#: (A real pipeline swaps in fastText/CLD3 via a Pandas UDF — the
+#: operator shape, shuffle profile and oracle stay identical.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "una"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the byte-pair-ish regex variant below)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word chunks + digits + punctuation
+    counted separately (a cheap regex proxy for BPE token counts)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]+|[^\sa-z0-9]"), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang]))
+    return F.round(F.size(stop) / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punct +
+    has stopwords (the C4-style filter shape)."""
+    length_ok = (F.length(text) >= 50) & (F.length(text) <= 20000)
+    punct_ok = punct_ratio(text) < 0.2
+    stop_ok = stopword_ratio(text) > 0.01
+    return F.round(
+        (length_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int")) / 3.0, 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word vote: language with most marker hits; 'und' when no
+    marker matches. Deterministic tie-break by language code order."""
+    toks = tokens(text)
+
+    def _marker_filter(markers: list[str]):
+        # NOTE: a two-arg lambda would be treated by F.filter as
+        # (element, index) — bind the marker list via closure instead.
+        return lambda t: t.isin(markers)
+
+    scores = [
+        (code, F.size(F.filter(toks, _marker_filter(markers))))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    for code, score in scores:
+        better = score > best_score
+        best_code = F.when(better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_code
+
+
+def fingerprint(text: Column, n_prefix: int = 64) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized prefix —
+    the cheap rolling-hash-style near-exact key."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.md5(F.substring(norm, 1, n_prefix))

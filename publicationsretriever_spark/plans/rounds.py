@@ -211,7 +211,11 @@ class CrawlEngine:
                 F.lit("unnormalizable"),
             ).otherwise(F.col("reject_reason")),
         )
-        df = df.withColumn("url_hash", U.url_hash64(F.col("canon_url")))
+        # NOTE xxhash64(NULL) returns the seed (42), not NULL — guard it
+        df = df.withColumn(
+            "url_hash",
+            F.when(F.col("canon_url").isNotNull(), U.url_hash64(F.col("canon_url"))),
+        )
         df = df.withColumn("top3", U.top3_domain(F.col("domain")))
         df = df.withColumn("host_bucket", U.host_bucket(F.col("top3"), self.num_buckets))
         return df
@@ -269,13 +273,18 @@ class CrawlEngine:
             picked = unseen.withColumn("priority", F.lit(0))
 
         # J3: re-cross against prior results (broadcast — results' doc urls)
-        prior_docs = state.results.filter(
-            ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
-        ).select(
-            F.col("docOrDatasetUrl").alias("_hit_url"),
-            F.col("id").alias("_orig_id"),
-            F.col("mimeType").alias("_orig_mime"),
-        ).dropDuplicates(["_hit_url"])
+        # deterministic owner per doc-url: min id wins (the reference's
+        # owner is whichever thread won the race — we define it).
+        prior_docs = (
+            state.results.filter(
+                ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
+            )
+            .groupBy(F.col("docOrDatasetUrl").alias("_hit_url"))
+            .agg(
+                F.min("id").alias("_orig_id"),
+                F.min_by("mimeType", "id").alias("_orig_mime"),
+            )
+        )
         crossed = picked.join(
             F.broadcast(prior_docs),
             picked["canon_url"] == prior_docs["_hit_url"],
@@ -303,8 +312,11 @@ class CrawlEngine:
 
         # P9 + blacklist + quota, then the physical move: one host -> one task
         to_fetch = U.with_special_rewrite(to_fetch, "canon_url", "fetch_url")
+        # blocks are recorded at top-3-domain granularity (politeness key)
         to_fetch = to_fetch.join(
-            F.broadcast(state.blocked_domains), on=to_fetch["domain"] == state.blocked_domains["domain"], how="left_anti"
+            F.broadcast(state.blocked_domains),
+            on=to_fetch["top3"] == state.blocked_domains["domain"],
+            how="left_anti",
         )
         wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
         to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq))
@@ -480,6 +492,21 @@ class CrawlEngine:
         blocked = state.blocked_domains.unionByName(newly_blocked).distinct()
 
         seen_total = new_seen.count()
+        # per-partition lineage (north rule): frontier offsets and
+        # fetch/error counters per host_bucket, seen cardinality.
+        frontier_by_bucket = {
+            str(r["host_bucket"]): r["count"]
+            for r in staged.groupBy("host_bucket").count().collect()
+        }
+        fetch_by_bucket = {
+            str(r["host_bucket"]): {"fetched": r["n"], "errors": r["errs"]}
+            for r in fetched.groupBy("host_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("error_class").isNotNull().cast("int")).alias("errs"),
+            )
+            .collect()
+        }
         metrics = {
             "round": round_no,
             "frontier_in": staged.count(),
@@ -487,6 +514,8 @@ class CrawlEngine:
             "fetched": fetched.count(),
             "results": new_results.count(),
             "seen_total": seen_total,
+            "frontier_offsets": frontier_by_bucket,
+            "fetch_counters": fetch_by_bucket,
         }
         state.metrics.append(metrics)
 
@@ -503,20 +532,55 @@ class CrawlEngine:
         staged.unpersist()
         return new_state, next_frontier
 
-    def crawl(self, seeds: DataFrame, max_rounds: int = 3) -> CrawlState:
+    def crawl(
+        self,
+        seeds: DataFrame | None,
+        max_rounds: int = 3,
+        catalog=None,
+        resume: bool = False,
+    ) -> CrawlState:
+        """Run the round loop. With ``catalog`` set, every round commits
+        one snapshot (tables + lineage); ``resume=True`` restores the
+        latest snapshot and continues exactly where it stopped —
+        byte-identical to an uninterrupted run (tested)."""
         spark = self.spark
-        state = CrawlState(
-            results=_empty(spark, RESULT_SCHEMA),
-            seen=_empty(spark, "url_hash long"),
-            blocked_domains=_empty(spark, "domain string"),
-        )
-        frontier = seeds.withColumn("depth", F.lit(0)).withColumn(
-            "kind", F.lit("seed")
-        )
-        for rnd in range(max_rounds):
+        start_round = 0
+        if resume:
+            manifest, tables = catalog.load(spark)
+            state = CrawlState(
+                results=tables["results"].cache(),
+                seen=tables["seen"].cache(),
+                blocked_domains=tables["blocked_domains"],
+                payloads=tables.get("payloads"),
+                metrics=manifest["lineage"].get("rounds", []),
+            )
+            frontier = tables["frontier"]
+            start_round = manifest["round"] + 1
+        else:
+            state = CrawlState(
+                results=_empty(spark, RESULT_SCHEMA),
+                seen=_empty(spark, "url_hash long"),
+                blocked_domains=_empty(spark, "domain string"),
+            )
+            frontier = seeds.withColumn("depth", F.lit(0)).withColumn(
+                "kind", F.lit("seed")
+            )
+        for rnd in range(start_round, max_rounds):
             if frontier.isEmpty():
                 break
             state, frontier = self.run_round(state, frontier, rnd)
             frontier = frontier.cache()
+            if catalog is not None:
+                tables = {
+                    "results": state.results,
+                    "seen": state.seen,
+                    "blocked_domains": state.blocked_domains,
+                    "frontier": frontier,
+                }
+                if state.payloads is not None:
+                    tables["payloads"] = state.payloads
+                catalog.commit(
+                    tables, rnd, {"rounds": state.metrics, "last": state.metrics[-1]}
+                )
         state.frontier = frontier
         return state

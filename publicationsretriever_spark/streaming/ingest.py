@@ -1,0 +1,56 @@
+"""Streaming seed ingestion (SURVEY.md §2.1 S1/S2 as a stream).
+
+The reference tails a file in 3000-line batches
+(FileUtils.getNextIdUrlPairBatchFromJson, util/file/FileUtils.java:249-289);
+at web scale seeds arrive continuously. This module expresses the same
+load-stage as a Structured Streaming query:
+
+  readStream(seeds) -> clean/canonicalize/gate -> watermarked
+  dropDuplicates(url_hash) -> frontier rows (append) / per-host rates.
+
+``foreachBatch`` is the exactly-once sink hook: each micro-batch is a
+frontier delta the round scheduler picks up — the streaming and batch
+paths share all column logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import filters as FL
+from ..functions import urls as U
+
+
+def seed_stream_to_frontier(stream: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Transform a streaming seed source (columns: id, url, ts) into
+    gated, canonicalized frontier rows. Watermark + dropDuplicates =
+    the cross-batch URL-seen guard inside the engine's state store
+    (exact seen-set still enforced by the round scheduler's anti-join).
+    """
+    gated = stream.withColumn(
+        "reject_reason",
+        FL.DEFAULT_BATTERY.page_url_reject_reason(F.lower(F.col("url"))),
+    ).filter(F.col("reject_reason").isNull())
+    canon = gated.withColumn("canon_url", U.canonicalize_udf(U.clean_url(F.col("url"))))
+    canon = canon.filter(F.col("canon_url").isNotNull())
+    out = (
+        canon.withColumn("url_hash", U.url_hash64(F.col("canon_url")))
+        .withColumn("host", U.top3_domain(U.domain_of(F.col("url"))))
+        .withColumn("host_bucket", U.host_bucket(F.col("host"), num_buckets))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["url_hash"])
+    )
+    return out.select(
+        "id", "url", "canon_url", "url_hash", "host", "host_bucket", "ts"
+    )
+
+
+def per_host_rates(frontier_stream: DataFrame) -> DataFrame:
+    """Windowed per-host arrival rates — the live signal for politeness
+    budgeting and hot-host quota tuning (N5). Expects the already
+    watermarked output of :func:`seed_stream_to_frontier` (re-defining
+    a watermark downstream is disallowed by Spark)."""
+    return frontier_stream.groupBy(F.window("ts", "5 minutes"), "host").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )

@@ -1,0 +1,96 @@
+"""Crawl-order / URL-seen-set / results conformance: distributed engine
+vs sequential oracle (BASELINE.md targets: "crawl-order match",
+"URL-seen-set match")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from publicationsretriever_spark.crawl.oracle import (
+    all_urls_of_web,
+    compute_verdicts,
+    crawl_oracle,
+)
+from publicationsretriever_spark.plans.rounds import CrawlEngine
+from publicationsretriever_spark.sources.synthetic_web import SyntheticWeb
+
+
+@pytest.fixture(scope="module")
+def crawl_setup(spark):
+    web = SyntheticWeb(seed=42, n_hosts=10, pages_per_host_max=12)
+    verdicts = compute_verdicts(spark, all_urls_of_web(web), web)
+    engine = CrawlEngine(spark, web, num_buckets=8, host_quota=50)
+    state = engine.crawl(web.seeds_df(spark), max_rounds=3)
+    seeds = [(sid, n, u) for n, (sid, u) in enumerate(web.seeds)]
+    oracle = crawl_oracle(web, verdicts, seeds, max_rounds=3, host_quota=50)
+    return web, state, oracle
+
+
+def test_results_multiset_matches_oracle(crawl_setup):
+    _web, state, oracle = crawl_setup
+    engine_rows = sorted(
+        (r["id"], r["sourceUrl"], r["docOrDatasetUrl"], r["round"])
+        for r in state.results.collect()
+    )
+    oracle_rows = sorted(
+        (r["id"], r["sourceUrl"], r["docOrDatasetUrl"], r["round"])
+        for r in oracle.results
+    )
+    assert engine_rows == oracle_rows
+
+
+def test_seen_set_matches_oracle(crawl_setup):
+    _web, state, oracle = crawl_setup
+    engine_seen = set(r[0] for r in state.seen.collect())
+    assert engine_seen == oracle.seen
+
+
+def test_doc_results_carry_payload_invariants(spark, crawl_setup):
+    """Per-row invariant: every fetched document row points at a payload
+    whose decoded pixels round-trip (PSNR=inf for PNG) and whose caption
+    matches the source (BASELINE.json input_hint)."""
+    import numpy as np
+
+    from publicationsretriever_spark.operators.multimodal import decode_image_metrics
+    from publicationsretriever_spark.sources.imagecodec import synth_pixels
+
+    web, state, _oracle = crawl_setup
+    payloads = web.payloads_df(spark)
+    fetched_ids = [r[0] for r in state.payloads.collect()]
+    fetched = payloads.filter(F.col("image_id").isin(fetched_ids))
+    metrics = {r["image_id"]: r for r in decode_image_metrics(fetched).collect()}
+    assert metrics, "no payloads fetched"
+    for image_id, m in metrics.items():
+        assert m["decode_ok"], f"{image_id} failed decode"
+        # lossless round-trip: decoded == source pixels exactly
+        src = synth_pixels(image_id)
+        assert m["phash_check"] is not None
+        assert abs(m["mean_r"] - float(src[..., 0].mean())) < 1e-9
+    # caption equality
+    caps = {r["image_id"]: r["caption"] for r in fetched.collect()}
+    for iid, cap in caps.items():
+        assert cap == f"caption of {iid}"
+
+
+def test_crawl_order_is_deterministic(spark, crawl_setup):
+    """Crawl order = the totally-ordered log (round, host, url_hash);
+    a second engine run must produce the identical order and results."""
+    web, state, oracle = crawl_setup
+    engine2 = CrawlEngine(spark, web, num_buckets=8, host_quota=50)
+    state2 = engine2.crawl(web.seeds_df(spark), max_rounds=3)
+    r1 = sorted(map(tuple, state.results.collect()))
+    r2 = sorted(map(tuple, state2.results.collect()))
+    assert r1 == r2
+
+
+def test_host_quota_spills_to_next_round(spark):
+    """A hot host must not exceed the per-round quota; excess rows are
+    crawled in the following round (skew control, SURVEY §2.6 N5)."""
+    web = SyntheticWeb(seed=7, n_hosts=3, pages_per_host_max=20)
+    engine = CrawlEngine(spark, web, num_buckets=4, host_quota=5)
+    state = engine.crawl(web.seeds_df(spark), max_rounds=4)
+    # round 0 fetches at most quota per host: host0 has 20 pages
+    m0 = state.metrics[0]
+    assert m0["fetched"] <= 5 * 3  # <= quota * n_hosts
+    assert len(state.metrics) >= 2, "spill must create a next round"

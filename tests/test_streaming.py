@@ -1,0 +1,69 @@
+"""Streaming ingest test: parquet-backed micro-batches drive the seed
+stream to completion synchronously (memory sink)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from publicationsretriever_spark.streaming.ingest import (
+    per_host_rates,
+    seed_stream_to_frontier,
+)
+
+SCHEMA = "id string, url string, ts timestamp"
+
+
+def test_seed_stream_to_frontier(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", "https://h1.org/files/x.pdf", t0),
+        ("b", "https://h1.org/files/x.pdf", t0),           # dup url
+        ("c", "https://www.facebook.com/x/y", t0),          # gated out
+        ("d", "https://h2.org/article/1", t0),
+    ]
+    src = tmp_path / "seeds"
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    frontier = seed_stream_to_frontier(stream, num_buckets=8)
+    q = (
+        frontier.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("frontier_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM frontier_out").collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == ["https://h1.org/files/x.pdf", "https://h2.org/article/1"]
+    assert all(r["url_hash"] is not None and r["host_bucket"] is not None for r in out)
+
+
+def test_per_host_rates(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", f"https://h1.org/files/{i}.pdf", t0 + dt.timedelta(minutes=i))
+        for i in range(4)
+    ]
+    src = tmp_path / "seeds2"
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    rates = per_host_rates(seed_stream_to_frontier(stream, num_buckets=8))
+    q = (
+        rates.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT host, n_urls FROM rates_out").collect()
+    assert sum(r["n_urls"] for r in out) == 4
+    assert all(r["host"] == "h1.org" for r in out)

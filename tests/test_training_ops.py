@@ -1,0 +1,149 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from publicationsretriever_spark.operators import textstats as TS
+from publicationsretriever_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from publicationsretriever_spark.operators.multimodal import (
+    decode_image_metrics,
+    resize_images,
+)
+from publicationsretriever_spark.operators.similarity import brute_force_topk, lsh_topk
+from publicationsretriever_spark.sources.imagecodec import (
+    decode_png,
+    encode_png,
+    make_payload_row,
+    psnr,
+    synth_pixels,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different words about spark engines and data"),
+    (4, "der hund und die katze laufen durch das haus ein tag"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[1]["canonical_id"] == 0
+    assert out[2]["is_canonical"]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 4  # identical docs share all bands
+    assert (0, 3) not in pairs  # unrelated docs shouldn't collide on all bands
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.1 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_similarity_structure(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
+    assert sims[0] == sims[1]  # identical text -> identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sims[0], sims[2]) <= hamming(sims[0], sims[4])
+
+
+def test_textstats(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            TS.token_count(F.col("text")).alias("n"),
+            TS.lang_id(F.col("text")).alias("lang"),
+            TS.quality_score(F.col("text")).alias("q"),
+            TS.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[0]["n"] == 12
+    assert rows[0]["lang"] == "en"
+    assert rows[4]["lang"] == "de"
+    assert rows[0]["fp"] == rows[1]["fp"]
+    assert 0.0 <= rows[3]["q"] <= 1.0
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(df, queries, k=3).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}  # self-similarity = 1.0
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.default_rng(1)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(df, queries, k=3).collect()
+    # self always lands in its own bucket -> rank 1 with sim 1.0
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in out if r["rank"] == 1}
+    for q, (v, s) in rank1.items():
+        assert v == q and abs(s - 1.0) < 1e-6
+
+
+def test_png_roundtrip_and_psnr():
+    px = synth_pixels("img-x", 16, 12)
+    assert decode_png(encode_png(px)).tolist() == px.tolist()
+    assert math.isinf(psnr(px, px))
+    row = make_payload_row("img-x", w=16, h=12)
+    assert row["caption"] == "caption of img-x"
+    assert isinstance(row["phash"], int)
+
+
+def test_decode_image_metrics_and_resize(spark):
+    rows = [make_payload_row(f"im{i}") for i in range(4)]
+    df = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = {r["image_id"]: r for r in decode_image_metrics(df).collect()}
+    assert all(out[f"im{i}"]["decode_ok"] for i in range(4))
+    for i in range(4):
+        src = synth_pixels(f"im{i}")
+        assert out[f"im{i}"]["phash_check"] is not None
+        assert abs(out[f"im{i}"]["mean_g"] - float(src[..., 1].mean())) < 1e-9
+
+    resized = resize_images(df, 4, 4).collect()
+    for r in resized:
+        assert decode_png(bytes(r["bytes"])).shape == (4, 4, 3)

@@ -1,0 +1,71 @@
+"""Two-parallelism scaling benchmark (BASELINE.md target: throughput
+scaling efficiency >= 0.8 from N to 4N).
+
+Runs the identical crawl job at local[8] and local[32] in separate
+processes (clean JVM each), computes efficiency =
+(throughput_32 / throughput_8) / 4, and writes BENCH/BASELINE.md +
+BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_level(cores: int, n_hosts: int, pages_max: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools/scaling_worker.py"), str(cores),
+         str(n_hosts), str(pages_max)],
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    pages_max = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    lo = run_level(8, n_hosts, pages_max)
+    hi = run_level(32, n_hosts, pages_max)
+    eff_fetch = (hi["fetched_urls_per_sec"] / lo["fetched_urls_per_sec"]) / 4
+    eff_check = (hi["checked_urls_per_sec"] / lo["checked_urls_per_sec"]) / 4
+    report = {
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_fetched": round(eff_fetch, 3),
+        "scaling_efficiency_checked": round(eff_check, 3),
+        "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(report, indent=2))
+    md = f"""# BENCH/BASELINE — measured numbers
+
+## Two-parallelism scaling (sandbox proxy for N vs 4N executors)
+
+Identical job (full crawl-round pipeline over the seed-deterministic
+synthetic web, {lo['seed_urls']} seed URLs, {lo['rounds']} rounds) at
+two local parallelism levels, separate JVMs, codegen warmed:
+
+| level | urls checked | urls fetched | wall (s) | fetched URLs/sec | checked URLs/sec | rounds/hour |
+|---|---|---|---|---|---|---|
+| local[8]  | {lo['urls_checked']} | {lo['urls_fetched']} | {lo['wall_sec']} | {lo['fetched_urls_per_sec']} | {lo['checked_urls_per_sec']} | {lo['rounds_per_hour']} |
+| local[32] | {hi['urls_checked']} | {hi['urls_fetched']} | {hi['wall_sec']} | {hi['fetched_urls_per_sec']} | {hi['checked_urls_per_sec']} | {hi['rounds_per_hour']} |
+
+**Scaling efficiency (fetched URLs/sec), (T8→T32)/4: {report['scaling_efficiency_fetched']}**
+(checked URLs/sec: {report['scaling_efficiency_checked']}; target >= 0.8 per BASELINE.json)
+
+Reproduce: `python tools/bench_scaling.py {n_hosts} {pages_max}`
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
