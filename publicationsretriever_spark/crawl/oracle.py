@@ -215,8 +215,19 @@ def crawl_oracle(
                 emit(rnd, r["id"], r["url"], r["canon"], None)
             else:
                 to_fetch.append(r)
-        # blacklist + quota
+        # blacklist + robots + quota
         to_fetch = [r for r in to_fetch if r["top3"] not in st.blocked]
+        allowed = []
+        for r in to_fetch:
+            fetch_u = v.fetch_url.get(r["url"], r["canon"])
+            import re as _re2
+            pth = _re2.sub(r"^https?://[^/]*", "", fetch_u or "")
+            rules = web.robots.get(r["top3"], [])
+            if any(pth.startswith(pre) for pre in rules):
+                emit(rnd, r["id"], r["url"], "unreachable", "robots disallowed")
+            else:
+                allowed.append(r)
+        to_fetch = allowed
         by_host: dict[str, list[dict]] = {}
         for r in to_fetch:
             by_host.setdefault(r["top3"], []).append(r)
@@ -255,35 +266,78 @@ def crawl_oracle(
                     host_errors[r["top3"]] = host_errors.get(r["top3"], 0) + 1
                 emit(rnd, r["id"], r["url"], "unreachable", key)
                 continue
+            # N8 sniff (mirrors the engine's fetch UDF)
+            sniffed_ct = resp["content_type"]
+            if sniffed_ct is None:
+                body0 = resp.get("html_body")
+                if body0 and body0.lstrip().lower().startswith(("<html", "<!doctype")):
+                    sniffed_ct = "text/html"
+                elif resp.get("body_kind") == "image":
+                    sniffed_ct = "image/png"
+            # N10 size guards
+            if sniffed_ct and "html" in sniffed_ct.lower() and resp["content_length"] > 5 * 1024 * 1024:
+                emit(rnd, r["id"], r["url"], "unreachable", "oversize_html")
+                continue
+            if resp["content_length"] > 512 * 1024 * 1024:
+                emit(rnd, r["id"], r["url"], "unreachable", "oversize_fulltext")
+                continue
             cat = v.mime_category.get(url)
             if cat is None and resp["body_kind"] == "image":
                 cat = "document"
             if cat in ("document", "dataset"):
                 emit(rnd, r["id"], r["url"], url, None)
                 continue
-            ct = resp["content_type"] or ""
+            ct = sniffed_ct or ""
             if "html" in ct.lower():
-                links = (resp["html_links"] or [])[:MAX_LINKS_PER_PAGE]
-                accepted = [
-                    (pos, l) for pos, l in enumerate(links)
-                    if v.link_reject.get(l) is None
+                import re as _re
+
+                from ..functions.htmlparse import (
+                    META_ACCESS_RIGHTS,
+                    META_DOC_URL,
+                    NO_ACCESS_RIGHTS,
+                    extract_links_one,
+                )
+
+                body = resp.get("html_body") or ""
+                m = _re.search(META_DOC_URL, body)
+                meta_url = (m.group(1) or m.group(2)) if m else None
+                am = _re.search(META_ACCESS_RIGHTS, body)
+                rights = (am.group(1) or am.group(2)) if am else None
+                if rights and _re.fullmatch(NO_ACCESS_RIGHTS, rights.lower()):
+                    emit(rnd, r["id"], r["url"], "unreachable",
+                         "restricted access (meta rights)")
+                    continue
+                extracted = extract_links_one(body, url)
+                if any(x["signal"] == "dynamic" for x in extracted):
+                    emit(rnd, r["id"], r["url"], "unreachable",
+                         "dynamic internal links")
+                    st.blocked.add(v.top3.get(url) or r["top3"])
+                    continue
+                candidates: list[tuple[int, str]] = []
+                if meta_url:
+                    candidates.append((0, meta_url))
+                found = [x["link"] for x in extracted if x["signal"] == "docFound"]
+                if found:
+                    candidates.append((1, found[0]))
+                plain = [
+                    (pos + 2, x["link"])
+                    for pos, x in enumerate(
+                        [y for y in extracted if y["signal"] == "plain"][:MAX_LINKS_PER_PAGE]
+                    )
                 ]
-                doc_links = [(p, l) for p, l in accepted if v.doc_like[l]]
-                rest = [(p, l) for p, l in accepted if not v.doc_like[l]]
-                doc_links = doc_links[:MAX_POSSIBLE_DOC_LINKS]
-                rest = rest[: MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS]
-                # engine rank: doc-like first then pos, caps 5 / 15 overall rank
-                chosen = []
+                accepted = [
+                    (p, l) for p, l in plain if v.link_reject.get(l) is None
+                ]
                 ranked = sorted(accepted, key=lambda t: (not v.doc_like[t[1]], t[0]))
                 for i, (p, l) in enumerate(ranked, start=1):
                     if v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS:
-                        chosen.append((p, l))
+                        candidates.append((p, l))
                     elif not v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS:
-                        chosen.append((p, l))
-                if not chosen:
+                        candidates.append((p, l))
+                if not candidates:
                     emit(rnd, r["id"], r["url"], "unreachable", "no docUrl found on page")
                 else:
-                    for p, l in chosen:
+                    for p, l in candidates:
                         next_frontier.append(
                             {"id": r["id"], "order_in_id": p, "url": l,
                              "depth": 1, "kind": "internal"}

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import filters as FL
+from ..functions import htmlparse as H
 from ..functions import mime as M
 from ..functions import retry as R
 from ..functions import urls as U
@@ -70,7 +71,7 @@ FETCH_OUT_SCHEMA = (
     "host_bucket int, depth int, kind string, fetch_url string, "
     "final_url string, status int, hops int, error_class string, "
     "content_type string, content_disposition string, content_length long, "
-    "body_kind string, image_id string, html_links array<string>, "
+    "body_kind string, image_id string, html_body string, "
     "planned_fetch_ms long"
 )
 
@@ -164,6 +165,16 @@ class CrawlEngine:
                     else:
                         error_class = f"http_{resp['status']}"
 
+                    # N8: header-less responses get their type sniffed
+                    # from the body magic (detectContentTypeFromResponseBody,
+                    # ConnSupportUtils.java:1171-1229)
+                    content_type = resp["content_type"]
+                    if content_type is None and error_class is None:
+                        body = resp.get("html_body")
+                        if body and body.lstrip().lower().startswith(("<html", "<!doctype")):
+                            content_type = "text/html"
+                        elif resp.get("body_kind") == "image":
+                            content_type = "image/png"
                     out_rows.append({
                         "id": row.id, "url": row.url,
                         "canon_url": row.canon_url, "url_hash": row.url_hash,
@@ -172,12 +183,12 @@ class CrawlEngine:
                         "fetch_url": row.fetch_url, "final_url": url,
                         "status": resp["status"], "hops": hops,
                         "error_class": error_class,
-                        "content_type": resp["content_type"],
+                        "content_type": content_type,
                         "content_disposition": resp["content_disposition"],
                         "content_length": resp["content_length"],
                         "body_kind": resp["body_kind"],
                         "image_id": resp["image_id"],
-                        "html_links": list(resp["html_links"] or []),
+                        "html_body": resp.get("html_body"),
                         "planned_fetch_ms": planned,
                     })
                 yield pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
@@ -318,6 +329,36 @@ class CrawlEngine:
             on=to_fetch["top3"] == state.blocked_domains["domain"],
             how="left_anti",
         )
+
+        # robots gate (north rule; no reference equivalent): broadcast
+        # robots_rules(domain, disallow[]) joined on host; a fetch_url
+        # whose path starts with a disallowed prefix is dropped with a
+        # result row instead of fetched.
+        robots = self.web.robots_df(self.spark)
+        to_fetch = to_fetch.join(
+            F.broadcast(robots), to_fetch["top3"] == robots["domain"], "left"
+        ).drop(robots["domain"])
+        path = F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", "")
+        disallowed = F.when(
+            F.col("disallow").isNotNull(),
+            F.exists("disallow", lambda pre: path.startswith(pre)),
+        ).otherwise(F.lit(False))
+        robots_blocked = to_fetch.filter(disallowed)
+        robots_results = robots_blocked.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.lit("null").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("false").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.lit("robots disallowed").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+        to_fetch = to_fetch.filter(~disallowed).drop("disallow")
         wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
         to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq))
         spill = to_fetch.filter(F.col("_hq") > self.host_quota).drop("_hq")
@@ -329,6 +370,26 @@ class CrawlEngine:
             "fetch_url",
         ).repartition(self.num_buckets, "host_bucket")
         fetched = fetch_in.mapInPandas(self._fetch_udf(), schema=FETCH_OUT_SCHEMA).cache()
+
+        # N10: content-size guards (html <= 5MB, fulltext <= 512MB,
+        # HttpConnUtils.java:73-74) — oversize rows become errors
+        MAX_HTML = 5 * 1024 * 1024
+        MAX_FULLTEXT = 512 * 1024 * 1024
+        fetched = fetched.withColumn(
+            "error_class",
+            F.when(
+                F.col("error_class").isNull()
+                & M.is_html_mime(F.col("content_type"))
+                & (F.col("content_length") > MAX_HTML),
+                F.lit("oversize_html"),
+            )
+            .when(
+                F.col("error_class").isNull()
+                & (F.col("content_length") > MAX_FULLTEXT),
+                F.lit("oversize_fulltext"),
+            )
+            .otherwise(F.col("error_class")),
+        )
 
         # N9 classification on fetch results (native columns)
         classified = fetched.withColumn(
@@ -409,17 +470,88 @@ class CrawlEngine:
             F.lit(round_no).alias("round"),
         )
 
-        # pages -> G9 candidate ranking over extracted links (F15 gate)
-        pages = classified.filter(F.col("category") == "page")
-        links = pages.select(
-            F.col("id"), F.col("url").alias("page_url"),
-            F.col("final_url").alias("page_final"),
-            F.posexplode(F.slice("html_links", 1, MAX_LINKS_PER_PAGE)).alias("pos", "link"),
+        # pages -> G5 metadata scan + G3 extraction UDF + G9 ranking
+        pages = classified.filter(F.col("category") == "page").withColumn(
+            "_meta_url",
+            H.localhost_fix(
+                H.meta_doc_url(F.col("html_body")), U.domain_of(F.col("final_url"))
+            ),
+        ).withColumn(
+            "_restricted", H.meta_access_restricted(F.col("html_body"))
+        ).withColumn(
+            "_links", H.extract_links_udf(F.col("html_body"), F.col("final_url"))
+        ).cache()
+
+        # restricted-access pages stop here (MetadataHandler.java:77-120)
+        restricted_results = pages.filter(F.col("_restricted")).select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("final_url").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("false").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.lit("restricted access (meta rights)").alias("error"),
+            F.lit(round_no).alias("round"),
         )
-        links = links.withColumn(
+        live = pages.filter(~F.col("_restricted"))
+
+        # dynamic-link pages block their domain (F13,
+        # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
+        has_dynamic = F.exists("_links", lambda x: x["signal"] == "dynamic")
+        dynamic_pages = live.filter(has_dynamic)
+        dynamic_results = dynamic_pages.select(
+            F.col("id"), F.col("url").alias("sourceUrl"),
+            F.col("final_url").alias("pageUrl"),
+            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.lit("true").alias("wasUrlChecked"),
+            F.lit("true").alias("wasUrlValid"),
+            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
+            F.lit("false").alias("wasDirectLink"),
+            F.lit("true").alias("couldRetry"),
+            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
+            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
+            F.lit("dynamic internal links").alias("error"),
+            F.lit(round_no).alias("round"),
+        )
+        dynamic_blocked = dynamic_pages.select(
+            U.top3_domain(U.domain_of(F.col("final_url"))).alias("domain")
+        ).distinct()
+        live = live.filter(~has_dynamic)
+
+        # candidates, ranked per G9: meta docUrl (rank 0) > docFound
+        # signal (rank 1) > possible-doc links (<=5) > remaining (<=10)
+        meta_c = live.filter(F.col("_meta_url").isNotNull()).select(
+            F.col("id"), F.col("url").alias("page_url"),
+            F.lit(0).alias("pos"), F.col("_meta_url").alias("link"),
+        )
+        doc_found = live.select(
+            F.col("id"), F.col("url").alias("page_url"),
+            F.lit(1).alias("pos"),
+            F.try_element_at(
+                F.filter("_links", lambda x: x["signal"] == "docFound"), F.lit(1)
+            )["link"].alias("link"),
+        ).filter(F.col("link").isNotNull())
+
+        plain = live.select(
+            F.col("id"), F.col("url").alias("page_url"),
+            F.posexplode(
+                F.slice(
+                    F.filter("_links", lambda x: x["signal"] == "plain"),
+                    1, MAX_LINKS_PER_PAGE,
+                )
+            ).alias("pos", "l"),
+        ).select(
+            "id", "page_url", (F.col("pos") + 2).alias("pos"),
+            F.col("l")["link"].alias("link"),
+        )
+        plain = plain.withColumn(
             "link_reject", self.battery.internal_link_reject_reason(F.lower(F.col("link")))
         ).filter(F.col("link_reject").isNull()).drop("link_reject")
-        links = links.withColumn(
+        plain = plain.withColumn(
             "is_doc_like",
             FL.is_possible_doc_url(F.lower(F.col("link")))
             | FL.is_possible_dataset_url(F.lower(F.col("link"))),
@@ -427,11 +559,13 @@ class CrawlEngine:
         wl = Window.partitionBy("page_url").orderBy(
             F.col("is_doc_like").desc(), F.col("pos")
         )
-        links = links.withColumn("_lr", F.row_number().over(wl))
-        links = links.filter(
+        plain = plain.withColumn("_lr", F.row_number().over(wl))
+        plain = plain.filter(
             (F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS))
             | (~F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS))
-        )
+        ).drop("is_doc_like", "_lr")
+
+        links = meta_c.unionByName(doc_found).unionByName(plain)
         next_frontier = links.select(
             F.col("id"),
             F.col("pos").cast("long").alias("order_in_id"),
@@ -445,10 +579,10 @@ class CrawlEngine:
         )
         next_frontier = next_frontier.unionByName(spill_frontier)
 
-        # pages that produced no accepted links -> "no doc url found" rows
-        page_results = pages.join(
+        # pages that produced no accepted candidates -> "no doc url found"
+        page_results = live.join(
             links.select("page_url").distinct(),
-            pages["url"] == F.col("page_url"),
+            live["url"] == F.col("page_url"),
             "left_anti",
         ).select(
             F.col("id"), F.col("url").alias("sourceUrl"),
@@ -471,6 +605,9 @@ class CrawlEngine:
             .unionByName(doc_results)
             .unionByName(error_results)
             .unionByName(other_results)
+            .unionByName(robots_results)
+            .unionByName(restricted_results)
+            .unionByName(dynamic_results)
             .unionByName(page_results)
         )
 
@@ -482,14 +619,18 @@ class CrawlEngine:
             staged.filter(F.col("url_hash").isNotNull()).select("url_hash")
         ).unionByName(
             fetched.select(U.url_hash64(F.col("final_url")).alias("url_hash"))
-        ).distinct().cache()
+        ).distinct()
 
         # A2-style domain blocking from per-round aggregates
         bad = fetched.filter(
             F.col("error_class").rlike("^http_5..$") | (F.col("error_class") == "conn_timeout")
         ).groupBy("host").agg(F.count(F.lit(1)).alias("bad"))
         newly_blocked = bad.filter(F.col("bad") > 10).select(F.col("host").alias("domain"))
-        blocked = state.blocked_domains.unionByName(newly_blocked).distinct()
+        blocked = (
+            state.blocked_domains.unionByName(newly_blocked)
+            .unionByName(dynamic_blocked)
+            .distinct()
+        )
 
         seen_total = new_seen.count()
         # per-partition lineage (north rule): frontier offsets and
@@ -520,7 +661,7 @@ class CrawlEngine:
         state.metrics.append(metrics)
 
         new_state = CrawlState(
-            results=state.results.unionByName(new_results).cache(),
+            results=state.results.unionByName(new_results),
             seen=new_seen,
             blocked_domains=blocked,
             payloads=(
@@ -529,7 +670,6 @@ class CrawlEngine:
             ),
             metrics=state.metrics,
         )
-        staged.unpersist()
         return new_state, next_frontier
 
     def crawl(
@@ -569,7 +709,13 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
             state, frontier = self.run_round(state, frontier, rnd)
-            frontier = frontier.cache()
+            # LINEAGE TRUNCATION at the round boundary: without it each
+            # round's plan nests the whole previous round's DAG and
+            # analysis/codegen time grows super-linearly with rounds.
+            # With a catalog the committed snapshot IS the cut (state is
+            # re-read from the immutable files — exactly what a resumed
+            # job would see); without one, localCheckpoint materializes
+            # to executor storage.
             if catalog is not None:
                 tables = {
                     "results": state.results,
@@ -582,5 +728,27 @@ class CrawlEngine:
                 catalog.commit(
                     tables, rnd, {"rounds": state.metrics, "last": state.metrics[-1]}
                 )
+                _, loaded = catalog.load(self.spark)
+                state = CrawlState(
+                    results=loaded["results"],
+                    seen=loaded["seen"],
+                    blocked_domains=loaded["blocked_domains"],
+                    payloads=loaded.get("payloads"),
+                    metrics=state.metrics,
+                )
+                frontier = loaded["frontier"]
+            else:
+                state = CrawlState(
+                    results=state.results.localCheckpoint(eager=True),
+                    seen=state.seen.localCheckpoint(eager=True),
+                    blocked_domains=state.blocked_domains.localCheckpoint(eager=True),
+                    payloads=(
+                        state.payloads.localCheckpoint(eager=True)
+                        if state.payloads is not None
+                        else None
+                    ),
+                    metrics=state.metrics,
+                )
+                frontier = frontier.localCheckpoint(eager=True)
         state.frontier = frontier
         return state

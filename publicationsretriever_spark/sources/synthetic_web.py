@@ -41,6 +41,7 @@ class SyntheticWeb:
     responses: dict[str, dict] = field(default_factory=dict)
     payloads: dict[str, dict] = field(default_factory=dict)
     seeds: list[tuple[str, str]] = field(default_factory=list)
+    robots: dict[str, list[str]] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self._build()
@@ -53,6 +54,14 @@ class SyntheticWeb:
     def _build(self) -> None:
         for hi in range(self.n_hosts):
             host = self._host(hi)
+            # deterministic robots.txt: every 5th host disallows /private/,
+            # every 7th also /article/9 (a real page prefix) — exercises
+            # the pre-fetch robots gate (north rule; the reference has NO
+            # robots handling, SURVEY.md §2.6 note)
+            rules = ["/private/"]
+            if hi % 7 == 3:
+                rules.append("/article/9")
+            self.robots[host] = rules
             n_pages = max(1, self.pages_per_host_max // (hi + 1))
             for pi in range(n_pages):
                 self._build_page(host, hi, pi)
@@ -85,19 +94,37 @@ class SyntheticWeb:
         kind = rv % 10
 
         if kind < 5:
-            # healthy page -> links incl. one doc link + noise
+            # healthy page -> real HTML with one doc link + noise traps;
+            # kind 0 additionally carries a meta citation_pdf_url (G5).
+            meta = (
+                f'<meta name="citation_pdf_url" content="{doc_url}"/>'
+                if kind == 0
+                else ""
+            )
+            sibling = f"https://{host}/article/{(pi + 1) % (pi + 2)}"
+            body = f"""<html><head>{meta}</head><body>
+<div class="content">
+  <a href="/files/{pi}/fulltext.pdf">view item {pi}</a>
+  <a href="{sibling}">related item</a>
+  <a href="/article/{pi}/citation?format=ris">export citation</a>
+  <a href="mailto:editor@{host}">mail</a>
+</div>
+<div class="breadcrumb"><a href="/home-page">home</a></div>
+<footer><a href="/about">about</a></footer>
+</body></html>"""
             links = [
                 doc_url,
                 f"https://{host}/about",                       # F3 reject
                 f"https://{host}/article/{pi}/citation?format=ris",  # F10 reject
                 f"mailto:editor@{host}",                       # F12 reject
-                f"https://{host}/article/{(pi + 1) % (pi + 2)}",  # sibling page
+                sibling,                                       # sibling page
             ]
             self.responses[page_url] = {
                 "status": 200, "location": None,
                 "content_type": "text/html; charset=utf-8",
-                "content_disposition": None, "content_length": 4096,
+                "content_disposition": None, "content_length": len(body),
                 "body_kind": "html", "image_id": None, "html_links": links,
+                "html_body": body,
             }
             self.responses[doc_url] = self._image_response(image_id)
         elif kind == 5:
@@ -126,17 +153,44 @@ class SyntheticWeb:
             resp["content_type"] = "application/octet-stream"
             resp["content_disposition"] = f'attachment; filename="{image_id}.png"'
             self.responses[page_url] = resp
-        else:
-            # page with only trap links -> no doc found
+        elif kind == 9 and pi % 3 == 0:
+            # header-less html page (N8 body-sniff path,
+            # ConnSupportUtils.detectContentTypeFromResponseBody :1171-1229)
+            body = f"""<html><body><div>
+<a href="/files/{pi}/fulltext.pdf">view item {pi}</a>
+</div></body></html>"""
+            self.responses[page_url] = {
+                "status": 200, "location": None, "content_type": None,
+                "content_disposition": None, "content_length": len(body),
+                "body_kind": "html", "image_id": None,
+                "html_links": [doc_url], "html_body": body,
+            }
+            self.responses[doc_url] = self._image_response(image_id)
+        elif kind == 9 and pi % 3 == 1:
+            # oversize html (N10 guard, HttpConnUtils.java:74)
             self.responses[page_url] = {
                 "status": 200, "location": None, "content_type": "text/html",
-                "content_disposition": None, "content_length": 2048,
+                "content_disposition": None, "content_length": 6 * 1024 * 1024,
+                "body_kind": "html", "image_id": None,
+                "html_links": [], "html_body": "<html><body>huge</body></html>",
+            }
+        else:
+            # page with only trap links -> no doc found
+            body = f"""<html><body>
+<a href="https://{host}/login">login</a>
+<a href="https://www.facebook.com/{host}">share</a>
+<a href="javascript:void(0)">open</a>
+</body></html>"""
+            self.responses[page_url] = {
+                "status": 200, "location": None, "content_type": "text/html",
+                "content_disposition": None, "content_length": len(body),
                 "body_kind": "html", "image_id": None,
                 "html_links": [
                     f"https://{host}/login",
                     f"https://www.facebook.com/{host}",
                     "javascript:void(0)",
                 ],
+                "html_body": body,
             }
         self.seeds.append((f"{host}::{pi:04d}", page_url))
 
@@ -173,6 +227,10 @@ class SyntheticWeb:
             "content_disposition string, content_length long, body_kind string, "
             "image_id string, html_links array<string>",
         )
+
+    def robots_df(self, spark):
+        rows = [(h, rules) for h, rules in sorted(self.robots.items())]
+        return spark.createDataFrame(rows, "domain string, disallow array<string>")
 
     def payloads_df(self, spark):
         rows = [

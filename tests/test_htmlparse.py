@@ -1,0 +1,128 @@
+"""Golden tests for G3-G8 HTML link extraction + G5 metadata regexes.
+
+HTML shapes derived from the reference's extraction rules
+(crawler/PageCrawler.java:394-651) and its test fixture style
+(src/test/.../TestLinkExtraction.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from publicationsretriever_spark.functions.htmlparse import (
+    extract_links_one,
+    extract_links_udf,
+    meta_access_restricted,
+    meta_doc_url,
+)
+
+PAGE = "https://host.org/article/1"
+
+
+def _links(html):
+    return extract_links_one(html, PAGE)
+
+
+def test_plain_links_gathered_with_structure():
+    html = """<html><body><div class="content">
+      <a href="/files/a.pdf">paper A</a>
+      <a href="https://host.org/article/2">next article</a>
+    </div></body></html>"""
+    out = _links(html)
+    # 'paper A' text is not a DOCUMENT_TEXT match ('paper' alone isn't in
+    # the regex) -> both links gathered as plain
+    assert [o["signal"] for o in out] == ["plain", "plain"]
+    assert out[0]["link"] == "https://host.org/files/a.pdf"
+    assert out[0]["structure"].startswith("a\ndiv_content\n")
+
+
+def test_document_text_short_circuits():
+    html = '<html><body><a href="/get/123">Download</a><a href="/x">other</a></body></html>'
+    out = _links(html)
+    assert len(out) == 1 and out[0]["signal"] == "docFound"
+    assert out[0]["link"] == "https://host.org/get/123"
+
+
+def test_non_valid_document_text_skips_element():
+    html = '<html><body><a href="/files/manual.pdf">user manual</a><a href="/y">y</a></body></html>'
+    out = _links(html)
+    assert [o["signal"] for o in out] == ["plain"]
+    assert out[0]["link"].endswith("/y")
+
+
+def test_footer_and_nav_class_links_rejected():
+    html = """<html><body>
+      <footer><a href="/contact-page">contact</a></footer>
+      <div class="breadcrumb"><a href="/crumb">crumb</a></div>
+      <div><a href="/keep">keep me</a></div>
+    </body></html>"""
+    out = _links(html)
+    assert [o["link"] for o in out] == ["https://host.org/keep"]
+
+
+def test_dynamic_link_blocks_domain():
+    html = '<html><body><a href="/page/{{id}}">templated</a></body></html>'
+    out = _links(html)
+    assert len(out) == 1 and out[0]["signal"] == "dynamic"
+
+
+def test_javascript_pdflink_extracted():
+    html = """<html><body><a href="javascript:pdflink('https://host.org/d.pdf' ,x)">x</a></body></html>"""
+    out = _links(html)
+    assert out[0]["signal"] == "docFound"
+    assert out[0]["link"] == "https://host.org/d.pdf"
+
+
+def test_link_type_pdf_element():
+    html = '<html><head><link href="/real.pdf" type="application/pdf"></head></html>'
+    out = _links(html)
+    assert out[0]["signal"] == "docFound" and out[0]["link"].endswith("/real.pdf")
+
+
+def test_form_action_doc_url():
+    html = '<html><body><form action="/article/download/55"><input/></form></body></html>'
+    out = _links(html)
+    assert out[0]["signal"] == "docFound"
+    assert out[0]["link"] == "https://host.org/article/download/55"
+
+
+def test_anchor_removed_from_doc_like_link():
+    html = '<html><body><a href="/files/b.pdf#page=2">b</a></body></html>'
+    out = _links(html)
+    assert out[0]["link"] == "https://host.org/files/b.pdf"
+
+
+def test_mailto_and_hash_links_dropped():
+    html = """<html><body><a href="mailto:x@y.org">mail</a>
+      <a href="#">top</a><a href="/">root</a></body></html>"""
+    assert _links(html) == []
+
+
+def test_udf_matches_pure_function(spark):
+    html = '<html><body><div><a href="/files/a.pdf">alpha beta</a></div></body></html>'
+    df = spark.createDataFrame([(html, PAGE)], ["html", "page_url"])
+    out = df.select(
+        extract_links_udf(F.col("html"), F.col("page_url")).alias("links")
+    ).collect()[0]["links"]
+    pure = extract_links_one(html, PAGE)
+    assert [(r["link"], r["signal"]) for r in out] == [
+        (r["link"], r["signal"]) for r in pure
+    ]
+
+
+def test_meta_doc_url_and_access(spark):
+    rows = [
+        ('<html><head><meta name="citation_pdf_url" content="https://h.org/p.pdf"/></head></html>',),
+        ('<html><head><meta content="https://h.org/q.pdf" name="citation_pdf_url"/></head></html>',),
+        ('<html><head><meta name="DC.Rights" content="restrictedAccess"/></head></html>',),
+        ("<html><head></head></html>",),
+    ]
+    df = spark.createDataFrame(rows, ["html"])
+    got = df.select(
+        meta_doc_url(F.col("html")).alias("doc"),
+        meta_access_restricted(F.col("html")).alias("restricted"),
+    ).collect()
+    assert got[0]["doc"] == "https://h.org/p.pdf"
+    assert got[1]["doc"] == "https://h.org/q.pdf"
+    assert got[2]["restricted"] is True
+    assert got[3]["doc"] is None and got[3]["restricted"] is False

@@ -1,0 +1,86 @@
+"""Tests for S1/S2 seed readers and A5-A7 stats/report operators."""
+
+from __future__ import annotations
+
+from publicationsretriever_spark.plans.stats import (
+    crawl_report,
+    domains_by_hits,
+    reject_reason_report,
+    should_check_remaining_links,
+)
+from publicationsretriever_spark.sources.seeds import (
+    read_id_url_pairs,
+    read_plain_urls,
+)
+
+
+def test_read_id_url_pairs(spark, tmp_path):
+    p = tmp_path / "seeds.json"
+    p.write_text(
+        '{"id":"a","url":"https://x.org/1"}\n'
+        '{"id":"a","url":"https://x.org/2"}\n'
+        '{"id":"a","url":"https://x.org/1"}\n'  # duplicate pair
+        '{"id":"b","url":"https://y.org/1"}\n'
+    )
+    rows = read_id_url_pairs(spark, str(p)).orderBy("order_in_id").collect()
+    assert [r["url"] for r in rows] == [
+        "https://x.org/1", "https://x.org/2", "https://x.org/1", "https://y.org/1",
+    ]
+    assert [r["is_duplicate_pair"] for r in rows] == [False, False, True, False]
+
+
+def test_read_plain_urls(spark, tmp_path):
+    p = tmp_path / "urls.csv"
+    p.write_text('url\n"https://x.org/1"\nhttps://y.org/2\n\n')
+    rows = read_plain_urls(spark, str(p), skip_first_row=True).orderBy(
+        "order_in_id"
+    ).collect()
+    assert [r["url"] for r in rows] == ["https://x.org/1", "https://y.org/2"]
+    assert all(r["id"] is None for r in rows)
+
+
+def _results_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, sourceUrl string, pageUrl string, docOrDatasetUrl string, "
+        "couldRetry string, error string",
+    )
+
+
+def test_crawl_report_and_reasons(spark):
+    rows = [
+        ("a", "https://x.org/1", "https://x.org/1", "https://x.org/d.pdf", "true", None),
+        ("b", "https://x.org/2", "null", "duplicate", "true", "duplicate url"),
+        ("c", "https://y.org/3", "null", "unreachable", "false", "Discarded: plain_domain"),
+        ("d", "https://y.org/4", "null", "unreachable", "false", "Discarded: plain_domain"),
+    ]
+    df = _results_df(spark, rows)
+    rep = {r["metric"]: r["value"] for r in crawl_report(df).collect()}
+    assert rep["total_records"] == 4
+    assert rep["doc_or_dataset_urls_found"] == 1
+    assert rep["doc_url_rate_pct"] == 25.0
+    reasons = {r["error"]: r["n"] for r in reject_reason_report(df).collect()}
+    assert reasons["Discarded: plain_domain"] == 2
+    doms = domains_by_hits(df).collect()
+    assert doms[0]["times"] == 2
+
+
+def test_remaining_links_kill_switch(spark):
+    # fewer than MIN_EVALUATIONS internal fetches -> stay enabled
+    few = _results_df(
+        spark,
+        [("a", "https://x.org/p", "https://x.org/other", "unreachable", "false", "x")] * 5,
+    )
+    assert should_check_remaining_links(few) is True
+    # many internal fetches, zero hits -> disable
+    many = _results_df(
+        spark,
+        [("a", "https://x.org/p", "https://x.org/other", "unreachable", "false", "x")] * 30,
+    )
+    assert should_check_remaining_links(many) is False
+    # healthy hit-rate -> keep
+    mixed_rows = (
+        [("a", "https://x.org/p", "https://x.org/q", "https://x.org/d.pdf", "true", None)] * 5
+        + [("a", "https://x.org/p", "https://x.org/q", "unreachable", "false", "x")] * 25
+    )
+    assert should_check_remaining_links(_results_df(spark, mixed_rows)) is True
