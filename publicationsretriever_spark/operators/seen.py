@@ -123,6 +123,46 @@ def anti_join_seen(frontier: DataFrame, seen: DataFrame, key_col: str = "url_has
     return frontier.join(seen.select(key_col), on=key_col, how="left_anti")
 
 
+def mark_seen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key_col: str = "url_hash",
+    seen_count: int | None = None,
+    bloom_threshold: int = 2_000_000,
+    fpp: float = 0.01,
+    out_col: str = "_seen",
+) -> DataFrame:
+    """One-shuffle variant of :func:`filter_unseen` that KEEPS both
+    sides: adds ``out_col`` (True = key present in ``seen``). The crawl
+    engine needs both partitions of the frontier (unseen -> fetch,
+    seen -> duplicate log, LoaderAndChecker.java:627-633), and a single
+    left join with a marker costs one shuffle where an anti-join plus a
+    semi-join would cost two over the same data.
+
+    Same bloom fast path as ``filter_unseen``: rows the broadcast sketch
+    proves unseen skip the exact join entirely (they can never be
+    duplicates — bloom has no false negatives)."""
+    if seen_count is None:
+        seen_count = seen.count()
+    marker = seen.select(key_col).withColumn(out_col, F.lit(True))
+
+    def exact(df: DataFrame) -> DataFrame:
+        j = df.join(marker, on=key_col, how="left")
+        return j.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+
+    if seen_count < bloom_threshold:
+        return exact(frontier)
+    sketch = build_bloom(seen, key_col, capacity=seen_count, fpp=fpp)
+    probed = probe_bloom(frontier, key_col, sketch)
+    definitely_new = (
+        probed.filter(~F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .withColumn(out_col, F.lit(False))
+    )
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(exact(maybe))
+
+
 def filter_unseen(
     frontier: DataFrame,
     seen: DataFrame,

@@ -34,6 +34,7 @@ Scale design (10^10 frontier):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -47,7 +48,7 @@ from ..functions import mime as M
 from ..functions import retry as R
 from ..functions import urls as U
 from ..operators.besturl import pick_best_url_per_id
-from ..operators.seen import filter_unseen
+from ..operators.seen import mark_seen
 from ..sources.synthetic_web import SyntheticWeb
 
 #: reference constants
@@ -254,14 +255,22 @@ class CrawlEngine:
 
         ok = staged.filter(F.col("reject_reason").isNull())
 
-        # in-round dedup (first occurrence by deterministic order) + J2
+        # in-round dedup (first occurrence by deterministic order) + J2.
+        # Cached: this window output fans out to BOTH the dup log and the
+        # survivor path — without the cache every downstream action would
+        # re-run the shuffle+sort (Spark shares no subplans across
+        # actions; see the fan-out caches below for the same reason).
+        _round_caches = [staged]
         w = Window.partitionBy("url_hash").orderBy("order_in_id", "id")
-        ok = ok.withColumn("_rn", F.row_number().over(w))
+        ok = ok.withColumn("_rn", F.row_number().over(w)).cache()
+        _round_caches.append(ok)
         in_round_dups = ok.filter(F.col("_rn") > 1)
         ok = ok.filter(F.col("_rn") == 1).drop("_rn")
         seen_count = state.metrics[-1]["seen_total"] if state.metrics else 0
-        unseen = filter_unseen(ok, state.seen, "url_hash", seen_count=seen_count)
-        cross_round_dups = ok.join(state.seen, "url_hash", "left_semi")
+        marked = mark_seen(ok, state.seen, "url_hash", seen_count=seen_count).cache()
+        _round_caches.append(marked)
+        unseen = marked.filter(~F.col("_seen")).drop("_seen")
+        cross_round_dups = marked.filter(F.col("_seen")).drop("_seen")
         dup_results = in_round_dups.drop("_rn").unionByName(cross_round_dups).select(
             F.col("id"), F.col("url").alias("sourceUrl"),
             F.lit("null").alias("pageUrl"),
@@ -300,7 +309,8 @@ class CrawlEngine:
             F.broadcast(prior_docs),
             picked["canon_url"] == prior_docs["_hit_url"],
             "left",
-        )
+        ).cache()  # fan-out: re-cross hits + the to-fetch remainder
+        _round_caches.append(crossed)
         recross_hits = crossed.filter(F.col("_orig_id").isNotNull())
         recross_results = recross_hits.select(
             F.col("id"), F.col("url").alias("sourceUrl"),
@@ -360,7 +370,9 @@ class CrawlEngine:
         )
         to_fetch = to_fetch.filter(~disallowed).drop("disallow")
         wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
-        to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq))
+        # fan-out: quota survivors -> fetch, excess -> next-round spill
+        to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq)).cache()
+        _round_caches.append(to_fetch)
         spill = to_fetch.filter(F.col("_hq") > self.host_quota).drop("_hq")
         to_fetch = to_fetch.filter(F.col("_hq") <= self.host_quota).drop("_hq")
 
@@ -409,64 +421,39 @@ class CrawlEngine:
             .otherwise("other"),
         )
 
-        # successes -> results + payload join
+        # doc/error/other fetch outcomes in ONE pass (a single select with
+        # when-chains instead of three branch plans — one scan of the
+        # cached fetch output instead of three, and a third of the plan
+        # surface for Catalyst to analyze per action)
         payload_meta = self.web.payloads_df(self.spark).select(
             "image_id", F.col("phash").alias("_phash"),
             F.length("bytes").alias("_fsize"),
         )
-        docs = classified.filter(F.col("category").isin("document", "dataset")).join(
-            F.broadcast(payload_meta), "image_id", "left"
-        )
-        doc_results = docs.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("url").alias("pageUrl"),
-            F.col("final_url").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("true").alias("wasDocumentOrDatasetAccessible"),
-            F.when(F.col("hops") == 0, "true").otherwise("false").alias("wasDirectLink"),
-            F.lit("true").alias("couldRetry"),
-            F.coalesce(F.col("_phash").cast("string"), F.lit("null")).alias("fileHash"),
-            F.coalesce(F.col("_fsize").cast("string"), F.lit("null")).alias("fileSize"),
-            F.coalesce(F.col("mime_res.plain_mime"), F.col("content_type"), F.lit("null")).alias("mimeType"),
-            F.coalesce(F.col("image_id"), F.lit("null")).alias("filePath"),
-            F.lit("null").alias("error"),
-            F.lit(round_no).alias("round"),
-        )
-
-        # errors -> N7 retry ladder
-        errors = classified.filter(F.col("category") == "error")
+        classified = classified.join(F.broadcast(payload_meta), "image_id", "left")
+        docs = classified.filter(F.col("category").isin("document", "dataset"))
+        is_doc = F.col("category").isin("document", "dataset")
+        is_err = F.col("category") == "error"
         err_struct = R.was_valid_and_could_retry(F.col("error_class"), F.col("final_url"))
-        error_results = errors.select(
+        fetch_results = classified.filter(
+            F.col("category").isin("document", "dataset", "error", "other")
+        ).select(
             F.col("id"), F.col("url").alias("sourceUrl"),
             F.col("url").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
+            F.when(is_doc, F.col("final_url")).otherwise("unreachable").alias("docOrDatasetUrl"),
             F.lit("true").alias("wasUrlChecked"),
-            err_struct["wasUrlValid"].alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            err_struct["couldRetry"].alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            err_struct["error_msg"].alias("error"),
-            F.lit(round_no).alias("round"),
-        )
-
-        # 'other' (non-doc non-page) -> unreachable
-        others = classified.filter(F.col("category") == "other")
-        other_results = others.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("url").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.lit("false").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.coalesce(F.col("content_type"), F.lit("null")).alias("mimeType"),
-            F.lit("null").alias("filePath"),
-            F.lit("not a document or page").alias("error"),
+            F.when(is_err, err_struct["wasUrlValid"]).otherwise("true").alias("wasUrlValid"),
+            F.when(is_doc, "true").otherwise("false").alias("wasDocumentOrDatasetAccessible"),
+            F.when(is_doc & (F.col("hops") == 0), "true").otherwise("false").alias("wasDirectLink"),
+            F.when(is_doc, "true").when(is_err, err_struct["couldRetry"]).otherwise("false").alias("couldRetry"),
+            F.when(is_doc, F.coalesce(F.col("_phash").cast("string"), F.lit("null"))).otherwise("null").alias("fileHash"),
+            F.when(is_doc, F.coalesce(F.col("_fsize").cast("string"), F.lit("null"))).otherwise("null").alias("fileSize"),
+            F.when(is_doc, F.coalesce(F.col("mime_res.plain_mime"), F.col("content_type"), F.lit("null")))
+            .when(is_err, "null")
+            .otherwise(F.coalesce(F.col("content_type"), F.lit("null"))).alias("mimeType"),
+            F.when(is_doc, F.coalesce(F.col("image_id"), F.lit("null"))).otherwise("null").alias("filePath"),
+            F.when(is_err, err_struct["error_msg"])
+            .when(is_doc, "null")
+            .otherwise("not a document or page").alias("error"),
             F.lit(round_no).alias("round"),
         )
 
@@ -482,45 +469,16 @@ class CrawlEngine:
             "_links", H.extract_links_udf(F.col("html_body"), F.col("final_url"))
         ).cache()
 
-        # restricted-access pages stop here (MetadataHandler.java:77-120)
-        restricted_results = pages.filter(F.col("_restricted")).select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("final_url").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.lit("false").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.lit("restricted access (meta rights)").alias("error"),
-            F.lit(round_no).alias("round"),
-        )
-        live = pages.filter(~F.col("_restricted"))
-
         # dynamic-link pages block their domain (F13,
         # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
         has_dynamic = F.exists("_links", lambda x: x["signal"] == "dynamic")
-        dynamic_pages = live.filter(has_dynamic)
-        dynamic_results = dynamic_pages.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("final_url").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.lit("true").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.lit("dynamic internal links").alias("error"),
-            F.lit(round_no).alias("round"),
-        )
+        dynamic_pages = pages.filter(~F.col("_restricted")).filter(has_dynamic)
         dynamic_blocked = dynamic_pages.select(
             U.top3_domain(U.domain_of(F.col("final_url"))).alias("domain")
         ).distinct()
-        live = live.filter(~has_dynamic)
+        # live pages continue into link extraction; restricted-access
+        # pages stop (MetadataHandler.java:77-120)
+        live = pages.filter(~F.col("_restricted")).filter(~has_dynamic)
 
         # candidates, ranked per G9: meta docUrl (rank 0) > docFound
         # signal (rank 1) > possible-doc links (<=5) > remaining (<=10)
@@ -565,7 +523,9 @@ class CrawlEngine:
             | (~F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS))
         ).drop("is_doc_like", "_lr")
 
-        links = meta_c.unionByName(doc_found).unionByName(plain)
+        # fan-out: next-round frontier + "page yielded nothing" anti-join
+        links = meta_c.unionByName(doc_found).unionByName(plain).cache()
+        _round_caches.append(links)
         next_frontier = links.select(
             F.col("id"),
             F.col("pos").cast("long").alias("order_in_id"),
@@ -579,11 +539,21 @@ class CrawlEngine:
         )
         next_frontier = next_frontier.unionByName(spill_frontier)
 
-        # pages that produced no accepted candidates -> "no doc url found"
-        page_results = live.join(
-            links.select("page_url").distinct(),
-            live["url"] == F.col("page_url"),
-            "left_anti",
+        # all page terminal outcomes in ONE pass over the cached pages:
+        # restricted (MetadataHandler stop), dynamic (domain trap), and
+        # "no accepted candidate links" -> one tagged select instead of
+        # three branch plans + an anti-join
+        linked = links.select("page_url").distinct().withColumn("_has_link", F.lit(True))
+        page_tagged = pages.join(
+            linked, pages["url"] == linked["page_url"], "left"
+        ).drop("page_url")
+        page_outcome = (
+            F.when(F.col("_restricted"), "restricted")
+            .when(has_dynamic, "dynamic")
+            .when(F.col("_has_link").isNull(), "nolink")
+        )
+        page_results = page_tagged.withColumn("_po", page_outcome).filter(
+            F.col("_po").isNotNull()
         ).select(
             F.col("id"), F.col("url").alias("sourceUrl"),
             F.col("final_url").alias("pageUrl"),
@@ -592,22 +562,20 @@ class CrawlEngine:
             F.lit("true").alias("wasUrlValid"),
             F.lit("false").alias("wasDocumentOrDatasetAccessible"),
             F.lit("false").alias("wasDirectLink"),
-            F.lit("false").alias("couldRetry"),
+            F.when(F.col("_po") == "dynamic", "true").otherwise("false").alias("couldRetry"),
             F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
             F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.lit("no docUrl found on page").alias("error"),
+            F.when(F.col("_po") == "restricted", "restricted access (meta rights)")
+            .when(F.col("_po") == "dynamic", "dynamic internal links")
+            .otherwise("no docUrl found on page").alias("error"),
             F.lit(round_no).alias("round"),
         )
 
         new_results = (
             reject_results.unionByName(dup_results)
             .unionByName(recross_results)
-            .unionByName(doc_results)
-            .unionByName(error_results)
-            .unionByName(other_results)
+            .unionByName(fetch_results)
             .unionByName(robots_results)
-            .unionByName(restricted_results)
-            .unionByName(dynamic_results)
             .unionByName(page_results)
         )
 
@@ -632,34 +600,6 @@ class CrawlEngine:
             .distinct()
         )
 
-        seen_total = new_seen.count()
-        # per-partition lineage (north rule): frontier offsets and
-        # fetch/error counters per host_bucket, seen cardinality.
-        frontier_by_bucket = {
-            str(r["host_bucket"]): r["count"]
-            for r in staged.groupBy("host_bucket").count().collect()
-        }
-        fetch_by_bucket = {
-            str(r["host_bucket"]): {"fetched": r["n"], "errors": r["errs"]}
-            for r in fetched.groupBy("host_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("error_class").isNotNull().cast("int")).alias("errs"),
-            )
-            .collect()
-        }
-        metrics = {
-            "round": round_no,
-            "frontier_in": staged.count(),
-            "rejected": rejected.count(),
-            "fetched": fetched.count(),
-            "results": new_results.count(),
-            "seen_total": seen_total,
-            "frontier_offsets": frontier_by_bucket,
-            "fetch_counters": fetch_by_bucket,
-        }
-        state.metrics.append(metrics)
-
         new_state = CrawlState(
             results=state.results.unionByName(new_results),
             seen=new_seen,
@@ -670,7 +610,53 @@ class CrawlEngine:
             ),
             metrics=state.metrics,
         )
-        return new_state, next_frontier
+
+        def finalize_metrics(seen_total: int, results_count: int) -> None:
+            """Append this round's lineage AFTER the round's tables have
+            been materialized (checkpoint/snapshot). Everything here
+            reads only the cached intermediates (one fused aggregation
+            per table), so metrics never force a recompute of the round
+            plan — the driver's action count per round stays minimal.
+
+            Per-partition lineage (north rule): frontier offsets and
+            fetch/error counters per host_bucket + seen cardinality."""
+            # ``results_count`` arrives CUMULATIVE (count of the
+            # materialized results table); the per-round delta falls out
+            # of the previous rounds' recorded deltas.
+            prev_total = sum(m["results"] for m in state.metrics)
+            staged_agg = (
+                staged.groupBy("host_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("reject_reason").isNotNull().cast("int")).alias("rej"),
+                )
+                .collect()
+            )
+            fetch_agg = (
+                fetched.groupBy("host_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("error_class").isNotNull().cast("int")).alias("errs"),
+                )
+                .collect()
+            )
+            state.metrics.append({
+                "round": round_no,
+                "frontier_in": sum(r["n"] for r in staged_agg),
+                "rejected": sum(r["rej"] or 0 for r in staged_agg),
+                "fetched": sum(r["n"] for r in fetch_agg),
+                "results": results_count - prev_total,
+                "seen_total": seen_total,
+                "frontier_offsets": {str(r["host_bucket"]): r["n"] for r in staged_agg},
+                "fetch_counters": {
+                    str(r["host_bucket"]): {"fetched": r["n"], "errors": r["errs"]}
+                    for r in fetch_agg
+                },
+            })
+            for df in _round_caches + [fetched, pages]:
+                df.unpersist()
+
+        return new_state, next_frontier, finalize_metrics
 
     def crawl(
         self,
@@ -708,14 +694,17 @@ class CrawlEngine:
         for rnd in range(start_round, max_rounds):
             if frontier.isEmpty():
                 break
-            state, frontier = self.run_round(state, frontier, rnd)
+            state, frontier, finalize = self.run_round(state, frontier, rnd)
             # LINEAGE TRUNCATION at the round boundary: without it each
             # round's plan nests the whole previous round's DAG and
             # analysis/codegen time grows super-linearly with rounds.
             # With a catalog the committed snapshot IS the cut (state is
             # re-read from the immutable files — exactly what a resumed
             # job would see); without one, localCheckpoint materializes
-            # to executor storage.
+            # to executor storage. Materialization happens BEFORE any
+            # metric is computed, so each round's plan executes exactly
+            # once; metrics then read only materialized tables and the
+            # cached intermediates (fused single-pass aggregates).
             if catalog is not None:
                 tables = {
                     "results": state.results,
@@ -725,10 +714,7 @@ class CrawlEngine:
                 }
                 if state.payloads is not None:
                     tables["payloads"] = state.payloads
-                catalog.commit(
-                    tables, rnd, {"rounds": state.metrics, "last": state.metrics[-1]}
-                )
-                _, loaded = catalog.load(self.spark)
+                snap_id, table_meta, loaded = catalog.write_tables(spark, tables)
                 state = CrawlState(
                     results=loaded["results"],
                     seen=loaded["seen"],
@@ -737,18 +723,53 @@ class CrawlEngine:
                     metrics=state.metrics,
                 )
                 frontier = loaded["frontier"]
+                finalize(
+                    seen_total=table_meta["seen"]["rows"],
+                    results_count=table_meta["results"]["rows"],
+                )
+                catalog.finish_commit(
+                    snap_id, table_meta, rnd,
+                    {"rounds": state.metrics, "last": state.metrics[-1]},
+                )
             else:
+                # the five truncations are independent Spark jobs over
+                # mostly-cached parents — run them concurrently (the
+                # scheduler interleaves their stages; wall time becomes
+                # max() instead of sum())
+                # results first and alone: it reads EVERY fan-out cache,
+                # so this one job materializes them; the remaining cuts
+                # then run concurrently against warm caches (running all
+                # five at once would race to compute the same cold cache
+                # partitions and duplicate the round's work per job)
+                cut = {"results": state.results.localCheckpoint(eager=True)}
+                to_cut = {
+                    "seen": state.seen,
+                    "blocked_domains": state.blocked_domains,
+                    "frontier": frontier,
+                }
+                if state.payloads is not None:
+                    to_cut["payloads"] = state.payloads
+                with ThreadPoolExecutor(max_workers=len(to_cut)) as pool:
+                    cut.update(
+                        zip(
+                            to_cut,
+                            pool.map(
+                                lambda df: df.localCheckpoint(eager=True),
+                                to_cut.values(),
+                            ),
+                        )
+                    )
                 state = CrawlState(
-                    results=state.results.localCheckpoint(eager=True),
-                    seen=state.seen.localCheckpoint(eager=True),
-                    blocked_domains=state.blocked_domains.localCheckpoint(eager=True),
-                    payloads=(
-                        state.payloads.localCheckpoint(eager=True)
-                        if state.payloads is not None
-                        else None
-                    ),
+                    results=cut["results"],
+                    seen=cut["seen"],
+                    blocked_domains=cut["blocked_domains"],
+                    payloads=cut.get("payloads"),
                     metrics=state.metrics,
                 )
-                frontier = frontier.localCheckpoint(eager=True)
+                frontier = cut["frontier"]
+                finalize(
+                    seen_total=state.seen.count(),
+                    results_count=state.results.count(),
+                )
         state.frontier = frontier
         return state

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,20 +57,37 @@ class SnapshotCatalog:
 
     # -- commit / load --------------------------------------------------------
 
-    def commit(
-        self,
-        tables: dict[str, DataFrame],
-        round_no: int,
-        lineage: dict,
-    ) -> str:
-        parent = self.latest()
+    def write_tables(
+        self, spark: SparkSession, tables: dict[str, DataFrame]
+    ) -> tuple[str, dict, dict[str, DataFrame]]:
+        """Phase 1: materialize every table as immutable data files.
+        Returns (snap_id, table_meta, read-back DataFrames). Row counts
+        come from the written parquet (footer metadata — no plan
+        recompute). The snapshot is INVISIBLE until ``finish_commit``
+        writes the manifest — an interrupted job leaves no half-commit
+        (same atomicity contract as an Iceberg metadata swap)."""
         snap_id = f"snap-{len(self.snapshots()):05d}"
         snap_dir = self.root / snap_id
-        table_meta = {}
-        for name, df in tables.items():
+
+        def write_one(item):
+            name, df = item
             path = snap_dir / name
             df.write.mode("overwrite").parquet(str(path))
-            table_meta[name] = {"path": str(path), "rows": df.count()}
+            back = spark.read.parquet(str(path))
+            return name, {"path": str(path), "rows": back.count()}, back
+
+        # independent write jobs -> run concurrently (wall = max, not sum)
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
+            written = list(pool.map(write_one, tables.items()))
+        table_meta = {n: meta for n, meta, _ in written}
+        loaded = {n: back for n, _, back in written}
+        return snap_id, table_meta, loaded
+
+    def finish_commit(
+        self, snap_id: str, table_meta: dict, round_no: int, lineage: dict
+    ) -> str:
+        """Phase 2: publish the snapshot (manifest = the atomic swap)."""
+        parent = self.latest()
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent["snapshot_id"] if parent else None,
@@ -78,8 +96,20 @@ class SnapshotCatalog:
             "tables": table_meta,
             "lineage": lineage,
         }
-        (snap_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+        (self.root / snap_id / "manifest.json").write_text(
+            json.dumps(manifest, indent=2)
+        )
         return snap_id
+
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        round_no: int,
+        lineage: dict,
+    ) -> str:
+        spark = next(iter(tables.values())).sparkSession
+        snap_id, table_meta, _ = self.write_tables(spark, tables)
+        return self.finish_commit(snap_id, table_meta, round_no, lineage)
 
     def load(
         self, spark: SparkSession, snapshot_id: str | None = None

@@ -87,6 +87,25 @@ def test_filter_unseen_equivalence(spark):
     assert len(exact) == 10_000 - len(range(0, 10_000, 3))
 
 
+def test_mark_seen_equivalence(spark):
+    """mark_seen (single-join marker, used by the round engine) must
+    split the frontier exactly like the anti-join/semi-join pair, on
+    both the exact path and the bloom-prefiltered path."""
+    from publicationsretriever_spark.operators.seen import mark_seen
+
+    frontier = spark.range(0, 10_000).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 7).alias("payload")
+    )
+    seen = spark.range(0, 10_000, 3).select(F.col("id").alias("url_hash"))
+    expect_seen = set(range(0, 10_000, 3))
+    for threshold in (10**9, 0):  # exact path / bloom path
+        marked = mark_seen(frontier, seen, bloom_threshold=threshold).collect()
+        got_seen = set(r["url_hash"] for r in marked if r["_seen"])
+        got_new = set(r["url_hash"] for r in marked if not r["_seen"])
+        assert got_seen == expect_seen
+        assert got_new == set(range(10_000)) - expect_seen
+
+
 def test_probe_bloom_definitely_new_is_correct(spark):
     seen = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
     sketch = build_bloom(seen, "url_hash", capacity=1000)
