@@ -1,0 +1,82 @@
+"""spark-submit entry point for the distributed crawl (north rule:
+"submitted via spark-submit --py-files ... resumable from checkpoint").
+
+The package ships as a zip on --py-files; this driver file is the
+application script. The SparkSession comes from spark-submit's conf
+(master/executors set by the cluster submit command), so the same job
+runs unmodified on local[N] or a 1000-executor cluster.
+
+Usage (cluster):
+
+    python tools/make_pyfiles.py build/publicationsretriever_spark.zip
+    spark-submit --py-files build/publicationsretriever_spark.zip \
+        jobs/crawl_job.py --catalog /shared/crawl-catalog \
+        --rounds 10 --hosts 500 --pages-max 50
+
+Resume after interruption (exact, from the last committed snapshot):
+
+    spark-submit --py-files build/publicationsretriever_spark.zip \
+        jobs/crawl_job.py --catalog /shared/crawl-catalog \
+        --rounds 10 --hosts 500 --pages-max 50 --resume
+
+In this sandbox the fetch surface is the deterministic synthetic web
+(sources/synthetic_web.py); on a real deployment the fetch mapInPandas
+UDF (plans/rounds.py) is the single place to swap in live HTTP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+# package may arrive via --py-files zip OR the repo checkout
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="distributed crawl job")
+    ap.add_argument("--catalog", required=True, help="snapshot catalog dir")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--hosts", type=int, default=50)
+    ap.add_argument("--pages-max", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--host-quota", type=int, default=50)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue exactly from the latest snapshot")
+    args = ap.parse_args()
+
+    from publicationsretriever_spark.plans.rounds import CrawlEngine
+    from publicationsretriever_spark.session import get_spark
+    from publicationsretriever_spark.sources.catalog import SnapshotCatalog
+    from publicationsretriever_spark.sources.synthetic_web import SyntheticWeb
+
+    spark = get_spark(app_name="publicationsretriever-crawl")
+    web = SyntheticWeb(
+        seed=args.seed, n_hosts=args.hosts, pages_per_host_max=args.pages_max
+    )
+    engine = CrawlEngine(
+        spark, web, num_buckets=args.buckets, host_quota=args.host_quota
+    )
+    catalog = SnapshotCatalog(args.catalog)
+    state = engine.crawl(
+        None if args.resume else web.seeds_df(spark),
+        max_rounds=args.rounds,
+        catalog=catalog,
+        resume=args.resume,
+    )
+    summary = {
+        "rounds_run": len(state.metrics),
+        "last_round": state.metrics[-1]["round"] if state.metrics else None,
+        "results_total": sum(m["results"] for m in state.metrics),
+        "seen_total": state.metrics[-1]["seen_total"] if state.metrics else 0,
+        "snapshots": [s["snapshot_id"] for s in catalog.snapshots()],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,103 @@ def should_check_remaining_links(results: DataFrame) -> bool:
         ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
     ).count()
     return (hits / evaluations) >= HIT_RATE_THRESHOLD
+
+
+class MlaGate:
+    """A8: the MLA success-rate gating state machine
+    (MachineLearning.shouldRunPrediction(),
+    machine_learning/MachineLearning.java:187-240; constants :35-40).
+
+    The reference evaluates this per page under a synchronized lock over
+    racy atomic counters. Here the same transitions run at ROUND
+    boundaries, fed by per-round aggregates (gathered/checked/found
+    deltas come from one groupBy over the round's results) — making the
+    learn -> run -> sleep -> restart cycle deterministic and resumable
+    (the whole state is five integers, stored in snapshot lineage).
+
+    Reference semantics preserved:
+    - learning period until > ``URLS_TO_GATHER_BEFORE_STARTING`` urls
+      gathered (:191-199);
+    - success-rate checkpoint every ``LEAST_URLS_BEFORE_ACCURACY_TEST``
+      MLA-stage pages (:216-220);
+    - rate = 100 * found_since_last_break / checked_since_last_break
+      (getCurrentSuccessRate, :174-177);
+    - rate < ``LEAST_SUCCESS_PCT`` -> sleep for
+      ``URLS_TO_WAIT_UNTIL_RESTART`` MLA-stage pages (:230-239), then
+      restart (:202-209).
+    """
+
+    URLS_TO_GATHER_BEFORE_STARTING = 5000   # MachineLearning.java:38
+    LEAST_URLS_BEFORE_ACCURACY_TEST = 1000  # :39
+    URLS_TO_WAIT_UNTIL_RESTART = 30000      # :40
+    LEAST_SUCCESS_PCT = 51.0                # :35
+
+    def __init__(self) -> None:
+        self.gathered = 0          # timesGatheredData
+        self.pages_reached = 0     # totalPagesReachedMLAStage
+        self.checked = 0           # pageUrlsCheckedWithMLA
+        self.found = 0             # docUrlsFoundByMLA
+        self.started = False       # mlaStarted
+        self.sleeping = False      # isInSleepMode
+        self.end_of_sleep = 0      # endOfSleepNumOfUrls
+        self.last_break = 0        # latestSuccessBreakPoint
+        self.last_checked = 0      # latestUrlsMLAChecked
+        self.last_found = 0        # latestMLADocUrlsFound
+        self.rates: list[float] = []  # successRateList
+
+    def observe_round(
+        self, gathered: int, pages_reached: int, checked: int, found: int
+    ) -> None:
+        """Fold one round's aggregate deltas into the counters."""
+        self.gathered += gathered
+        self.pages_reached += pages_reached
+        self.checked += checked
+        self.found += found
+
+    def current_success_rate(self) -> float:
+        denom = self.checked - self.last_checked
+        return 100.0 * (self.found - self.last_found) / denom if denom else 0.0
+
+    def should_run_prediction(self) -> bool:
+        if not self.started:
+            if self.gathered <= self.URLS_TO_GATHER_BEFORE_STARTING:
+                self.last_break = self.URLS_TO_GATHER_BEFORE_STARTING
+                return False
+            self.started = True
+        if self.sleeping:
+            if self.pages_reached > self.end_of_sleep:
+                self.sleeping = False
+                return True
+            return False
+        next_break = (
+            self.last_break + self.LEAST_URLS_BEFORE_ACCURACY_TEST + self.end_of_sleep
+        )
+        if self.pages_reached < next_break:
+            return True
+        rate = self.current_success_rate()
+        self.rates.append(rate)
+        if rate >= self.LEAST_SUCCESS_PCT:
+            self.end_of_sleep = 0
+            self.last_break = self.pages_reached
+            return True
+        self.end_of_sleep = self.pages_reached + self.URLS_TO_WAIT_UNTIL_RESTART
+        self.last_found = self.found
+        self.last_checked = self.checked
+        self.last_break += 1
+        self.sleeping = True
+        return False
+
+    def average_success_rate(self) -> float:
+        """getAverageSuccessRate (MachineLearning.java:356-369)."""
+        if not self.rates:
+            return self.current_success_rate()
+        return sum(sorted(self.rates)) / len(self.rates)
+
+    def to_lineage(self) -> dict:
+        return {k: v for k, v in self.__dict__.items()}
+
+    @classmethod
+    def from_lineage(cls, d: dict) -> "MlaGate":
+        g = cls()
+        g.__dict__.update(d)
+        return g

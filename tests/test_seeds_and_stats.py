@@ -84,3 +84,44 @@ def test_remaining_links_kill_switch(spark):
         + [("a", "https://x.org/p", "https://x.org/q", "unreachable", "false", "x")] * 25
     )
     assert should_check_remaining_links(_results_df(spark, mixed_rows)) is True
+
+
+def test_mla_gate_state_machine():
+    """A8 (MachineLearning.shouldRunPrediction, MachineLearning.java:187-240):
+    learn -> run -> sleep on low success-rate -> restart after the wait,
+    with the reference's constants; state round-trips through lineage."""
+    from publicationsretriever_spark.plans.stats import MlaGate
+
+    g = MlaGate()
+    # learning period: gate closed until >5000 urls gathered
+    assert not g.should_run_prediction()
+    g.observe_round(gathered=4000, pages_reached=0, checked=0, found=0)
+    assert not g.should_run_prediction()
+    g.observe_round(gathered=1001, pages_reached=0, checked=0, found=0)
+    assert g.should_run_prediction()
+
+    # below the next accuracy breakpoint it always runs
+    g.observe_round(0, pages_reached=5999, checked=100, found=10)
+    assert g.should_run_prediction()
+
+    # breakpoint reached with 40% (<51%) success -> sleep-mode
+    g.observe_round(0, pages_reached=200, checked=900, found=390)
+    assert not g.should_run_prediction()
+    assert g.sleeping
+    assert g.rates and g.rates[-1] == 40.0
+
+    # still sleeping until 30k more MLA-stage pages pass
+    g.observe_round(0, pages_reached=10_000, checked=0, found=0)
+    assert not g.should_run_prediction()
+    g.observe_round(0, pages_reached=25_000, checked=0, found=0)
+    assert g.should_run_prediction()
+    assert not g.sleeping
+
+    # high success-rate at the next breakpoint keeps it running
+    g.observe_round(0, pages_reached=40_000, checked=1000, found=800)
+    assert g.should_run_prediction()
+    assert g.rates[-1] == 80.0
+
+    # deterministic resume: lineage round-trip preserves behavior
+    g2 = MlaGate.from_lineage(g.to_lineage())
+    assert g2.__dict__ == g.__dict__
