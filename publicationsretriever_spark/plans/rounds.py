@@ -108,18 +108,26 @@ class CrawlEngine:
         self.num_buckets = num_buckets
         self.host_quota = host_quota
         self.battery = battery
-        # the synthetic web ships to executors once per job via closure
-        self._responses = web.responses
+        # the synthetic web ships to executors ONCE as a broadcast —
+        # captured in the closure it would be re-serialized into every
+        # task binary (tens of MB x thousands of tasks at bench scale)
+        self._responses_bc = spark.sparkContext.broadcast(web.responses)
+        # small dimension tables reused every round: build + cache once
+        self._robots_df = web.robots_df(spark).cache()
+        self._payload_meta = web.payloads_df(spark).select(
+            "image_id", F.col("phash").alias("_phash"),
+            F.length("bytes").alias("_fsize"),
+        ).cache()
 
     # ------------------------------------------------------------------
     # fetch stage: mapInPandas over host-bucketed partitions
     # ------------------------------------------------------------------
 
     def _fetch_udf(self):
-        responses = self._responses  # captured; ships once per task set
+        responses_bc = self._responses_bc  # broadcast handle (tiny)
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import numpy as np  # noqa: F401
+            responses = responses_bc.value  # one deserialize per executor
 
             # per-host virtual politeness clock: all rows of one host are
             # in this partition (host_bucket repartition), so the token
@@ -344,7 +352,7 @@ class CrawlEngine:
         # robots_rules(domain, disallow[]) joined on host; a fetch_url
         # whose path starts with a disallowed prefix is dropped with a
         # result row instead of fetched.
-        robots = self.web.robots_df(self.spark)
+        robots = self._robots_df
         to_fetch = to_fetch.join(
             F.broadcast(robots), to_fetch["top3"] == robots["domain"], "left"
         ).drop(robots["domain"])
@@ -425,10 +433,7 @@ class CrawlEngine:
         # when-chains instead of three branch plans — one scan of the
         # cached fetch output instead of three, and a third of the plan
         # surface for Catalyst to analyze per action)
-        payload_meta = self.web.payloads_df(self.spark).select(
-            "image_id", F.col("phash").alias("_phash"),
-            F.length("bytes").alias("_fsize"),
-        )
+        payload_meta = self._payload_meta
         classified = classified.join(F.broadcast(payload_meta), "image_id", "left")
         docs = classified.filter(F.col("category").isin("document", "dataset"))
         is_doc = F.col("category").isin("document", "dataset")
