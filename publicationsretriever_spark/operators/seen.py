@@ -119,8 +119,17 @@ def probe_bloom(df: DataFrame, key_col: str, sketch: BloomSketch, out_col: str =
 
 
 def anti_join_seen(frontier: DataFrame, seen: DataFrame, key_col: str = "url_hash") -> DataFrame:
-    """EXACT path: frontier rows whose key is NOT in ``seen``."""
-    return frontier.join(seen.select(key_col), on=key_col, how="left_anti")
+    """EXACT path: frontier rows whose key is NOT in ``seen``.
+
+    The seen side carries a ``shuffle_hash`` hint: it is the one table
+    that GROWS WITHOUT BOUND across rounds, so letting Spark's size
+    threshold auto-broadcast it is a trap — a driver-side collect of
+    millions of hashes serializes the round (measured: ~20%% of a
+    2M-URL round's wall) and eventually OOMs the driver at 10^10 scale.
+    A shuffled hash join stays executor-side at every size."""
+    return frontier.join(
+        seen.select(key_col).hint("shuffle_hash"), on=key_col, how="left_anti"
+    )
 
 
 def mark_seen(
@@ -144,7 +153,10 @@ def mark_seen(
     duplicates — bloom has no false negatives)."""
     if seen_count is None:
         seen_count = seen.count()
-    marker = seen.select(key_col).withColumn(out_col, F.lit(True))
+    # shuffle_hash hint: see anti_join_seen — the seen table must never
+    # be auto-broadcast (unbounded growth; driver-side collect
+    # serializes the round)
+    marker = seen.select(key_col).withColumn(out_col, F.lit(True)).hint("shuffle_hash")
 
     def exact(df: DataFrame) -> DataFrame:
         j = df.join(marker, on=key_col, how="left")

@@ -77,6 +77,30 @@ FETCH_OUT_SCHEMA = (
 )
 
 
+NOT_FOUND = {
+    "status": 404, "location": None, "content_type": None,
+    "content_disposition": None, "content_length": 0,
+    "body_kind": "error", "image_id": None, "html_links": [],
+}
+
+
+class _BroadcastResolver:
+    """Default fetch surface: a broadcast url->response table. Picklable
+    (only the broadcast handle travels); ``__call__`` builds the actual
+    resolve function executor-side."""
+
+    def __init__(self, responses_bc):
+        self._bc = responses_bc
+
+    def __call__(self):
+        responses = self._bc.value  # one deserialize per executor
+
+        def resolve(url: str) -> dict:
+            return responses.get(url) or NOT_FOUND
+
+        return resolve
+
+
 @dataclass
 class CrawlState:
     """The engine's catalog — every reference global hash-structure as a
@@ -108,10 +132,21 @@ class CrawlEngine:
         self.num_buckets = num_buckets
         self.host_quota = host_quota
         self.battery = battery
-        # the synthetic web ships to executors ONCE as a broadcast —
-        # captured in the closure it would be re-serialized into every
-        # task binary (tens of MB x thousands of tasks at bench scale)
-        self._responses_bc = spark.sparkContext.broadcast(web.responses)
+        # The fetch surface is pluggable: a web exposing
+        # ``resolver_factory()`` hands the executors a picklable factory
+        # (a live-HTTP client in production; a pure url->response
+        # function for web-scale synthetic runs — nothing shipped at
+        # all). Otherwise the materialized response table ships ONCE as
+        # a broadcast — captured in the closure it would be
+        # re-serialized into every task binary (tens of MB x thousands
+        # of tasks at bench scale).
+        factory = getattr(web, "resolver_factory", None)
+        if factory is not None:
+            self._make_resolver = factory()
+        else:
+            self._make_resolver = _BroadcastResolver(
+                spark.sparkContext.broadcast(web.responses)
+            )
         # small dimension tables reused every round: build + cache once
         self._robots_df = web.robots_df(spark).cache()
         self._payload_meta = web.payloads_df(spark).select(
@@ -124,22 +159,15 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _fetch_udf(self):
-        responses_bc = self._responses_bc  # broadcast handle (tiny)
+        make_resolver = self._make_resolver  # picklable factory (tiny)
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            responses = responses_bc.value  # one deserialize per executor
+            resolve = make_resolver()  # one construction per task
 
             # per-host virtual politeness clock: all rows of one host are
             # in this partition (host_bucket repartition), so the token
             # bucket is task-local (N5; no global lock).
             last_fetch_ms: dict[str, int] = {}
-
-            def resolve(url: str) -> dict:
-                return responses.get(url) or {
-                    "status": 404, "location": None, "content_type": None,
-                    "content_disposition": None, "content_length": 0,
-                    "body_kind": "error", "image_id": None, "html_links": [],
-                }
 
             for pdf in batches:
                 # deterministic order inside the task: (priority surrogate)

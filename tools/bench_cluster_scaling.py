@@ -128,7 +128,6 @@ def stop_cluster() -> None:
 
 
 def run_level(n_exec: int, n_urls: int, n_hosts: int, pages_max: int) -> dict:
-    os.environ["BENCH_EXEC_CORES"] = str(EXEC_CORES)
     out = sh(
         [
             f"{SPARK_HOME}/bin/spark-submit",

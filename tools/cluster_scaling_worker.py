@@ -36,15 +36,18 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def get_session(parallelism: int) -> SparkSession:
+    # Partitioning is FIXED across cluster sizes (and AQE coalescing is
+    # off) so both levels execute the identical set of tasks — only the
+    # concurrency differs. Otherwise the small level runs fewer, larger
+    # tasks and the comparison measures task-size effects, not scaling.
     spark = (
         SparkSession.builder.appName(f"cluster_scaling_{parallelism}")
         .config("spark.sql.shuffle.partitions", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
@@ -122,25 +125,39 @@ def run_load_stage(spark, n_urls: int, parts: int) -> dict:
         small.withColumn("depth", F.lit(0)).withColumn("kind", F.lit("seed")), 0
     ).filter(F.col("reject_reason").isNull()).count()
 
-    t0 = time.time()
-    n_sched = job()
-    wall = time.time() - t0
+    # best of 2: the host is shared (steal/turbo noise between runs)
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n_sched = job()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     return {
         "n_urls": n_urls,
         "load_wall_sec": round(wall, 2),
+        "load_walls_all": [round(w, 2) for w in walls],
         "scheduled": n_sched,
         "checked_urls_per_sec": round(n_urls / wall, 1),
     }
 
 
 def run_crawl(spark, n_hosts: int, pages_max: int, parts: int) -> dict:
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
     from publicationsretriever_spark.operators.multimodal import decode_image_metrics
     from publicationsretriever_spark.plans.rounds import CrawlEngine
-    from publicationsretriever_spark.sources.synthetic_web import SyntheticWeb
 
-    web = SyntheticWeb(seed=42, n_hosts=n_hosts, pages_per_host_max=pages_max)
+    # web-scale FUNCTIONAL web: responses recomputed from the URL on
+    # the executors (zero broadcast), so crawl rounds carry millions of
+    # URLs and the measured wall is executor work, not driver constants
+    spark.sparkContext.addPyFile(
+        str(Path(__file__).resolve().parent / "bigweb.py")
+    )
+    from bigweb import BigWeb
+
+    web = BigWeb(n_hosts=n_hosts, pages_per_host=pages_max, seed=42)
     engine = CrawlEngine(spark, web, num_buckets=parts, host_quota=10**9)
     seeds = web.seeds_df(spark).repartition(parts).cache()
     seeds.count()
@@ -182,8 +199,9 @@ def main() -> None:
 
     import os
 
-    exec_cores = int(os.environ.get("BENCH_EXEC_CORES", "2"))
-    parallelism = n_executors * exec_cores * 2  # executors x cores x 2 waves
+    # FIXED task count regardless of cluster size: both levels run the
+    # identical 32 tasks per stage; only concurrency differs.
+    parallelism = int(os.environ.get("BENCH_PARTITIONS", "32"))
     spark = get_session(parallelism)
     out = {"n_executors": n_executors, "parallelism": parallelism}
     if os.environ.get("BENCH_SKIP_LOAD") != "1":
