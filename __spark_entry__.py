@@ -640,8 +640,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "domain_block_rule": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bad_times,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS good_times,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS bad_times,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS good_times,
                    (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 10
                     AND NOT (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) + 10
                              >= sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)))
@@ -938,8 +938,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, event_id, value,
-                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,

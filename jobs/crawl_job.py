@@ -61,11 +61,21 @@ def main() -> int:
         spark, web, num_buckets=args.buckets, host_quota=args.host_quota
     )
     catalog = SnapshotCatalog(args.catalog)
+    resume = args.resume
+    if resume and catalog.latest() is None:
+        # --resume against a catalog with no committed snapshot (e.g. the
+        # first run died before round 0 published): fall back to a fresh
+        # crawl instead of a raw FileNotFoundError from catalog.load
+        print(
+            f"no committed snapshot under {args.catalog}; starting fresh",
+            file=sys.stderr,
+        )
+        resume = False
     state = engine.crawl(
-        None if args.resume else web.seeds_df(spark),
+        None if resume else web.seeds_df(spark),
         max_rounds=args.rounds,
         catalog=catalog,
-        resume=args.resume,
+        resume=resume,
     )
     summary = {
         "rounds_run": len(state.metrics),

@@ -155,8 +155,15 @@ def mark_seen(
         seen_count = seen.count()
     # shuffle_hash hint: see anti_join_seen — the seen table must never
     # be auto-broadcast (unbounded growth; driver-side collect
-    # serializes the round)
-    marker = seen.select(key_col).withColumn(out_col, F.lit(True)).hint("shuffle_hash")
+    # serializes the round). The marker is distinct'd so the left join
+    # matches anti/semi-join semantics even when the caller's seen table
+    # carries duplicate keys (a single-column distinct on data already
+    # being shuffled for the join is map-side-combined and near-free).
+    marker = (
+        seen.select(key_col).distinct()
+        .withColumn(out_col, F.lit(True))
+        .hint("shuffle_hash")
+    )
 
     def exact(df: DataFrame) -> DataFrame:
         j = df.join(marker, on=key_col, how="left")

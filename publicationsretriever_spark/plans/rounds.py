@@ -747,7 +747,9 @@ class CrawlEngine:
                 }
                 if state.payloads is not None:
                     tables["payloads"] = state.payloads
-                snap_id, table_meta, loaded = catalog.write_tables(spark, tables)
+                snap_id, table_meta, loaded = catalog.write_tables(
+                    spark, tables, warm_first="results"
+                )
                 state = CrawlState(
                     results=loaded["results"],
                     seen=loaded["seen"],

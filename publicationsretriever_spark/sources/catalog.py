@@ -17,6 +17,7 @@ code is identical either way.
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -49,7 +50,16 @@ class SnapshotCatalog:
         return sorted(self.root.glob("snap-*/manifest.json"))
 
     def snapshots(self) -> list[dict]:
-        return [json.loads(p.read_text()) for p in self._manifest_paths()]
+        out = []
+        for p in self._manifest_paths():
+            try:
+                out.append(json.loads(p.read_text()))
+            except json.JSONDecodeError:
+                # a truncated manifest (crash mid-publish before the
+                # atomic rename existed) must not poison every future
+                # load/resume — treat it as an uncommitted snapshot
+                continue
+        return out
 
     def latest(self) -> dict | None:
         snaps = self.snapshots()
@@ -58,7 +68,10 @@ class SnapshotCatalog:
     # -- commit / load --------------------------------------------------------
 
     def write_tables(
-        self, spark: SparkSession, tables: dict[str, DataFrame]
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        warm_first: str | None = None,
     ) -> tuple[str, dict, dict[str, DataFrame]]:
         """Phase 1: materialize every table as immutable data files.
         Returns (snap_id, table_meta, read-back DataFrames). Row counts
@@ -76,9 +89,20 @@ class SnapshotCatalog:
             back = spark.read.parquet(str(path))
             return name, {"path": str(path), "rows": back.count()}, back
 
+        # ``warm_first`` names the table whose plan reads every fan-out
+        # cache (the results union): write it ALONE first so one job
+        # materializes the cold caches, then the rest run concurrently
+        # against warm caches. Launching all writes at once would race
+        # to compute the same cold cache partitions, duplicating the
+        # round's work once per concurrent job.
+        written = []
+        rest = dict(tables)
+        if warm_first is not None and warm_first in rest:
+            written.append(write_one((warm_first, rest.pop(warm_first))))
         # independent write jobs -> run concurrently (wall = max, not sum)
-        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
-            written = list(pool.map(write_one, tables.items()))
+        if rest:
+            with ThreadPoolExecutor(max_workers=max(1, len(rest))) as pool:
+                written.extend(pool.map(write_one, rest.items()))
         table_meta = {n: meta for n, meta, _ in written}
         loaded = {n: back for n, _, back in written}
         return snap_id, table_meta, loaded
@@ -96,9 +120,13 @@ class SnapshotCatalog:
             "tables": table_meta,
             "lineage": lineage,
         }
-        (self.root / snap_id / "manifest.json").write_text(
-            json.dumps(manifest, indent=2)
-        )
+        # two-phase publish: write to a temp file, then atomic rename —
+        # a crash mid-write can never leave a truncated manifest behind
+        # (the Iceberg metadata-swap atomicity contract)
+        final = self.root / snap_id / "manifest.json"
+        tmp = final.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, final)
         return snap_id
 
     def commit(
