@@ -77,6 +77,16 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
         v.fetch_url[u] = r["fetch_url"]
         v.doc_like[u] = bool(r["dl"])
 
+    # top3 for canonical-form strings too (the engine derives the
+    # doc-url domain of a re-crossed row from its canon url)
+    canon_strs = sorted({c for c in v.canon.values() if c} - set(v.top3))
+    if canon_strs:
+        cdf = spark.createDataFrame([(c,) for c in canon_strs], ["url"])
+        for r in cdf.select(
+            "url", U.top3_domain(U.domain_of(F.col("url"))).alias("top3")
+        ).collect():
+            v.top3.setdefault(r["url"], r["top3"])
+
     # mime classification per response url (engine computes it on the
     # redirect-resolved final_url's response record)
     resp_urls = sorted(web.responses)
@@ -85,7 +95,7 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
             (u, web.responses[u]["content_type"], web.responses[u]["content_disposition"])
             for u in resp_urls
         ],
-        ["url", "ct", "cd"],
+        "url string, ct string, cd string",
     )
     mrows = rdf.select(
         "url", M.classify_mime(F.col("url"), F.col("ct"), F.col("cd"))["mime_category"].alias("mc")
@@ -105,12 +115,44 @@ def all_urls_of_web(web: SyntheticWeb) -> list[str]:
     return sorted(urls)
 
 
+#: A2/A3/A4 thresholds + exempt set — mirrors operators/blocking.py
+#: (ConnSupportUtils.java:84-92,902-909; HttpConnUtils.java:71;
+#: PageCrawler.java:52-53)
+EXEMPT_DOMAINS = {"zenodo.org", "doi.org", "dx.doi.org"}
+COUNTER_THRESHOLDS = {
+    "n5xx": 10, "n_timeout": 25, "n_notype": 10, "n_notdocnorpage": 10,
+    "n_nodocurls": 100, "n_nolinks": 200,
+}
+THRESH_403_PATH = 10
+THRESH_BLOCKED_PATHS_PER_DOMAIN = 50
+
+#: HttpConnUtils.ENDING_WITH_SLASH_OR_EXTENSION_FILTER (:83)
+import re as _re_mod  # noqa: E402
+
+ENDING_WITH_SLASH_OR_EXTENSION = _re_mod.compile(
+    r".*(?:(?:/|\.[^.?&/_-]{1,7})(?:\?.+)?|\?.+)$"
+)
+
+
+def dir_path(url: str) -> str:
+    """UrlUtils.getPathStr — prefix up to and incl. the last '/'."""
+    i = url.rfind("/")
+    return url[: i + 1] if i >= 0 else ""
+
+
 @dataclass
 class OracleState:
     results: list[dict] = field(default_factory=list)
     seen: set[int] = field(default_factory=set)
     blocked: set[str] = field(default_factory=set)
     order_log: list[tuple] = field(default_factory=list)
+    # cumulative A2/A3 counters (round-granular, like the engine)
+    dom_counts: dict = field(default_factory=dict)   # domain -> counter dict
+    path_counts: dict = field(default_factory=dict)  # (domain, path) -> n403
+    blocked_paths: set = field(default_factory=set)  # (domain, path)
+    # P11: learned offline-redirect domains (HttpConnUtils.java:613-623)
+    https_domains: set = field(default_factory=set)
+    slash_domains: set = field(default_factory=set)
 
 
 def crawl_oracle(
@@ -143,9 +185,11 @@ def crawl_oracle(
         staged = []
         for row in frontier:
             u = row["url"]
+            # gate follows the row KIND (seeds/redirects: page battery,
+            # internal links: link battery) — mirrors prepare_frontier
             reject = (
-                "domain_unretrievable" if v.top3.get(u) is None and v.canon.get(u) is None and v.page_reject.get(u) is None and v.link_reject.get(u) is None
-                else (v.page_reject[u] if rnd == 0 else v.link_reject[u])
+                v.link_reject[u] if row["kind"] == "internal"
+                else v.page_reject[u]
             )
             # engine order: domain gate first, then battery
             if v.top3.get(u) is None:
@@ -202,7 +246,21 @@ def crawl_oracle(
                 picked.append(best)
         else:
             picked = unseen
-        # re-cross vs prior results (min-id owner)
+        # round-delta A2/A3 counters (merged + evaluated at round end,
+        # mirroring the engine's round-granular blocking)
+        rd_dom: dict[str, dict] = {}
+        rd_path: dict[tuple, int] = {}
+
+        def bump(domain, counter, by=1):
+            if domain is None:
+                return
+            rd_dom.setdefault(domain, {})[counter] = (
+                rd_dom.get(domain, {}).get(counter, 0) + by
+            )
+
+        # re-cross vs prior results (min-id owner); each re-crossed row
+        # is an output docUrl row: +1 good for page AND doc domains
+        # (UrlUtils.java:113-119 via handleReCrossedTargetUrl)
         prior: dict[str, str] = {}
         for res in st.results:
             d = res["docOrDatasetUrl"]
@@ -213,13 +271,19 @@ def crawl_oracle(
         for r in picked:
             if r["canon"] in prior:
                 emit(rnd, r["id"], r["url"], r["canon"], None)
+                bump(r["top3"], "good")
+                bump(v.top3.get(r["canon"]), "good")
             else:
                 to_fetch.append(r)
-        # blacklist + robots + quota
+        # gate ladder in engine order: blacklist (silent) -> 403-path ->
+        # robots -> quota
         to_fetch = [r for r in to_fetch if r["top3"] not in st.blocked]
         allowed = []
         for r in to_fetch:
             fetch_u = v.fetch_url.get(r["url"], r["canon"])
+            if (r["top3"], dir_path(fetch_u or "")) in st.blocked_paths:
+                emit(rnd, r["id"], r["url"], "unreachable", "path 403-blacklisted")
+                continue
             import re as _re2
             pth = _re2.sub(r"^https?://[^/]*", "", fetch_u or "")
             rules = web.robots.get(r["top3"], [])
@@ -236,34 +300,72 @@ def crawl_oracle(
             rows.sort(key=lambda r: (0, r["hash"]))  # priority const, url_hash
             fetch_now.extend(rows[:host_quota])
             spill.extend(rows[host_quota:])
+        # spilled rows are NOT yet checked: their hashes must stay out of
+        # the seen set so the re-entry next round is fetchable
+        for r in spill:
+            new_seen.discard(r["hash"])
         # fetch: deterministic order (host, url_hash)
         fetch_now.sort(key=lambda r: (r["top3"], r["hash"]))
-        host_errors: dict[str, int] = {}
         next_frontier = [
             {"id": r["id"], "order_in_id": r["order_in_id"], "url": r["url"],
              "depth": r["depth"], "kind": r["kind"]}
             for r in spill
         ]
+        rd_https: set = set()
+        rd_slash: set = set()
         for r in fetch_now:
             st.order_log.append((rnd, r["top3"], r["hash"]))
             max_hops = MAX_PAGE_REDIRECTS if r["kind"] in ("seed", "redirect") else MAX_LINK_REDIRECTS
-            url = v.fetch_url[r["url"]] if r["url"] in v.fetch_url else r["canon"]
             url = v.fetch_url.get(r["url"], r["canon"])
+            # P11 apply: offline https/slash rewrite from PRIOR rounds'
+            # learned flags (HttpConnUtils.java:326-334)
+            if r["top3"] in st.https_domains and url.startswith("http://"):
+                url = "https://" + url[7:]
+            if (
+                r["top3"] in st.slash_domains
+                and not ENDING_WITH_SLASH_OR_EXTENSION.fullmatch(url)
+            ):
+                url += "/"
             hops = 0
             resp = web.resolve(url)
             while resp["status"] in (301, 302, 303, 307, 308) and resp["location"] and hops < max_hops:
+                loc = resp["location"]
+                # P11 learn: protocol-only / slash-only hop -> target domain
+                if (
+                    url.startswith("http://") and loc.startswith("https://")
+                    and url[7:] == loc[8:]
+                ):
+                    rd_https.add(v.top3.get(loc))
+                if not url.endswith("/") and loc == url + "/":
+                    rd_slash.add(v.top3.get(loc))
                 hops += 1
-                url = resp["location"]
+                url = loc
                 resp = web.resolve(url)
             if xxh(url) is not None:
                 new_seen.add(xxh(url))
-            if resp["status"] in (301, 302, 303, 307, 308):
+            status = resp["status"]
+            # handle.net 500 -> 404 (ConnSupportUtils.java:642-645)
+            if status == 500 and "handle.net" in (r["top3"] or ""):
+                status = 404
+            if status in (301, 302, 303, 307, 308):
                 emit(rnd, r["id"], r["url"], "unreachable", "redirect_limit")
                 continue
-            if resp["status"] != 200:
-                key = "conn_timeout" if resp["status"] == -1 else f"http_{resp['status']}"
-                if resp["status"] == -1 or 500 <= resp["status"] <= 599:
-                    host_errors[r["top3"]] = host_errors.get(r["top3"], 0) + 1
+            if status != 200:
+                if status == -1:
+                    key = "conn_timeout"
+                    bump(r["top3"], "n_timeout")
+                elif 400 <= status <= 599:
+                    key = f"http_{status}"
+                    if 500 <= status <= 599 and status != 503:
+                        bump(r["top3"], "n5xx")
+                    if status == 403:
+                        pk = (r["top3"], dir_path(url))
+                        rd_path[pk] = rd_path.get(pk, 0) + 1
+                else:
+                    # not 2XX/3XX/4XX/5XX: immediate block, no counting,
+                    # no exemption (ConnSupportUtils.java:693-705)
+                    key = "unknown_code"
+                    st.blocked.add(r["top3"])
                 emit(rnd, r["id"], r["url"], "unreachable", key)
                 continue
             # N8 sniff (mirrors the engine's fetch UDF)
@@ -286,6 +388,10 @@ def crawl_oracle(
                 cat = "document"
             if cat in ("document", "dataset"):
                 emit(rnd, r["id"], r["url"], url, None)
+                # +1 good for page domain and doc-url domain
+                # (UrlUtils.java:113-119)
+                bump(r["top3"], "good")
+                bump(v.top3.get(url), "good")
                 continue
             ct = sniffed_ct or ""
             if "html" in ct.lower():
@@ -336,6 +442,9 @@ def crawl_oracle(
                         candidates.append((p, l))
                 if not candidates:
                     emit(rnd, r["id"], r["url"], "unreachable", "no docUrl found on page")
+                    # PageCrawler counters :314,369 — zero extracted links
+                    # vs links-but-none-accepted
+                    bump(r["top3"], "n_nolinks" if not extracted else "n_nodocurls")
                 else:
                     for p, l in candidates:
                         next_frontier.append(
@@ -344,9 +453,40 @@ def crawl_oracle(
                         )
             else:
                 emit(rnd, r["id"], r["url"], "unreachable", "not a document or page")
+                if sniffed_ct is None and resp["content_disposition"] is None:
+                    bump(r["top3"], "n_notype")
+                else:
+                    bump(r["top3"], "n_notdocnorpage")
         st.seen |= new_seen
-        for host, n in host_errors.items():
-            if n > 10:
-                st.blocked.add(host)
+        st.https_domains |= {d for d in rd_https if d}
+        st.slash_domains |= {d for d in rd_slash if d}
+        # round boundary: merge counter deltas, then evaluate the exact
+        # A2/A3 rules over the CUMULATIVE counters (latched blocks) —
+        # operators/blocking.py has the citations
+        for dom, counters in rd_dom.items():
+            cum = st.dom_counts.setdefault(dom, {})
+            for k, n in counters.items():
+                cum[k] = cum.get(k, 0) + n
+        for pk, n in rd_path.items():
+            st.path_counts[pk] = st.path_counts.get(pk, 0) + n
+        for (dom, pth), n in st.path_counts.items():
+            if n > THRESH_403_PATH:
+                st.blocked_paths.add((dom, pth))
+        paths_per_dom: dict[str, int] = {}
+        for dom, _pth in st.blocked_paths:
+            paths_per_dom[dom] = paths_per_dom.get(dom, 0) + 1
+        for dom, n in paths_per_dom.items():
+            if n > THRESH_BLOCKED_PATHS_PER_DOMAIN and dom not in EXEMPT_DOMAINS:
+                st.blocked.add(dom)
+        for dom, cum in st.dom_counts.items():
+            if dom in EXEMPT_DOMAINS:
+                continue
+            good = cum.get("good", 0)
+            for counter, n in COUNTER_THRESHOLDS.items():
+                bad = cum.get(counter, 0)
+                # countAndBlockDomainAfterTimes: bad > N and NOT(bad <= good+N)
+                if bad > n and not (bad <= good + n):
+                    st.blocked.add(dom)
+                    break
         frontier = next_frontier
     return st

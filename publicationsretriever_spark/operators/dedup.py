@@ -98,25 +98,70 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
-    |A ∩ B| via shingle join, |A ∪ B| = |A|+|B|-∩. For corpora where
-    common shingles explode the join, run after an LSH prefilter."""
+    """EXACT n-gram Jaccard >= threshold via PREFIX FILTERING (the
+    All-Pairs/PPJoin technique): order every document's shingles by
+    global rarity (doc-frequency asc, shingle asc — a canonical total
+    order), and self-join only each document's PREFIX of length
+    |A| - ceil(t*|A|) + 1.
+
+    Exactness: if J(A,B) >= t, let c be the smallest common shingle in
+    the canonical order. Were c outside A's prefix, A would have
+    >= |A| - ceil(t|A|) + 1 shingles smaller than c and (c minimal)
+    none of them in B, so |A∩B| <= ceil(t|A|) - 1 < t|A| <= t|A∪B| —
+    contradiction. Hence c sits in BOTH prefixes and the prefix-prefix
+    join finds every qualifying pair; false candidates are removed by
+    the exact array_intersect score.
+
+    Scale: the join key is a RARE shingle by construction (prefixes are
+    the lowest-doc-frequency shingles), so no quadratic bucket can form
+    from boilerplate like "of the university of" — the failure mode of
+    the naive all-shingle self-join. Everything is JVM-side (explode /
+    groupBy / array_sort / array_intersect); exact intersections are
+    computed per candidate pair from the docs' sorted shingle arrays,
+    never by re-joining the full shingle table.
+    """
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    # per-doc shingle array in canonical (rarity, shingle) order
+    sets = (
+        sh.join(freq, "sh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df_sh", "sh"))).alias("ss"))
+        .select(
+            F.col(id_col),
+            F.transform("ss", lambda s: s["sh"]).alias("shs"),
+            F.size("ss").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pref = sets.select(
+        F.col(id_col), F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(b, "sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.round(

@@ -2,13 +2,13 @@
 
 One ROUND = one Spark job over the current frontier slice:
 
-  frontier -> domain gate -> blacklist anti-join -> filter battery ->
-  clean/canonicalize/hash -> in-round dedup + seen anti-join (J2) ->
-  best-url-per-id (J4, seeds) -> re-cross broadcast join (J3) ->
-  special rewrite (P9) -> host-bucket repartition + quota (N5) ->
+  frontier -> filter battery -> clean/canonicalize/hash ->
+  in-round dedup + seen mark (J2) -> best-url-per-id (J4, seeds) ->
+  re-cross broadcast join (J3) -> special rewrite (P9) ->
+  blacklist / 403-path (F16, A3) / robots gates -> host quota (N5) ->
   fetch mapInPandas (N1-N13, token-bucket politeness, redirect hops) ->
   classify (N9) -> split(results | pages) -> link gate (F15) + caps ->
-  new frontier rows -> state merge = one committed snapshot.
+  new frontier rows -> DELTA state commit = one snapshot.
 
 This replaces the reference's per-record virtual-thread pipeline
 (LoaderAndChecker.loadAndCheckIdUrlPairs, util/url/LoaderAndChecker.java:156-300
@@ -20,23 +20,41 @@ racy cross-thread updates (e.g. countInsertAndGetTimes,
 ConnSupportUtils.java:947-957) become per-round aggregates.
 
 Scale design (10^10 frontier):
-- frontier partitioned by host_bucket: all URLs of a top-3-domain live
-  in ONE task -> politeness needs no locks (replaces the per-domain
-  mutex, util/http/DomainConnectionData.java:13).
+
+- **Politeness without locks**: the per-host quota window shuffles the
+  schedulable frontier by its partition key (top3-domain), so every
+  host's rows land in ONE task — the fetch stage runs directly on that
+  partitioning (no second repartition) and rate-limiting is a
+  task-local token bucket (replaces the per-domain mutex,
+  util/http/DomainConnectionData.java:13). Fetch parallelism therefore
+  scales with ``spark.sql.shuffle.partitions``, not a fixed bucket
+  count.
 - per-round per-host quota caps hot hosts; excess rows spill to the
   next round (kills zipf-head skew; the reference instead serializes
   threads on the domain lock).
-- seen-check = bloom prefilter + exact anti-join (operators/seen.py).
-- re-cross and domain_state joins are broadcast by construction
-  (#domains << #urls).
-- all counters are groupBy aggregates merged into domain_state.
+- **DELTA state**: results/seen/payloads are APPEND-ONLY — each round
+  materializes only its delta (localCheckpoint or catalog append) and
+  the cumulative table is the union of immutable parts, compacted
+  every ``compact_every`` rounds. The seen deltas are exact-unique and
+  pairwise disjoint by construction (the round's unseen survivors plus
+  redirect-final hashes anti-joined against everything prior), so the
+  union IS a set — no O(cumulative) distinct + rewrite per round.
+- seen-check = bloom prefilter + exact join (operators/seen.py).
+- re-cross, domain_state and robots joins are broadcast by
+  construction (#domains << #urls).
+- all counters are groupBy aggregates merged into dimension tables
+  (operators/blocking.py — the reference-exact A2/A3/A4 rules).
+- ONE metrics job per round (a union of tagged aggregates over warm
+  caches + materialized deltas) carries the per-partition lineage AND
+  the next-frontier count, so the driver never runs isEmpty()/count()
+  probe jobs between rounds.
 """
 
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -47,6 +65,7 @@ from ..functions import htmlparse as H
 from ..functions import mime as M
 from ..functions import retry as R
 from ..functions import urls as U
+from ..operators import blocking as B
 from ..operators.besturl import pick_best_url_per_id
 from ..operators.seen import mark_seen
 from ..sources.synthetic_web import SyntheticWeb
@@ -73,8 +92,14 @@ FETCH_OUT_SCHEMA = (
     "final_url string, status int, hops int, error_class string, "
     "content_type string, content_disposition string, content_length long, "
     "body_kind string, image_id string, html_body string, "
-    "planned_fetch_ms long"
+    "planned_fetch_ms long, learned_https_url string, learned_slash_url string"
 )
+
+#: HttpConnUtils.ENDING_WITH_SLASH_OR_EXTENSION_FILTER (:83) — urls NOT
+#: matching this get the offline slash-redirect applied (:331-334)
+ENDING_WITH_SLASH_OR_EXTENSION = r".*(?:(?:/|\.[^.?&/_-]{1,7})(?:\?.+)?|\?.+)$"
+
+DOMAIN_FLAGS_SCHEMA = "domain string, https_ok boolean, slash_ok boolean"
 
 
 NOT_FOUND = {
@@ -104,18 +129,48 @@ class _BroadcastResolver:
 @dataclass
 class CrawlState:
     """The engine's catalog — every reference global hash-structure as a
-    DataFrame (SURVEY.md §1.3)."""
+    DataFrame (SURVEY.md §1.3). ``results``/``seen``/``payloads`` are
+    cumulative views over immutable per-round delta parts."""
 
     results: DataFrame
-    seen: DataFrame            # url_hash long
-    blocked_domains: DataFrame  # domain string
+    seen: DataFrame                       # url_hash long (exact set)
+    blocked_domains: DataFrame            # domain string (latched)
     frontier: DataFrame | None = None
     payloads: DataFrame | None = None
+    domain_counts: DataFrame | None = None  # blocking.DOMAIN_COUNTS_SCHEMA
+    path_counts: DataFrame | None = None    # blocking.PATH_COUNTS_SCHEMA
+    blocked_paths: DataFrame | None = None  # domain string, path string
+    domain_flags: DataFrame | None = None   # DOMAIN_FLAGS_SCHEMA (P11)
+    order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
     metrics: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class RoundOutput:
+    """What one round hands back to the crawl loop: append-only deltas,
+    small dimension tables rebuilt in full, the next frontier, the
+    round's single fused metrics plan, and a finalizer that ingests the
+    collected metric rows + releases the round's caches."""
+
+    deltas: dict[str, DataFrame]   # results, seen, payloads (disjoint appends)
+    fulls: dict[str, DataFrame]    # blocked_domains/paths, domain/path_counts
+    next_frontier: DataFrame
+    metrics_df: DataFrame          # (_t, host_bucket, n, x) tagged aggregates
+    finalize: Callable[[list, dict], None]
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
+
+
+def _count_row(df: DataFrame, tag: str) -> DataFrame:
+    """One (tag, null, count, 0) row — unions into the fused metrics job."""
+    return df.groupBy().agg(
+        F.lit(tag).alias("_t"),
+        F.lit(None).cast("int").alias("host_bucket"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("long").alias("x"),
+    ).select("_t", "host_bucket", "n", "x")
 
 
 class CrawlEngine:
@@ -123,15 +178,29 @@ class CrawlEngine:
         self,
         spark: SparkSession,
         web: SyntheticWeb,
-        num_buckets: int = 32,
+        num_buckets: int | None = None,
         host_quota: int = 50,
         battery: FL.FilterBattery = FL.DEFAULT_BATTERY,
+        compact_every: int = 8,
+        record_order: bool = False,
     ):
         self.spark = spark
         self.web = web
-        self.num_buckets = num_buckets
+        # record_order=True keeps a per-round fetch log
+        # (round, host, url_hash, planned_fetch_ms) for crawl-order
+        # conformance vs the sequential oracle (BASELINE.md criterion)
+        self.record_order = record_order
+        # host_bucket is a lineage/bucketing key only (metrics,
+        # Iceberg bucket(N, host)); FETCH parallelism follows the quota
+        # window's shuffle (spark.sql.shuffle.partitions) — so scale the
+        # bucket count with the session's parallelism rather than fixing
+        # a constant that under-resolves lineage at 1000 executors.
+        self.num_buckets = num_buckets or max(
+            32, 4 * spark.sparkContext.defaultParallelism
+        )
         self.host_quota = host_quota
         self.battery = battery
+        self.compact_every = compact_every
         # The fetch surface is pluggable: a web exposing
         # ``resolver_factory()`` hands the executors a picklable factory
         # (a live-HTTP client in production; a pure url->response
@@ -155,7 +224,7 @@ class CrawlEngine:
         ).cache()
 
     # ------------------------------------------------------------------
-    # fetch stage: mapInPandas over host-bucketed partitions
+    # fetch stage: mapInPandas over host-partitioned input
     # ------------------------------------------------------------------
 
     def _fetch_udf(self):
@@ -164,20 +233,21 @@ class CrawlEngine:
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             resolve = make_resolver()  # one construction per task
 
-            # per-host virtual politeness clock: all rows of one host are
-            # in this partition (host_bucket repartition), so the token
-            # bucket is task-local (N5; no global lock).
+            # per-host virtual politeness clock: ALL rows of one host are
+            # in this partition (the quota window shuffled by top3), so
+            # the token bucket is task-local (N5; no global lock). Rows
+            # arrive sorted by (host, url_hash) — sortWithinPartitions
+            # upstream — so the slot order is a deterministic total
+            # order even across arrow batch boundaries.
             last_fetch_ms: dict[str, int] = {}
 
             for pdf in batches:
-                # deterministic order inside the task: (priority surrogate)
-                pdf = pdf.sort_values(["host", "url_hash"], kind="mergesort")
                 out_rows = []
                 for row in pdf.itertuples(index=False):
                     host = row.host or ""
-                    t = last_fetch_ms.get(host, 0)
-                    planned = t + POLITENESS_MS if t else 0
-                    last_fetch_ms[host] = planned if planned else POLITENESS_MS
+                    t = last_fetch_ms.get(host)
+                    planned = 0 if t is None else t + POLITENESS_MS
+                    last_fetch_ms[host] = planned
 
                     max_hops = (
                         MAX_PAGE_REDIRECTS if row.kind in ("seed", "redirect")
@@ -185,22 +255,43 @@ class CrawlEngine:
                     )
                     url = row.fetch_url
                     hops = 0
+                    learned_https_url = learned_slash_url = None
                     resp = resolve(url)
                     while resp["status"] in (301, 302, 303, 307, 308):
                         loc = resp["location"]
                         if loc is None or hops >= max_hops:
                             break
+                        # P11 learning (HttpConnUtils.java:613-623): a
+                        # protocol-only or slash-only hop marks the
+                        # TARGET domain for offline rewriting next round
+                        if (
+                            url.startswith("http://")
+                            and loc.startswith("https://")
+                            and url[7:] == loc[8:]
+                        ):
+                            learned_https_url = loc
+                        if not url.endswith("/") and loc == url + "/":
+                            learned_slash_url = loc
                         hops += 1
                         url = loc
                         resp = resolve(url)
-                    if resp["status"] in (301, 302, 303, 307, 308):
+                    status = resp["status"]
+                    # handle.net returns 500 where it means 404
+                    # (ConnSupportUtils.java:642-645)
+                    if status == 500 and "handle.net" in (host or ""):
+                        status = 404
+                    if status in (301, 302, 303, 307, 308):
                         error_class = "redirect_limit"
-                    elif resp["status"] == 200:
+                    elif status == 200:
                         error_class = None
-                    elif resp["status"] == -1:
+                    elif status == -1:
                         error_class = "conn_timeout"
+                    elif 400 <= status <= 599:
+                        error_class = f"http_{status}"
                     else:
-                        error_class = f"http_{resp['status']}"
+                        # not 2XX/3XX/4XX/5XX: the reference blacklists
+                        # the domain immediately (ConnSupportUtils.java:693-705)
+                        error_class = "unknown_code"
 
                     # N8: header-less responses get their type sniffed
                     # from the body magic (detectContentTypeFromResponseBody,
@@ -218,7 +309,7 @@ class CrawlEngine:
                         "host": row.host, "host_bucket": row.host_bucket,
                         "depth": row.depth, "kind": row.kind,
                         "fetch_url": row.fetch_url, "final_url": url,
-                        "status": resp["status"], "hops": hops,
+                        "status": status, "hops": hops,
                         "error_class": error_class,
                         "content_type": content_type,
                         "content_disposition": resp["content_disposition"],
@@ -227,6 +318,8 @@ class CrawlEngine:
                         "image_id": resp["image_id"],
                         "html_body": resp.get("html_body"),
                         "planned_fetch_ms": planned,
+                        "learned_https_url": learned_https_url,
+                        "learned_slash_url": learned_slash_url,
                     })
                 yield pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
                     columns=[f.split()[0] for f in FETCH_OUT_SCHEMA.split(", ")]
@@ -237,15 +330,22 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def prepare_frontier(self, raw: DataFrame, round_no: int) -> DataFrame:
-        """Stages 1-9: gate, clean, canonicalize, hash, bucket."""
+        """Stages 1-9: gate, clean, canonicalize, hash, bucket.
+
+        The gate follows the row KIND, not the round: seeds/redirects get
+        the pageUrl battery (UrlTypeChecker.shouldNotAcceptPageUrl),
+        internal links the stricter link battery
+        (shouldNotAcceptInternalLink) — so a quota-spilled seed re-entering
+        in a later round keeps page-url semantics."""
         url = F.col("url")
         df = raw.withColumn("domain", U.domain_of(url))
         df = df.withColumn("reject_reason", F.when(
             F.col("domain").isNull(), F.lit("domain_unretrievable")
+        ).when(
+            F.col("kind") == "internal",
+            self.battery.internal_link_reject_reason(F.lower(url)),
         ).otherwise(
             self.battery.page_url_reject_reason(F.lower(url))
-            if round_no == 0
-            else self.battery.internal_link_reject_reason(F.lower(url))
         ))
         df = df.withColumn("clean_url", U.clean_url(url))
         df = df.withColumn(
@@ -268,69 +368,89 @@ class CrawlEngine:
         df = df.withColumn("host_bucket", U.host_bucket(F.col("top3"), self.num_buckets))
         return df
 
-    def run_round(self, state: CrawlState, frontier: DataFrame, round_no: int) -> tuple[CrawlState, DataFrame]:
-        """Run one round; returns (new state, next-round frontier)."""
-        spark = self.spark
-        staged = self.prepare_frontier(frontier, round_no).cache()
-
-        rejected = staged.filter(F.col("reject_reason").isNotNull())
-        reject_results = rejected.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.lit("null").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
+    @staticmethod
+    def _result_row(round_no: int, *, pageUrl, doc, valid, accessible, direct,
+                    retry, mime, fileHash, fileSize, filePath, error,
+                    source=None):
+        src = source if source is not None else F.col("url")
+        return [
+            F.col("id"), src.alias("sourceUrl"), pageUrl.alias("pageUrl"),
+            doc.alias("docOrDatasetUrl"),
             F.lit("true").alias("wasUrlChecked"),
-            F.lit("null").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.lit("false").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.concat(F.lit("Discarded: "), F.col("reject_reason")).alias("error"),
+            valid.alias("wasUrlValid"),
+            accessible.alias("wasDocumentOrDatasetAccessible"),
+            direct.alias("wasDirectLink"),
+            retry.alias("couldRetry"),
+            fileHash.alias("fileHash"), fileSize.alias("fileSize"),
+            mime.alias("mimeType"), filePath.alias("filePath"),
+            error.alias("error"),
             F.lit(round_no).alias("round"),
+        ]
+
+    def run_round(
+        self, state: CrawlState, frontier: DataFrame, round_no: int
+    ) -> RoundOutput:
+        """Build one round's full plan; nothing executes until the crawl
+        loop materializes the deltas."""
+        spark = self.spark
+        lit = F.lit
+        _round_caches: list[DataFrame] = []
+
+        # ---- stage + in-round dedup + seen mark (ONE cache point: the
+        # window and the seen join are the two shuffles every downstream
+        # split re-reads) -------------------------------------------------
+        staged = self.prepare_frontier(frontier, round_no).cache()
+        _round_caches.append(staged)
+
+        reject_results = staged.filter(F.col("reject_reason").isNotNull()).select(
+            *self._result_row(
+                round_no,
+                pageUrl=lit("null"), doc=lit("unreachable"),
+                valid=lit("null"), accessible=lit("false"),
+                direct=lit("false"), retry=lit("false"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"),
+                error=F.concat(lit("Discarded: "), F.col("reject_reason")),
+            )
         )
 
         ok = staged.filter(F.col("reject_reason").isNull())
-
-        # in-round dedup (first occurrence by deterministic order) + J2.
-        # Cached: this window output fans out to BOTH the dup log and the
-        # survivor path — without the cache every downstream action would
-        # re-run the shuffle+sort (Spark shares no subplans across
-        # actions; see the fan-out caches below for the same reason).
-        _round_caches = [staged]
         w = Window.partitionBy("url_hash").orderBy("order_in_id", "id")
-        ok = ok.withColumn("_rn", F.row_number().over(w)).cache()
-        _round_caches.append(ok)
-        in_round_dups = ok.filter(F.col("_rn") > 1)
-        ok = ok.filter(F.col("_rn") == 1).drop("_rn")
         seen_count = state.metrics[-1]["seen_total"] if state.metrics else 0
-        marked = mark_seen(ok, state.seen, "url_hash", seen_count=seen_count).cache()
+        marked = mark_seen(
+            ok.withColumn("_rn", F.row_number().over(w)),
+            state.seen, "url_hash", seen_count=seen_count,
+        ).cache()
         _round_caches.append(marked)
-        unseen = marked.filter(~F.col("_seen")).drop("_seen")
-        cross_round_dups = marked.filter(F.col("_seen")).drop("_seen")
-        dup_results = in_round_dups.drop("_rn").unionByName(cross_round_dups).select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.lit("null").alias("pageUrl"),
-            F.lit("duplicate").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("null").alias("wasUrlValid"),
-            F.lit("null").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("null").alias("wasDirectLink"),
-            F.lit("true").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.lit("duplicate url").alias("error"),
-            F.lit(round_no).alias("round"),
+
+        dup_results = marked.filter((F.col("_rn") > 1) | F.col("_seen")).select(
+            *self._result_row(
+                round_no,
+                pageUrl=lit("null"), doc=lit("duplicate"),
+                valid=lit("null"), accessible=lit("null"),
+                direct=lit("null"), retry=lit("true"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"), error=lit("duplicate url"),
+            )
+        )
+        unseen = marked.filter((F.col("_rn") == 1) & ~F.col("_seen")).drop(
+            "_rn", "_seen"
         )
 
-        # J4: best-url-per-id (seed rounds group by id)
+        # ---- J4: best-url-per-id (seed rounds group by id) ---------------
         if round_no == 0:
             picked = pick_best_url_per_id(unseen).filter(F.col("is_best")).drop("is_best")
         else:
             picked = unseen.withColumn("priority", F.lit(0))
 
-        # J3: re-cross against prior results (broadcast — results' doc urls)
-        # deterministic owner per doc-url: min id wins (the reference's
-        # owner is whichever thread won the race — we define it).
+        # ---- the SCHEDULE plan: recross + rewrite + gates + quota fused
+        # into one cached DataFrame (one window shuffle; every split —
+        # recross hits, path-blocked, robots-blocked, spill, fetch input —
+        # is a filter over the same cache) ---------------------------------
+        # J3: re-cross against prior results (broadcast — results' doc
+        # urls). Deterministic owner per doc-url: min id wins (the
+        # reference's owner is whichever thread won the race — we define
+        # it).
         prior_docs = (
             state.results.filter(
                 ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
@@ -341,88 +461,147 @@ class CrawlEngine:
                 F.min_by("mimeType", "id").alias("_orig_mime"),
             )
         )
-        crossed = picked.join(
+        sched = picked.join(
             F.broadcast(prior_docs),
             picked["canon_url"] == prior_docs["_hit_url"],
             "left",
-        ).cache()  # fan-out: re-cross hits + the to-fetch remainder
-        _round_caches.append(crossed)
-        recross_hits = crossed.filter(F.col("_orig_id").isNotNull())
-        recross_results = recross_hits.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("url").alias("pageUrl"),
-            F.col("canon_url").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("true").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("true").alias("wasDirectLink"),
-            F.lit("true").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.coalesce(F.col("_orig_mime"), F.lit("null")).alias("mimeType"),
-            F.concat(F.lit("already retrieved by "), F.col("_orig_id")).alias("filePath"),
-            F.lit("null").alias("error"),
-            F.lit(round_no).alias("round"),
         )
-        to_fetch = crossed.filter(F.col("_orig_id").isNull()).drop(
-            "_hit_url", "_orig_id", "_orig_mime"
-        )
+        # P9 special rewrites, then the gate ladder in reference order
+        # (LoaderAndChecker.handleUrlChecks :590-647): blacklist ->
+        # 403-path -> robots (north-rule addition) -> quota. Re-cross
+        # hits short-circuit everything (they are never fetched).
+        sched = U.with_special_rewrite(sched, "canon_url", "fetch_url")
+        blk = state.blocked_domains.withColumn("_blk", F.lit(True))
+        sched = sched.join(
+            F.broadcast(blk), sched["top3"] == blk["domain"], "left"
+        ).drop(blk["domain"])
+        # blocked domains vanish silently (reference logs + skips;
+        # conformance oracle mirrors) — unless the row re-crossed.
+        sched = sched.filter(F.col("_blk").isNull() | F.col("_orig_id").isNotNull())
 
-        # P9 + blacklist + quota, then the physical move: one host -> one task
-        to_fetch = U.with_special_rewrite(to_fetch, "canon_url", "fetch_url")
-        # blocks are recorded at top-3-domain granularity (politeness key)
-        to_fetch = to_fetch.join(
-            F.broadcast(state.blocked_domains),
-            on=to_fetch["top3"] == state.blocked_domains["domain"],
-            how="left_anti",
+        # A3/F16: 403-blacklisted (domain, path-prefix) pairs
+        bpaths = (state.blocked_paths if state.blocked_paths is not None
+                  else _empty(spark, "domain string, path string"))
+        bp = bpaths.withColumnRenamed("path", "_bp_path").withColumn(
+            "_pblk", F.lit(True)
         )
+        sched = sched.join(
+            F.broadcast(bp),
+            (sched["top3"] == bp["domain"])
+            & (B.dir_path(F.col("fetch_url")) == bp["_bp_path"]),
+            "left",
+        ).drop(bp["domain"]).drop("_bp_path")
 
         # robots gate (north rule; no reference equivalent): broadcast
         # robots_rules(domain, disallow[]) joined on host; a fetch_url
         # whose path starts with a disallowed prefix is dropped with a
         # result row instead of fetched.
         robots = self._robots_df
-        to_fetch = to_fetch.join(
-            F.broadcast(robots), to_fetch["top3"] == robots["domain"], "left"
+        sched = sched.join(
+            F.broadcast(robots), sched["top3"] == robots["domain"], "left"
         ).drop(robots["domain"])
-        path = F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", "")
-        disallowed = F.when(
-            F.col("disallow").isNotNull(),
-            F.exists("disallow", lambda pre: path.startswith(pre)),
-        ).otherwise(F.lit(False))
-        robots_blocked = to_fetch.filter(disallowed)
-        robots_results = robots_blocked.select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.lit("null").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.lit("false").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.lit("robots disallowed").alias("error"),
-            F.lit(round_no).alias("round"),
-        )
-        to_fetch = to_fetch.filter(~disallowed).drop("disallow")
-        wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
-        # fan-out: quota survivors -> fetch, excess -> next-round spill
-        to_fetch = to_fetch.withColumn("_hq", F.row_number().over(wq)).cache()
-        _round_caches.append(to_fetch)
-        spill = to_fetch.filter(F.col("_hq") > self.host_quota).drop("_hq")
-        to_fetch = to_fetch.filter(F.col("_hq") <= self.host_quota).drop("_hq")
+        upath = F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", "")
+        sched = sched.withColumn(
+            "_rob",
+            F.when(
+                F.col("disallow").isNotNull(),
+                F.exists("disallow", lambda pre: upath.startswith(pre)),
+            ).otherwise(F.lit(False)),
+        ).drop("disallow")
 
-        fetch_in = to_fetch.select(
-            "id", "url", "canon_url", "url_hash",
-            F.col("top3").alias("host"), "host_bucket", "depth", "kind",
+        # P11: offline https/slash redirects learned in prior rounds
+        # (HttpConnUtils.java:326-334) — applied AFTER the gate ladder
+        # (the reference rewrites inside openHttpConnection, after the
+        # blacklist/403-path checks) and before the quota window.
+        flags = (state.domain_flags if state.domain_flags is not None
+                 else _empty(spark, DOMAIN_FLAGS_SCHEMA))
+        sched = sched.join(
+            F.broadcast(flags), sched["top3"] == flags["domain"], "left"
+        ).drop(flags["domain"])
+        sched = sched.withColumn(
             "fetch_url",
-        ).repartition(self.num_buckets, "host_bucket")
-        fetched = fetch_in.mapInPandas(self._fetch_udf(), schema=FETCH_OUT_SCHEMA).cache()
+            F.when(
+                F.coalesce(F.col("https_ok"), F.lit(False))
+                & F.col("fetch_url").startswith("http://"),
+                F.concat(F.lit("https://"), F.expr("substring(fetch_url, 8)")),
+            ).otherwise(F.col("fetch_url")),
+        ).withColumn(
+            "fetch_url",
+            F.when(
+                F.coalesce(F.col("slash_ok"), F.lit(False))
+                & ~F.col("fetch_url").rlike(ENDING_WITH_SLASH_OR_EXTENSION),
+                F.concat(F.col("fetch_url"), F.lit("/")),
+            ).otherwise(F.col("fetch_url")),
+        ).drop("https_ok", "slash_ok")
 
-        # N10: content-size guards (html <= 5MB, fulltext <= 512MB,
-        # HttpConnUtils.java:73-74) — oversize rows become errors
+        # N5 quota: the window's shuffle by (top3, _fetchable) IS the
+        # fetch stage's physical partitioning — every host lives whole
+        # in one task, politeness needs no locks, and fetch parallelism
+        # scales with spark.sql.shuffle.partitions.
+        sched = sched.withColumn(
+            "_fetchable",
+            F.col("_orig_id").isNull() & F.col("_pblk").isNull() & ~F.col("_rob"),
+        )
+        wq = Window.partitionBy("top3", "_fetchable").orderBy("priority", "url_hash")
+        sched = sched.withColumn("_hq", F.row_number().over(wq)).cache()
+        _round_caches.append(sched)
+
+        recross_results = sched.filter(F.col("_orig_id").isNotNull()).select(
+            *self._result_row(
+                round_no,
+                pageUrl=F.col("url"), doc=F.col("canon_url"),
+                valid=lit("true"), accessible=lit("true"),
+                direct=lit("true"), retry=lit("true"),
+                mime=F.coalesce(F.col("_orig_mime"), lit("null")),
+                fileHash=lit("null"), fileSize=lit("null"),
+                filePath=F.concat(lit("already retrieved by "), F.col("_orig_id")),
+                error=lit("null"),
+            )
+        )
+        pathblock_results = sched.filter(
+            F.col("_orig_id").isNull() & F.col("_pblk").isNotNull()
+        ).select(
+            *self._result_row(
+                round_no,
+                pageUrl=lit("null"), doc=lit("unreachable"),
+                valid=lit("true"), accessible=lit("false"),
+                direct=lit("false"), retry=lit("true"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"), error=lit("path 403-blacklisted"),
+            )
+        )
+        robots_results = sched.filter(
+            F.col("_orig_id").isNull() & F.col("_pblk").isNull() & F.col("_rob")
+        ).select(
+            *self._result_row(
+                round_no,
+                pageUrl=lit("null"), doc=lit("unreachable"),
+                valid=lit("true"), accessible=lit("false"),
+                direct=lit("false"), retry=lit("false"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"), error=lit("robots disallowed"),
+            )
+        )
+        spill = sched.filter(F.col("_fetchable") & (F.col("_hq") > self.host_quota))
+
+        fetch_in = (
+            sched.filter(F.col("_fetchable") & (F.col("_hq") <= self.host_quota))
+            .select(
+                "id", "url", "canon_url", "url_hash",
+                F.col("top3").alias("host"), "host_bucket", "depth", "kind",
+                "fetch_url",
+            )
+            # no repartition: the quota window already co-located each
+            # host; this sort makes the politeness slot order a
+            # deterministic total order (host, url_hash) across arrow
+            # batches — matching the sequential oracle
+            .sortWithinPartitions("host", "url_hash")
+        )
+
+        # ---- fetch + N10 guards + N9 classification (one cache) ----------
         MAX_HTML = 5 * 1024 * 1024
         MAX_FULLTEXT = 512 * 1024 * 1024
+        fetched = fetch_in.mapInPandas(self._fetch_udf(), schema=FETCH_OUT_SCHEMA)
         fetched = fetched.withColumn(
             "error_class",
             F.when(
@@ -438,8 +617,6 @@ class CrawlEngine:
             )
             .otherwise(F.col("error_class")),
         )
-
-        # N9 classification on fetch results (native columns)
         classified = fetched.withColumn(
             "mime_res",
             M.classify_mime(
@@ -455,42 +632,47 @@ class CrawlEngine:
             )
             .when(M.is_html_mime(F.col("content_type")), "page")
             .otherwise("other"),
-        )
+        ).join(F.broadcast(self._payload_meta), "image_id", "left").cache()
+        _round_caches.append(classified)
 
         # doc/error/other fetch outcomes in ONE pass (a single select with
-        # when-chains instead of three branch plans — one scan of the
-        # cached fetch output instead of three, and a third of the plan
-        # surface for Catalyst to analyze per action)
-        payload_meta = self._payload_meta
-        classified = classified.join(F.broadcast(payload_meta), "image_id", "left")
-        docs = classified.filter(F.col("category").isin("document", "dataset"))
+        # when-chains instead of three branch plans)
         is_doc = F.col("category").isin("document", "dataset")
         is_err = F.col("category") == "error"
         err_struct = R.was_valid_and_could_retry(F.col("error_class"), F.col("final_url"))
         fetch_results = classified.filter(
             F.col("category").isin("document", "dataset", "error", "other")
         ).select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("url").alias("pageUrl"),
-            F.when(is_doc, F.col("final_url")).otherwise("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.when(is_err, err_struct["wasUrlValid"]).otherwise("true").alias("wasUrlValid"),
-            F.when(is_doc, "true").otherwise("false").alias("wasDocumentOrDatasetAccessible"),
-            F.when(is_doc & (F.col("hops") == 0), "true").otherwise("false").alias("wasDirectLink"),
-            F.when(is_doc, "true").when(is_err, err_struct["couldRetry"]).otherwise("false").alias("couldRetry"),
-            F.when(is_doc, F.coalesce(F.col("_phash").cast("string"), F.lit("null"))).otherwise("null").alias("fileHash"),
-            F.when(is_doc, F.coalesce(F.col("_fsize").cast("string"), F.lit("null"))).otherwise("null").alias("fileSize"),
-            F.when(is_doc, F.coalesce(F.col("mime_res.plain_mime"), F.col("content_type"), F.lit("null")))
-            .when(is_err, "null")
-            .otherwise(F.coalesce(F.col("content_type"), F.lit("null"))).alias("mimeType"),
-            F.when(is_doc, F.coalesce(F.col("image_id"), F.lit("null"))).otherwise("null").alias("filePath"),
-            F.when(is_err, err_struct["error_msg"])
-            .when(is_doc, "null")
-            .otherwise("not a document or page").alias("error"),
-            F.lit(round_no).alias("round"),
+            *self._result_row(
+                round_no,
+                pageUrl=F.col("url"),
+                doc=F.when(is_doc, F.col("final_url")).otherwise("unreachable"),
+                valid=F.when(is_err, err_struct["wasUrlValid"]).otherwise("true"),
+                accessible=F.when(is_doc, "true").otherwise("false"),
+                # wasDirectLink (ConnSupportUtils.getWasDirectLink
+                # :1512-1529): the doc was the url itself, modulo
+                # protocol — special/slash rewrites and crawled hops
+                # make it "false"
+                direct=F.when(
+                    is_doc & (F.col("hops") == 0)
+                    & (F.regexp_replace(F.col("final_url"), "^https?:", "")
+                       == F.regexp_replace(F.col("canon_url"), "^https?:", "")),
+                    "true",
+                ).otherwise("false"),
+                retry=F.when(is_doc, "true").when(is_err, err_struct["couldRetry"]).otherwise("false"),
+                fileHash=F.when(is_doc, F.coalesce(F.col("_phash").cast("string"), lit("null"))).otherwise("null"),
+                fileSize=F.when(is_doc, F.coalesce(F.col("_fsize").cast("string"), lit("null"))).otherwise("null"),
+                mime=F.when(is_doc, F.coalesce(F.col("mime_res.plain_mime"), F.col("content_type"), lit("null")))
+                .when(is_err, "null")
+                .otherwise(F.coalesce(F.col("content_type"), lit("null"))),
+                filePath=F.when(is_doc, F.coalesce(F.col("image_id"), lit("null"))).otherwise("null"),
+                error=F.when(is_err, err_struct["error_msg"])
+                .when(is_doc, "null")
+                .otherwise("not a document or page"),
+            )
         )
 
-        # pages -> G5 metadata scan + G3 extraction UDF + G9 ranking
+        # ---- pages -> G5 metadata scan + G3 extraction UDF + G9 ranking --
         pages = classified.filter(F.col("category") == "page").withColumn(
             "_meta_url",
             H.localhost_fix(
@@ -501,12 +683,12 @@ class CrawlEngine:
         ).withColumn(
             "_links", H.extract_links_udf(F.col("html_body"), F.col("final_url"))
         ).cache()
+        _round_caches.append(pages)
 
         # dynamic-link pages block their domain (F13,
         # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
         has_dynamic = F.exists("_links", lambda x: x["signal"] == "dynamic")
-        dynamic_pages = pages.filter(~F.col("_restricted")).filter(has_dynamic)
-        dynamic_blocked = dynamic_pages.select(
+        dynamic_blocked = pages.filter(~F.col("_restricted") & has_dynamic).select(
             U.top3_domain(U.domain_of(F.col("final_url"))).alias("domain")
         ).distinct()
         # live pages continue into link extraction; restricted-access
@@ -565,17 +747,17 @@ class CrawlEngine:
             F.col("link").alias("url"),
             F.lit(1).alias("depth"),
             F.lit("internal").alias("kind"),
+        ).unionByName(
+            # spilled rows re-enter untouched next round
+            spill.select("id", "order_in_id", "url", "depth", "kind")
         )
-        # spilled rows re-enter untouched next round
-        spill_frontier = spill.select(
-            "id", "order_in_id", "url", "depth", "kind"
-        )
-        next_frontier = next_frontier.unionByName(spill_frontier)
 
         # all page terminal outcomes in ONE pass over the cached pages:
         # restricted (MetadataHandler stop), dynamic (domain trap), and
-        # "no accepted candidate links" -> one tagged select instead of
-        # three branch plans + an anti-join
+        # "no accepted candidate links" -> one tagged select. "nolinks"
+        # (zero extracted) vs "nodocurl" (links but none accepted) feed
+        # the two PageCrawler counters (:314,369) but emit the same
+        # result row.
         linked = links.select("page_url").distinct().withColumn("_has_link", F.lit(True))
         page_tagged = pages.join(
             linked, pages["url"] == linked["page_url"], "left"
@@ -583,113 +765,256 @@ class CrawlEngine:
         page_outcome = (
             F.when(F.col("_restricted"), "restricted")
             .when(has_dynamic, "dynamic")
-            .when(F.col("_has_link").isNull(), "nolink")
+            .when(F.col("_has_link").isNull() & (F.size("_links") == 0), "nolinks")
+            .when(F.col("_has_link").isNull(), "nodocurl")
         )
-        page_results = page_tagged.withColumn("_po", page_outcome).filter(
+        page_tagged = page_tagged.withColumn("_po", page_outcome).filter(
             F.col("_po").isNotNull()
-        ).select(
-            F.col("id"), F.col("url").alias("sourceUrl"),
-            F.col("final_url").alias("pageUrl"),
-            F.lit("unreachable").alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
-            F.lit("true").alias("wasUrlValid"),
-            F.lit("false").alias("wasDocumentOrDatasetAccessible"),
-            F.lit("false").alias("wasDirectLink"),
-            F.when(F.col("_po") == "dynamic", "true").otherwise("false").alias("couldRetry"),
-            F.lit("null").alias("fileHash"), F.lit("null").alias("fileSize"),
-            F.lit("null").alias("mimeType"), F.lit("null").alias("filePath"),
-            F.when(F.col("_po") == "restricted", "restricted access (meta rights)")
-            .when(F.col("_po") == "dynamic", "dynamic internal links")
-            .otherwise("no docUrl found on page").alias("error"),
-            F.lit(round_no).alias("round"),
+        )
+        page_results = page_tagged.select(
+            *self._result_row(
+                round_no,
+                pageUrl=F.col("final_url"), doc=lit("unreachable"),
+                valid=lit("true"), accessible=lit("false"),
+                direct=lit("false"),
+                retry=F.when(F.col("_po") == "dynamic", "true").otherwise("false"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"),
+                error=F.when(F.col("_po") == "restricted", "restricted access (meta rights)")
+                .when(F.col("_po") == "dynamic", "dynamic internal links")
+                .otherwise("no docUrl found on page"),
+            )
         )
 
-        new_results = (
+        results_delta = (
             reject_results.unionByName(dup_results)
             .unionByName(recross_results)
-            .unionByName(fetch_results)
+            .unionByName(pathblock_results)
             .unionByName(robots_results)
+            .unionByName(fetch_results)
             .unionByName(page_results)
         )
 
-        # payload table: J5 dedup by phash (row_number over fetch order)
-        new_payloads = docs.filter(F.col("image_id").isNotNull()).select("image_id").distinct()
+        # ---- payload delta (J5 source table): new image ids only ---------
+        new_payloads = classified.filter(
+            is_doc & F.col("image_id").isNotNull()
+        ).select("image_id").distinct()
+        if state.payloads is not None:
+            new_payloads = new_payloads.join(state.payloads, "image_id", "left_anti")
 
-        # seen update: every checked url enters the seen set
-        new_seen = state.seen.unionByName(
-            staged.filter(F.col("url_hash").isNotNull()).select("url_hash")
-        ).unionByName(
-            fetched.select(U.url_hash64(F.col("final_url")).alias("url_hash"))
-        ).distinct()
+        # ---- seen delta: EXACT-unique and disjoint from prior seen -------
+        # (a) this round's unseen survivors: unique (_rn==1) and proven
+        #     absent from seen (the mark) — MINUS quota-spilled rows,
+        #     which are "not yet checked" and must be fetchable when they
+        #     re-enter next round. (b) redirect/rewrite final urls whose
+        #     hash differs from the fetched row's url_hash, minus
+        #     everything already known. Disjoint union => the cumulative
+        #     seen stays a true set with NO per-round distinct; at scale
+        #     (b)'s anti-join rides the same bloom prefilter as the
+        #     frontier mark.
+        new_staged_hashes = unseen.select("url_hash").join(
+            spill.select("url_hash"), "url_hash", "left_anti"
+        )
+        final_cand = (
+            classified.filter(U.url_hash64(F.col("final_url")) != F.col("url_hash"))
+            .select(U.url_hash64(F.col("final_url")).alias("url_hash"))
+            .distinct()
+        )
+        final_new = final_cand.join(
+            state.seen.hint("shuffle_hash"), "url_hash", "left_anti"
+        ).join(new_staged_hashes, "url_hash", "left_anti")
+        seen_delta = new_staged_hashes.unionByName(final_new)
 
-        # A2-style domain blocking from per-round aggregates
-        bad = fetched.filter(
-            F.col("error_class").rlike("^http_5..$") | (F.col("error_class") == "conn_timeout")
-        ).groupBy("host").agg(F.count(F.lit(1)).alias("bad"))
-        newly_blocked = bad.filter(F.col("bad") > 10).select(F.col("host").alias("domain"))
+        # ---- A2/A3/A4: counter deltas + rule evaluation -------------------
+        # one aggregation pass per source, unioned into the dimension
+        # merge (operators/blocking.py has the citations)
+        zero = lambda: F.lit(0).cast("long")  # noqa: E731
+
+        def counts(df, domain_col, **cols):
+            named = {c: cols.get(c, zero()) for c in (
+                "n5xx", "n_timeout", "n_notype", "n_notdocnorpage",
+                "n_nodocurls", "n_nolinks", "good",
+            )}
+            return df.groupBy(domain_col.alias("domain")).agg(
+                *[F.sum(v).alias(k) for k, v in named.items()]
+            )
+
+        is_5xx_countable = (
+            F.col("error_class").rlike("^http_5..$")
+            & (F.col("error_class") != "http_503")
+        )
+        no_type = (
+            F.col("error_class").isNull()
+            & F.col("content_type").isNull()
+            & F.col("content_disposition").isNull()
+        )
+        fetch_counts = counts(
+            classified, F.col("host"),
+            n5xx=F.when(is_5xx_countable, 1).otherwise(0),
+            n_timeout=F.when(F.col("error_class") == "conn_timeout", 1).otherwise(0),
+            n_notype=F.when(no_type, 1).otherwise(0),
+            n_notdocnorpage=F.when(
+                (F.col("category") == "other") & ~no_type, 1
+            ).otherwise(0),
+            # +1 good for the PAGE domain of every doc hit (UrlUtils.java:113)
+            good=F.when(is_doc, 1).otherwise(0),
+        )
+        # +1 good for the DOC-URL domain of every doc hit (UrlUtils.java:119)
+        doc_domain_counts = counts(
+            classified.filter(is_doc),
+            U.top3_domain(U.domain_of(F.col("final_url"))),
+            good=F.lit(1),
+        )
+        # re-crossed rows are output docUrl rows too (handleReCrossedTargetUrl
+        # -> addOutputData): page domain + doc domain each +1
+        recross_rows = sched.filter(F.col("_orig_id").isNotNull())
+        recross_page_counts = counts(recross_rows, F.col("top3"), good=F.lit(1))
+        recross_doc_counts = counts(
+            recross_rows, U.top3_domain(U.domain_of(F.col("canon_url"))),
+            good=F.lit(1),
+        )
+        page_counts = counts(
+            page_tagged.filter(F.col("_po").isin("nolinks", "nodocurl")),
+            F.col("host"),
+            n_nodocurls=F.when(F.col("_po") == "nodocurl", 1).otherwise(0),
+            n_nolinks=F.when(F.col("_po") == "nolinks", 1).otherwise(0),
+        )
+        dom_delta = (
+            fetch_counts.unionByName(doc_domain_counts)
+            .unionByName(recross_page_counts)
+            .unionByName(recross_doc_counts)
+            .unionByName(page_counts)
+        ).filter(F.col("domain").isNotNull())
+        prior_dom = (state.domain_counts if state.domain_counts is not None
+                     else _empty(spark, B.DOMAIN_COUNTS_SCHEMA))
+        domain_counts = B.merge_domain_counts(prior_dom, dom_delta).cache()
+        _round_caches.append(domain_counts)
+
+        path_delta = classified.filter(F.col("error_class") == "http_403").groupBy(
+            F.col("host").alias("domain"),
+            B.dir_path(F.col("final_url")).alias("path"),
+        ).agg(F.count(F.lit(1)).alias("n403"))
+        prior_paths = (state.path_counts if state.path_counts is not None
+                       else _empty(spark, B.PATH_COUNTS_SCHEMA))
+        # dimension tables are tiny but their delta subplans fan out to
+        # several materialization jobs — cache the merged result once
+        path_counts = B.merge_path_counts(prior_paths, path_delta).cache()
+        _round_caches.append(path_counts)
+        blocked_paths = B.eval_blocked_paths(path_counts)
+
+        # P11 learning: protocol-only / slash-only hops mark the TARGET
+        # domain (HttpConnUtils.java:613-623); cumulative OR-merge.
+        https_learned = classified.filter(
+            F.col("learned_https_url").isNotNull()
+        ).select(
+            U.top3_domain(U.domain_of(F.col("learned_https_url"))).alias("domain"),
+            F.lit(True).alias("https_ok"), F.lit(False).alias("slash_ok"),
+        )
+        slash_learned = classified.filter(
+            F.col("learned_slash_url").isNotNull()
+        ).select(
+            U.top3_domain(U.domain_of(F.col("learned_slash_url"))).alias("domain"),
+            F.lit(False).alias("https_ok"), F.lit(True).alias("slash_ok"),
+        )
+        domain_flags = (
+            flags.unionByName(https_learned)
+            .unionByName(slash_learned)
+            .filter(F.col("domain").isNotNull())
+            .groupBy("domain")
+            .agg(F.max("https_ok").alias("https_ok"), F.max("slash_ok").alias("slash_ok"))
+        )
+
+        unknown_blocked = classified.filter(
+            F.col("error_class") == "unknown_code"
+        ).select(F.col("host").alias("domain")).distinct()
         blocked = (
-            state.blocked_domains.unionByName(newly_blocked)
+            state.blocked_domains
+            .unionByName(B.eval_blocked_domains(domain_counts, blocked_paths))
             .unionByName(dynamic_blocked)
+            .unionByName(unknown_blocked)
             .distinct()
         )
 
-        new_state = CrawlState(
-            results=state.results.unionByName(new_results),
-            seen=new_seen,
-            blocked_domains=blocked,
-            payloads=(
-                new_payloads if state.payloads is None
-                else state.payloads.unionByName(new_payloads).distinct()
-            ),
-            metrics=state.metrics,
-        )
+        # ---- the round's ONE metrics plan ---------------------------------
+        # Per-partition lineage (north rule): frontier offsets and
+        # fetch/error counters per host_bucket + delta cardinalities —
+        # all over warm caches, collected by the crawl loop in a single
+        # job after materialization.
+        staged_agg = staged.groupBy("host_bucket").agg(
+            F.lit("staged").alias("_t"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("reject_reason").isNotNull().cast("long")).alias("x"),
+        ).select("_t", "host_bucket", "n", "x")
+        fetch_agg = classified.groupBy("host_bucket").agg(
+            F.lit("fetch").alias("_t"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("error_class").isNotNull().cast("long")).alias("x"),
+        ).select("_t", "host_bucket", "n", "x")
+        metrics_df = staged_agg.unionByName(fetch_agg)
 
-        def finalize_metrics(seen_total: int, results_count: int) -> None:
-            """Append this round's lineage AFTER the round's tables have
-            been materialized (checkpoint/snapshot). Everything here
-            reads only the cached intermediates (one fused aggregation
-            per table), so metrics never force a recompute of the round
-            plan — the driver's action count per round stays minimal.
-
-            Per-partition lineage (north rule): frontier offsets and
-            fetch/error counters per host_bucket + seen cardinality."""
-            # ``results_count`` arrives CUMULATIVE (count of the
-            # materialized results table); the per-round delta falls out
-            # of the previous rounds' recorded deltas.
-            prev_total = sum(m["results"] for m in state.metrics)
-            staged_agg = (
-                staged.groupBy("host_bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("reject_reason").isNotNull().cast("int")).alias("rej"),
-                )
-                .collect()
-            )
-            fetch_agg = (
-                fetched.groupBy("host_bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("error_class").isNotNull().cast("int")).alias("errs"),
-                )
-                .collect()
-            )
+        def finalize(rows: list, delta_counts: dict[str, int]) -> None:
+            """Ingest the fused metrics job's rows (collected AFTER the
+            round's deltas materialized) and release the caches."""
+            staged_rows = [r for r in rows if r["_t"] == "staged"]
+            fetch_rows = [r for r in rows if r["_t"] == "fetch"]
+            prev_seen = state.metrics[-1]["seen_total"] if state.metrics else 0
             state.metrics.append({
                 "round": round_no,
-                "frontier_in": sum(r["n"] for r in staged_agg),
-                "rejected": sum(r["rej"] or 0 for r in staged_agg),
-                "fetched": sum(r["n"] for r in fetch_agg),
-                "results": results_count - prev_total,
-                "seen_total": seen_total,
-                "frontier_offsets": {str(r["host_bucket"]): r["n"] for r in staged_agg},
+                "frontier_in": sum(r["n"] for r in staged_rows),
+                "rejected": sum(r["x"] or 0 for r in staged_rows),
+                "fetched": sum(r["n"] for r in fetch_rows),
+                "results": delta_counts.get("results", 0),
+                "seen_total": prev_seen + delta_counts.get("seen", 0),
+                "frontier_next": delta_counts.get("frontier", 0),
+                "frontier_offsets": {
+                    str(r["host_bucket"]): r["n"] for r in staged_rows
+                },
                 "fetch_counters": {
-                    str(r["host_bucket"]): {"fetched": r["n"], "errors": r["errs"]}
-                    for r in fetch_agg
+                    str(r["host_bucket"]): {"fetched": r["n"], "errors": r["x"]}
+                    for r in fetch_rows
                 },
             })
-            for df in _round_caches + [fetched, pages]:
+            for df in _round_caches:
                 df.unpersist()
 
-        return new_state, next_frontier, finalize_metrics
+        deltas = {
+            "results": results_delta,
+            "seen": seen_delta,
+            "payloads": new_payloads,
+        }
+        if self.record_order:
+            deltas["order_log"] = classified.select(
+                F.lit(round_no).alias("round"), F.col("host"),
+                F.col("url_hash"), F.col("planned_fetch_ms"),
+            )
+        return RoundOutput(
+            deltas=deltas,
+            # blocked_paths is NOT materialized: it is a filter over the
+            # checkpointed path_counts, re-derived each round for free
+            fulls={
+                "blocked_domains": blocked,
+                "domain_counts": domain_counts,
+                "path_counts": path_counts,
+                "domain_flags": domain_flags,
+            },
+            next_frontier=next_frontier,
+            metrics_df=metrics_df,
+            finalize=finalize,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _fresh_state(self) -> CrawlState:
+        spark = self.spark
+        return CrawlState(
+            results=_empty(spark, RESULT_SCHEMA),
+            seen=_empty(spark, "url_hash long"),
+            blocked_domains=_empty(spark, "domain string"),
+            domain_counts=_empty(spark, B.DOMAIN_COUNTS_SCHEMA),
+            path_counts=_empty(spark, B.PATH_COUNTS_SCHEMA),
+            blocked_paths=_empty(spark, "domain string, path string"),
+            domain_flags=_empty(spark, DOMAIN_FLAGS_SCHEMA),
+        )
 
     def crawl(
         self,
@@ -699,11 +1024,31 @@ class CrawlEngine:
         resume: bool = False,
     ) -> CrawlState:
         """Run the round loop. With ``catalog`` set, every round commits
-        one snapshot (tables + lineage); ``resume=True`` restores the
-        latest snapshot and continues exactly where it stopped —
-        byte-identical to an uninterrupted run (tested)."""
+        one snapshot (delta appends + dimension tables + lineage);
+        ``resume=True`` restores the latest snapshot and continues
+        exactly where it stopped — byte-identical to an uninterrupted
+        run (tested).
+
+        Each round costs a FIXED number of driver actions regardless of
+        crawl age: one results-delta materialization (which computes the
+        round's caches), the remaining delta/dimension materializations
+        concurrently against warm caches, and ONE fused metrics job that
+        also yields the next-frontier count (no isEmpty probe). State
+        I/O is O(round delta), not O(cumulative): the union of immutable
+        delta parts is the cumulative table, compacted every
+        ``compact_every`` rounds."""
         spark = self.spark
         start_round = 0
+        part_schemas = {
+            "results": RESULT_SCHEMA,
+            "seen": "url_hash long",
+            "payloads": "image_id string",
+        }
+        if self.record_order:
+            part_schemas["order_log"] = (
+                "round int, host string, url_hash long, planned_fetch_ms long"
+            )
+        parts: dict[str, list[DataFrame]] = {n: [] for n in part_schemas}
         if resume:
             manifest, tables = catalog.load(spark)
             state = CrawlState(
@@ -711,79 +1056,100 @@ class CrawlEngine:
                 seen=tables["seen"].cache(),
                 blocked_domains=tables["blocked_domains"],
                 payloads=tables.get("payloads"),
+                domain_counts=tables.get("domain_counts"),
+                path_counts=tables.get("path_counts"),
+                blocked_paths=tables.get("blocked_paths"),
+                domain_flags=tables.get("domain_flags"),
                 metrics=manifest["lineage"].get("rounds", []),
             )
+            if state.domain_counts is None:
+                fresh = self._fresh_state()
+                state.domain_counts = fresh.domain_counts
+                state.path_counts = fresh.path_counts
+            if state.blocked_paths is None:
+                state.blocked_paths = B.eval_blocked_paths(state.path_counts)
+            if state.domain_flags is None:
+                state.domain_flags = _empty(spark, DOMAIN_FLAGS_SCHEMA)
             frontier = tables["frontier"]
             start_round = manifest["round"] + 1
-        else:
-            state = CrawlState(
-                results=_empty(spark, RESULT_SCHEMA),
-                seen=_empty(spark, "url_hash long"),
-                blocked_domains=_empty(spark, "domain string"),
+            pending = (
+                state.metrics[-1].get("frontier_next")
+                if state.metrics else None
             )
+        else:
+            state = self._fresh_state()
             frontier = seeds.withColumn("depth", F.lit(0)).withColumn(
                 "kind", F.lit("seed")
             )
+            pending = None
+
+        def union_parts(name: str, schema: str) -> DataFrame:
+            dfs = parts[name]
+            if not dfs:
+                return _empty(spark, schema)
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
         for rnd in range(start_round, max_rounds):
-            if frontier.isEmpty():
+            if pending == 0:
                 break
-            state, frontier, finalize = self.run_round(state, frontier, rnd)
-            # LINEAGE TRUNCATION at the round boundary: without it each
-            # round's plan nests the whole previous round's DAG and
-            # analysis/codegen time grows super-linearly with rounds.
-            # With a catalog the committed snapshot IS the cut (state is
-            # re-read from the immutable files — exactly what a resumed
-            # job would see); without one, localCheckpoint materializes
-            # to executor storage. Materialization happens BEFORE any
-            # metric is computed, so each round's plan executes exactly
-            # once; metrics then read only materialized tables and the
-            # cached intermediates (fused single-pass aggregates).
+            if pending is None and frontier.isEmpty():
+                break
+            out = self.run_round(state, frontier, rnd)
+
             if catalog is not None:
-                tables = {
-                    "results": state.results,
-                    "seen": state.seen,
-                    "blocked_domains": state.blocked_domains,
-                    "frontier": frontier,
-                }
-                if state.payloads is not None:
-                    tables["payloads"] = state.payloads
-                snap_id, table_meta, loaded = catalog.write_tables(
-                    spark, tables, warm_first="results"
+                compact = (
+                    len(catalog.latest()["tables"].get("results", {}).get("paths", []))
+                    >= self.compact_every
+                    if catalog.latest() else False
+                )
+                snap_id, table_meta, loaded = catalog.write_round(
+                    spark,
+                    deltas=out.deltas,
+                    fulls={**out.fulls, "frontier": out.next_frontier},
+                    prior={n: getattr(state, n) for n in out.deltas},
+                    warm_first="results",
+                    compact=compact,
                 )
                 state = CrawlState(
                     results=loaded["results"],
                     seen=loaded["seen"],
                     blocked_domains=loaded["blocked_domains"],
                     payloads=loaded.get("payloads"),
+                    domain_counts=loaded["domain_counts"],
+                    path_counts=loaded["path_counts"],
+                    blocked_paths=B.eval_blocked_paths(loaded["path_counts"]),
+                    domain_flags=loaded["domain_flags"],
                     metrics=state.metrics,
                 )
                 frontier = loaded["frontier"]
-                finalize(
-                    seen_total=table_meta["seen"]["rows"],
-                    results_count=table_meta["results"]["rows"],
-                )
+                delta_counts = {
+                    "results": table_meta["results"]["delta_rows"],
+                    "seen": table_meta["seen"]["delta_rows"],
+                    "payloads": table_meta["payloads"]["delta_rows"],
+                    "frontier": table_meta["frontier"]["rows"],
+                }
+                rows = out.metrics_df.collect()
+                out.finalize(rows, delta_counts)
                 catalog.finish_commit(
                     snap_id, table_meta, rnd,
                     {"rounds": state.metrics, "last": state.metrics[-1]},
                 )
             else:
-                # the five truncations are independent Spark jobs over
-                # mostly-cached parents — run them concurrently (the
-                # scheduler interleaves their stages; wall time becomes
-                # max() instead of sum())
-                # results first and alone: it reads EVERY fan-out cache,
-                # so this one job materializes them; the remaining cuts
-                # then run concurrently against warm caches (running all
-                # five at once would race to compute the same cold cache
-                # partitions and duplicate the round's work per job)
-                cut = {"results": state.results.localCheckpoint(eager=True)}
+                # LINEAGE TRUNCATION at the round boundary: without it
+                # each round's plan nests the whole previous round's DAG
+                # and analysis/codegen time grows super-linearly.
+                # results first and alone: its plan reads EVERY fan-out
+                # cache, so this one job materializes them; the
+                # remaining cuts run concurrently against warm caches.
+                cut = {"results": out.deltas["results"].localCheckpoint(eager=True)}
                 to_cut = {
-                    "seen": state.seen,
-                    "blocked_domains": state.blocked_domains,
-                    "frontier": frontier,
+                    **{n: df for n, df in out.deltas.items() if n != "results"},
+                    "frontier": out.next_frontier,
+                    **out.fulls,
                 }
-                if state.payloads is not None:
-                    to_cut["payloads"] = state.payloads
                 with ThreadPoolExecutor(max_workers=len(to_cut)) as pool:
                     cut.update(
                         zip(
@@ -794,17 +1160,49 @@ class CrawlEngine:
                             ),
                         )
                     )
+                for name in parts:
+                    parts[name].append(cut[name])
+                # compaction: bound the number of union parts (and the
+                # per-round scan fan-in) without ever rewriting state
+                # more often than every compact_every rounds
+                if len(parts["results"]) >= self.compact_every:
+                    for name, schema in part_schemas.items():
+                        merged = union_parts(name, schema).localCheckpoint(eager=True)
+                        parts[name] = [merged]
                 state = CrawlState(
-                    results=cut["results"],
-                    seen=cut["seen"],
+                    results=union_parts("results", RESULT_SCHEMA),
+                    seen=union_parts("seen", "url_hash long"),
                     blocked_domains=cut["blocked_domains"],
-                    payloads=cut.get("payloads"),
+                    payloads=union_parts("payloads", "image_id string"),
+                    domain_counts=cut["domain_counts"],
+                    path_counts=cut["path_counts"],
+                    blocked_paths=B.eval_blocked_paths(cut["path_counts"]),
+                    domain_flags=cut["domain_flags"],
+                    order_log=(
+                        union_parts("order_log", part_schemas["order_log"])
+                        if self.record_order else None
+                    ),
                     metrics=state.metrics,
                 )
                 frontier = cut["frontier"]
-                finalize(
-                    seen_total=state.seen.count(),
-                    results_count=state.results.count(),
+                # ONE job: lineage aggregates + all delta cardinalities
+                mdf = out.metrics_df
+                for tag, df in (
+                    ("seen", cut["seen"]),
+                    ("results", cut["results"]),
+                    ("payloads", cut["payloads"]),
+                    ("frontier", cut["frontier"]),
+                ):
+                    mdf = mdf.unionByName(_count_row(df, f"count:{tag}"))
+                rows = mdf.collect()
+                delta_counts = {
+                    r["_t"].split(":", 1)[1]: r["n"]
+                    for r in rows if r["_t"].startswith("count:")
+                }
+                out.finalize(
+                    [r for r in rows if not r["_t"].startswith("count:")],
+                    delta_counts,
                 )
+            pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
         return state

@@ -129,6 +129,75 @@ class SnapshotCatalog:
         os.replace(tmp, final)
         return snap_id
 
+    def write_round(
+        self,
+        spark: SparkSession,
+        deltas: dict[str, DataFrame],
+        fulls: dict[str, DataFrame],
+        prior: dict[str, DataFrame] | None = None,
+        warm_first: str | None = None,
+        compact: bool = False,
+    ) -> tuple[str, dict, dict[str, DataFrame]]:
+        """Iceberg-append-style commit: ``deltas`` tables write ONLY this
+        round's rows — the manifest entry carries the parent's data-file
+        paths plus the new one, so commit I/O is O(round delta) while
+        ``load``/read-back sees the full table (a union of immutable
+        parts). ``fulls`` tables are small dimensions rewritten whole.
+
+        With ``compact=True`` each delta table's cumulative content
+        (``prior`` union delta) is rewritten as ONE part instead —
+        bounding the manifest's path fan-in (the MERGE-compaction the
+        round loop triggers every ``compact_every`` rounds).
+        """
+        snap_id = f"snap-{len(self.snapshots()):05d}"
+        snap_dir = self.root / snap_id
+        parent = self.latest()
+        parent_tables = parent["tables"] if parent else {}
+
+        def parent_paths(name: str) -> list[str]:
+            meta = parent_tables.get(name)
+            if not meta:
+                return []
+            return meta.get("paths", [meta["path"]] if "path" in meta else [])
+
+        def parent_rows(name: str) -> int:
+            meta = parent_tables.get(name)
+            return meta.get("rows", 0) if meta else 0
+
+        def write_one(item):
+            name, df = item
+            is_delta = name in deltas
+            if is_delta and compact and prior is not None and name in prior:
+                df = prior[name].unionByName(df)
+            path = snap_dir / name
+            df.write.mode("overwrite").parquet(str(path))
+            back = spark.read.parquet(str(path))
+            n = back.count()  # parquet footer metadata — no plan recompute
+            if is_delta and not compact:
+                paths = parent_paths(name) + [str(path)]
+                meta = {
+                    "paths": paths,
+                    "rows": parent_rows(name) + n,
+                    "delta_rows": n,
+                }
+                return name, meta, spark.read.parquet(*paths)
+            meta = {"paths": [str(path)], "rows": n}
+            if is_delta:
+                meta["delta_rows"] = n - (parent_rows(name) if compact else 0)
+            return name, meta, back
+
+        items = {**deltas, **fulls}
+        written = []
+        rest = dict(items)
+        if warm_first is not None and warm_first in rest:
+            written.append(write_one((warm_first, rest.pop(warm_first))))
+        if rest:
+            with ThreadPoolExecutor(max_workers=max(1, len(rest))) as pool:
+                written.extend(pool.map(write_one, rest.items()))
+        table_meta = {n: meta for n, meta, _ in written}
+        loaded = {n: back for n, _, back in written}
+        return snap_id, table_meta, loaded
+
     def commit(
         self,
         tables: dict[str, DataFrame],
@@ -151,7 +220,9 @@ class SnapshotCatalog:
             else next(s for s in snaps if s["snapshot_id"] == snapshot_id)
         )
         tables = {
-            name: spark.read.parquet(meta["path"])
+            name: spark.read.parquet(
+                *(meta["paths"] if "paths" in meta else [meta["path"]])
+            )
             for name, meta in manifest["tables"].items()
         }
         return manifest, tables

@@ -20,7 +20,7 @@ from publicationsretriever_spark.sources.synthetic_web import SyntheticWeb
 def crawl_setup(spark):
     web = SyntheticWeb(seed=42, n_hosts=10, pages_per_host_max=12)
     verdicts = compute_verdicts(spark, all_urls_of_web(web), web)
-    engine = CrawlEngine(spark, web, num_buckets=8, host_quota=50)
+    engine = CrawlEngine(spark, web, num_buckets=8, host_quota=50, record_order=True)
     state = engine.crawl(web.seeds_df(spark), max_rounds=3)
     seeds = [(sid, n, u) for n, (sid, u) in enumerate(web.seeds)]
     oracle = crawl_oracle(web, verdicts, seeds, max_rounds=3, host_quota=50)
@@ -71,6 +71,34 @@ def test_doc_results_carry_payload_invariants(spark, crawl_setup):
     caps = {r["image_id"]: r["caption"] for r in fetched.collect()}
     for iid, cap in caps.items():
         assert cap == f"caption of {iid}"
+
+
+def test_crawl_order_matches_oracle(crawl_setup):
+    """BASELINE.md criterion "crawl-order match, exact vs sequential
+    oracle": the engine's totally-ordered fetch log (round, host,
+    url_hash) must EQUAL the oracle's, and the politeness slots must
+    show the engine really fetched in that order within each host."""
+    _web, state, oracle = crawl_setup
+    rows = state.order_log.collect()
+    engine_log = sorted(
+        ((r["round"], r["host"], r["url_hash"]) for r in rows)
+    )
+    assert engine_log == sorted(oracle.order_log)
+    # oracle.order_log is appended in true fetch order — rounds ascend,
+    # and within (round, host) hashes ascend; the sorted engine log must
+    # reproduce the oracle's actual sequence, not just its set
+    assert [t for t in engine_log] == list(oracle.order_log)
+    # slot monotonicity: within (round, host), planned_fetch_ms is
+    # 0, 3000, 6000, ... in url_hash order — i.e. the engine's token
+    # bucket consumed the rows in exactly the logged order
+    by_host: dict = {}
+    for r in sorted(rows, key=lambda r: (r["round"], r["host"], r["url_hash"])):
+        key = (r["round"], r["host"])
+        expected = by_host.get(key, 0)
+        assert r["planned_fetch_ms"] == expected, (
+            f"slot mismatch at {key}: {r['planned_fetch_ms']} != {expected}"
+        )
+        by_host[key] = expected + 3000
 
 
 def test_crawl_order_is_deterministic(spark, crawl_setup):

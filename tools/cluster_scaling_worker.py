@@ -36,15 +36,22 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def get_session(parallelism: int) -> SparkSession:
-    # Partitioning is FIXED across cluster sizes (and AQE coalescing is
-    # off) so both levels execute the identical set of tasks — only the
-    # concurrency differs. Otherwise the small level runs fewer, larger
-    # tasks and the comparison measures task-size effects, not scaling.
+    # Partitioning is IDENTICAL across cluster sizes so both levels
+    # execute the same set of tasks — only the concurrency differs:
+    # spark.sql.shuffle.partitions is fixed, and AQE partition
+    # coalescing runs in SIZE-DRIVEN mode (parallelismFirst=false), so
+    # its decisions depend on the data (same at both levels), never on
+    # the cluster's core count. Coalescing itself stays ON because the
+    # crawl's dimension-table aggregates (domain counters, blocking
+    # rules) are tiny — without it every one of them pays the full
+    # 32-task scheduling overhead per stage, a fixed per-round cost
+    # that poisons the scaling ratio at BOTH levels.
     spark = (
         SparkSession.builder.appName(f"cluster_scaling_{parallelism}")
         .config("spark.sql.shuffle.partitions", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
