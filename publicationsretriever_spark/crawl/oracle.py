@@ -37,6 +37,7 @@ class Verdicts:
     canon: dict[str, str | None]      # clean+canonicalized form
     url_hash: dict[str, int]          # xxhash64(canon)
     top3: dict[str, str | None]
+    path: dict[str, str | None]       # getPathStr page-path (U.path_of)
     fetch_url: dict[str, str]         # canon -> P9-rewritten
     doc_like: dict[str, bool]
     mime_category: dict[str, str | None]  # final_url -> document/dataset/None
@@ -65,8 +66,9 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
             FL.is_possible_doc_url(F.lower(F.col("url")))
             | FL.is_possible_dataset_url(F.lower(F.col("url")))
         ).alias("dl"),
+        U.path_of(F.col("url")).alias("pp"),
     ).collect()
-    v = Verdicts({}, {}, {}, {}, {}, {}, {}, {})
+    v = Verdicts({}, {}, {}, {}, {}, {}, {}, {}, {})
     for r in rows:
         u = r["url"]
         v.page_reject[u] = r["pr"]
@@ -76,6 +78,7 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
         v.top3[u] = r["top3"]
         v.fetch_url[u] = r["fetch_url"]
         v.doc_like[u] = bool(r["dl"])
+        v.path[u] = r["pp"]
 
     # top3 for canonical-form strings too (the engine derives the
     # doc-url domain of a re-crossed row from its canon url)
@@ -153,6 +156,11 @@ class OracleState:
     # P11: learned offline-redirect domains (HttpConnUtils.java:613-623)
     https_domains: set = field(default_factory=set)
     slash_domains: set = field(default_factory=set)
+    # J7: structure-MLA model (PageStructureMLA.java:35-40)
+    structure_model: set = field(default_factory=set)  # (page_path, structure)
+    # A7: remaining-links kill-switch counters (PageCrawler.java:60-61)
+    rem_evals: int = 0
+    rem_hits: int = 0
 
 
 def crawl_oracle(
@@ -308,13 +316,23 @@ def crawl_oracle(
         fetch_now.sort(key=lambda r: (r["top3"], r["hash"]))
         next_frontier = [
             {"id": r["id"], "order_in_id": r["order_in_id"], "url": r["url"],
-             "depth": r["depth"], "kind": r["kind"]}
+             "depth": r["depth"], "kind": r["kind"],
+             "page_final": r.get("page_final"),
+             "structure": r.get("structure"), "phase": r.get("phase")}
             for r in spill
         ]
         rd_https: set = set()
         rd_slash: set = set()
+        rd_model: set = set()
+        rd_rem_evals = rd_rem_hits = 0
+        # A7 flag evaluated ONCE at round start from prior rounds' counters
+        remaining_on = (
+            st.rem_evals < 20 or (st.rem_hits / st.rem_evals) >= 0.002
+        )
         for r in fetch_now:
             st.order_log.append((rnd, r["top3"], r["hash"]))
+            if r.get("phase") == "remaining":
+                rd_rem_evals += 1
             max_hops = MAX_PAGE_REDIRECTS if r["kind"] in ("seed", "redirect") else MAX_LINK_REDIRECTS
             url = v.fetch_url.get(r["url"], r["canon"])
             # P11 apply: offline https/slash rewrite from PRIOR rounds'
@@ -392,6 +410,14 @@ def crawl_oracle(
                 # (UrlUtils.java:113-119)
                 bump(r["top3"], "good")
                 bump(v.top3.get(url), "good")
+                if r.get("phase") == "remaining":
+                    rd_rem_hits += 1
+                # J7 learn: a verified doc that came via an extracted
+                # link stores (page_path, structure)
+                if r.get("structure") is not None and r.get("page_final"):
+                    pp = v.path.get(r["page_final"])
+                    if pp:
+                        rd_model.add((pp, r["structure"]))
                 continue
             ct = sniffed_ct or ""
             if "html" in ct.lower():
@@ -419,37 +445,60 @@ def crawl_oracle(
                          "dynamic internal links")
                     st.blocked.add(v.top3.get(url) or r["top3"])
                     continue
-                candidates: list[tuple[int, str]] = []
+                # candidates: (pos, link, structure, phase)
+                candidates: list[tuple] = []
                 if meta_url:
-                    candidates.append((0, meta_url))
-                found = [x["link"] for x in extracted if x["signal"] == "docFound"]
+                    candidates.append((0, meta_url, None, "meta"))
+                found = [x for x in extracted if x["signal"] == "docFound"]
                 if found:
-                    candidates.append((1, found[0]))
+                    candidates.append(
+                        (1, found[0]["link"], found[0]["structure"], "docfound")
+                    )
                 plain = [
-                    (pos + 2, x["link"])
+                    (pos + 2, x)
                     for pos, x in enumerate(
                         [y for y in extracted if y["signal"] == "plain"][:MAX_LINKS_PER_PAGE]
                     )
                 ]
+                # F15 gather-time gate applies to every kept link
                 accepted = [
-                    (p, l) for p, l in plain if v.link_reject.get(l) is None
+                    (p, x) for p, x in plain if v.link_reject.get(x["link"]) is None
                 ]
-                ranked = sorted(accepted, key=lambda t: (not v.doc_like[t[1]], t[0]))
-                for i, (p, l) in enumerate(ranked, start=1):
+                # J7 structure-MLA hits bypass the 5/10 caps
+                page_path = v.path.get(url)
+                hits = [
+                    (p, x) for p, x in accepted
+                    if (page_path, x["structure"]) in st.structure_model
+                ]
+                rest = [
+                    (p, x) for p, x in accepted
+                    if (page_path, x["structure"]) not in st.structure_model
+                ]
+                for p, x in hits:
+                    candidates.append((p, x["link"], x["structure"], "structure"))
+                ranked = sorted(rest, key=lambda t: (not v.doc_like[t[1]["link"]], t[0]))
+                for i, (p, x) in enumerate(ranked, start=1):
+                    l = x["link"]
                     if v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS:
-                        candidates.append((p, l))
-                    elif not v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS:
-                        candidates.append((p, l))
+                        candidates.append((p, l, x["structure"], "doclike"))
+                    elif (
+                        remaining_on
+                        and not v.doc_like[l]
+                        and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS
+                    ):
+                        candidates.append((p, l, x["structure"], "remaining"))
                 if not candidates:
                     emit(rnd, r["id"], r["url"], "unreachable", "no docUrl found on page")
                     # PageCrawler counters :314,369 — zero extracted links
                     # vs links-but-none-accepted
                     bump(r["top3"], "n_nolinks" if not extracted else "n_nodocurls")
                 else:
-                    for p, l in candidates:
+                    for p, l, struct, phase in candidates:
                         next_frontier.append(
                             {"id": r["id"], "order_in_id": p, "url": l,
-                             "depth": 1, "kind": "internal"}
+                             "depth": 1, "kind": "internal",
+                             "page_final": url, "structure": struct,
+                             "phase": phase}
                         )
             else:
                 emit(rnd, r["id"], r["url"], "unreachable", "not a document or page")
@@ -460,6 +509,9 @@ def crawl_oracle(
         st.seen |= new_seen
         st.https_domains |= {d for d in rd_https if d}
         st.slash_domains |= {d for d in rd_slash if d}
+        st.structure_model |= rd_model
+        st.rem_evals += rd_rem_evals
+        st.rem_hits += rd_rem_hits
         # round boundary: merge counter deltas, then evaluate the exact
         # A2/A3 rules over the CUMULATIVE counters (latched blocks) —
         # operators/blocking.py has the citations

@@ -179,16 +179,49 @@ def full_url(page_url: str, link: str) -> str | None:
         return None
 
 
+#: G7: www.turkjgastroenterol.org embeds the pdf path in a bare div
+#: (SpecialUrlsHandler.Turkjgastroenterol_docUrl_pattern, :192)
+TURKJ_DOC_URL_RE = re.compile(
+    r"<div[\s]*>[\s]*(/content/files/[^<>]+.pdf)[\s]*</div>"
+)
+
+
 def extract_links_one(
     html: str | None, page_url: str, retrieve_documents: bool = True
 ) -> list[dict]:
-    """One page's extraction (G3). Returns [{link, structure, signal}]."""
+    """One page's extraction (G3). Returns [{link, structure, signal}].
+
+    Per-domain extraction specials run first, mirroring
+    PageCrawler.visit's dispatch:
+    - G7 turkjgastroenterol (SpecialUrlsHandler.java:197-254): the doc
+      url is regex-extracted from the raw html; no match ends the page
+      (the reference logs a content-problem row — here the empty link
+      list produces the page's "no docUrl found" row).
+    - G8 aup-online (SpecialUrlsHandler.java:258-273): the doc url is
+      the ``action`` of the form whose ``data-title`` contains
+      "ownload"; anything else on the page is ignored either way
+      (DocLinkFound/DocLinkUnavailable both stop the generic gather).
+    """
     if not html:
+        return []
+    if "turkjgastroenterol" in page_url:
+        m = TURKJ_DOC_URL_RE.search(html)
+        if m:
+            return [{"link": full_url(page_url, m.group(1)),
+                     "structure": None, "signal": "docFound"}]
         return []
     builder = _DomBuilder()
     try:
         builder.feed(html)
     except Exception:  # noqa: BLE001 - malformed html: give up gracefully
+        return []
+    if "aup-online" in page_url:
+        for el in builder.all_nodes:
+            if el.tag == "form" and "ownload" in (el.attr("data-title") or ""):
+                action = (el.attr("action") or "").strip()
+                if action:
+                    return [{"link": full_url(page_url, action),
+                             "structure": _structure(el), "signal": "docFound"}]
         return []
     # selector `a, link[href][type*=pdf], form[action]` (PageCrawler.java:397)
     elements = [

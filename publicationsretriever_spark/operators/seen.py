@@ -118,6 +118,113 @@ def probe_bloom(df: DataFrame, key_col: str, sketch: BloomSketch, out_col: str =
     return df.mapInPandas(probe, schema=f"{schema}, {out_col} boolean")
 
 
+def build_bloom_shards(
+    seen: DataFrame, key_col: str, capacity: int, n_shards: int = 16,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """SHARDED sketch build for 10^10-key seen sets: keys are split by
+    ``pmod(key, n_shards)`` and each shard gets its own bloom sized for
+    capacity/n_shards. Returns a (shard int, bits binary) DataFrame.
+
+    Memory bound: a whole-set sketch at 10^10 keys / 1%% fpp is ~12 GB —
+    shipped in the task closure (``probe_bloom``) that is 12 GB PER TASK
+    BINARY. Sharding bounds the per-task bytes to total/n_shards because
+    the probe joins each frontier shard with exactly its own sketch row
+    (cogrouped applyInPandas), never materializing all shards in one
+    task."""
+    proto = BloomSketch.for_capacity(max(capacity // n_shards, 1), fpp)
+    m_bits, k = proto.m_bits, proto.k
+
+    def partials(batches) -> pd.DataFrame:
+        # one pass per PARTITION (bounded memory: arrow-batch sized
+        # inputs, n_shards small sketches), yielding per-shard partials
+        sketches: dict[int, BloomSketch] = {}
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            shards = pdf["_shard"].to_numpy(dtype=np.int64)
+            for sh in np.unique(shards):
+                sketches.setdefault(int(sh), BloomSketch(m_bits, k)).add(
+                    keys[shards == sh]
+                )
+        yield pd.DataFrame(
+            {"shard": list(sketches), "bits": [s.bits.tobytes() for s in sketches.values()]}
+        )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = BloomSketch(m_bits, k)
+        for b in pdf["bits"]:
+            out = out.merge(BloomSketch(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy()))
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [out.bits.tobytes()]})
+
+    partial_df = (
+        seen.select(key_col)
+        .withColumn("_shard", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+        .mapInPandas(partials, schema="shard int, bits binary")
+    )
+    return partial_df.groupBy("shard").applyInPandas(merge, schema="shard int, bits binary")
+
+
+def mark_seen_sharded(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key_col: str = "url_hash",
+    seen_count: int | None = None,
+    n_shards: int = 16,
+    fpp: float = 0.01,
+    out_col: str = "_seen",
+) -> DataFrame:
+    """Sharded-bloom variant of :func:`mark_seen` for seen sets whose
+    whole-set sketch would blow the task binary (10^10 keys). Same
+    result as the exact marker join (equivalence-tested): the bloom can
+    only send EXTRA rows into the exact join, never change the answer.
+
+    Plan shape: frontier + sketches are COGROUPED on the shard key, so
+    each task holds exactly one shard's bits (total_bits/n_shards);
+    bloom-negative rows skip the exact join entirely."""
+    if seen_count is None:
+        seen_count = seen.count()
+    sketches = build_bloom_shards(seen, key_col, capacity=max(seen_count, 1),
+                                  n_shards=n_shards, fpp=fpp)
+    proto = BloomSketch.for_capacity(max(max(seen_count, 1) // n_shards, 1), fpp)
+    m_bits, k = proto.m_bits, proto.k
+    shard_col = F.pmod(F.col(key_col), F.lit(n_shards)).cast("int")
+    fr = frontier.withColumn("_shard", shard_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fr.schema.fields
+    ) + ", _maybe boolean"
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(_maybe=pd.Series([], dtype=bool))
+        if right.empty:  # no sketch for this shard: nothing was ever seen
+            return left.assign(_maybe=False)
+        sketch = BloomSketch(
+            m_bits, k, np.frombuffer(right["bits"].iloc[0], dtype=np.uint8).copy()
+        )
+        return left.assign(
+            _maybe=sketch.contains(left[key_col].to_numpy(dtype=np.int64))
+        )
+
+    probed = fr.groupBy("_shard").cogroup(sketches.groupBy("shard")).applyInPandas(
+        probe, schema=out_schema
+    )
+    definitely_new = (
+        probed.filter(~F.col("_maybe"))
+        .drop("_maybe", "_shard")
+        .withColumn(out_col, F.lit(False))
+    )
+    maybe = probed.filter(F.col("_maybe")).drop("_maybe", "_shard")
+    marker = (
+        seen.select(key_col).distinct()
+        .withColumn(out_col, F.lit(True))
+        .hint("shuffle_hash")
+    )
+    confirmed = maybe.join(marker, on=key_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(False))
+    )
+    return definitely_new.unionByName(confirmed)
+
+
 def anti_join_seen(frontier: DataFrame, seen: DataFrame, key_col: str = "url_hash") -> DataFrame:
     """EXACT path: frontier rows whose key is NOT in ``seen``.
 

@@ -67,6 +67,7 @@ from ..functions import retry as R
 from ..functions import urls as U
 from ..operators import blocking as B
 from ..operators.besturl import pick_best_url_per_id
+from . import stats as ST
 from ..operators.seen import mark_seen
 from ..sources.synthetic_web import SyntheticWeb
 
@@ -92,7 +93,8 @@ FETCH_OUT_SCHEMA = (
     "final_url string, status int, hops int, error_class string, "
     "content_type string, content_disposition string, content_length long, "
     "body_kind string, image_id string, html_body string, "
-    "planned_fetch_ms long, learned_https_url string, learned_slash_url string"
+    "planned_fetch_ms long, learned_https_url string, learned_slash_url string, "
+    "page_final string, structure string, link_phase string"
 )
 
 #: HttpConnUtils.ENDING_WITH_SLASH_OR_EXTENSION_FILTER (:83) — urls NOT
@@ -141,6 +143,7 @@ class CrawlState:
     path_counts: DataFrame | None = None    # blocking.PATH_COUNTS_SCHEMA
     blocked_paths: DataFrame | None = None  # domain string, path string
     domain_flags: DataFrame | None = None   # DOMAIN_FLAGS_SCHEMA (P11)
+    structure_model: DataFrame | None = None  # (page_path, structure) — J7
     order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
     metrics: list[dict] = field(default_factory=list)
 
@@ -320,6 +323,9 @@ class CrawlEngine:
                         "planned_fetch_ms": planned,
                         "learned_https_url": learned_https_url,
                         "learned_slash_url": learned_slash_url,
+                        "page_final": row.page_final,
+                        "structure": row.structure,
+                        "link_phase": row.link_phase,
                     })
                 yield pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
                     columns=[f.split()[0] for f in FETCH_OUT_SCHEMA.split(", ")]
@@ -589,7 +595,7 @@ class CrawlEngine:
             .select(
                 "id", "url", "canon_url", "url_hash",
                 F.col("top3").alias("host"), "host_bucket", "depth", "kind",
-                "fetch_url",
+                "fetch_url", "page_final", "structure", "link_phase",
             )
             # no repartition: the quota window already co-located each
             # host; this sort makes the politeness slot order a
@@ -696,21 +702,30 @@ class CrawlEngine:
         live = pages.filter(~F.col("_restricted")).filter(~has_dynamic)
 
         # candidates, ranked per G9: meta docUrl (rank 0) > docFound
-        # signal (rank 1) > possible-doc links (<=5) > remaining (<=10)
+        # signal (rank 1) > structure-MLA hits (J7) > possible-doc links
+        # (<=5) > remaining (<=10)
+        null_s = F.lit(None).cast("string")
         meta_c = live.filter(F.col("_meta_url").isNotNull()).select(
             F.col("id"), F.col("url").alias("page_url"),
+            F.col("final_url").alias("page_final"),
             F.lit(0).alias("pos"), F.col("_meta_url").alias("link"),
+            null_s.alias("structure"), F.lit("meta").alias("phase"),
+        )
+        _df_elem = F.try_element_at(
+            F.filter("_links", lambda x: x["signal"] == "docFound"), F.lit(1)
         )
         doc_found = live.select(
             F.col("id"), F.col("url").alias("page_url"),
+            F.col("final_url").alias("page_final"),
             F.lit(1).alias("pos"),
-            F.try_element_at(
-                F.filter("_links", lambda x: x["signal"] == "docFound"), F.lit(1)
-            )["link"].alias("link"),
+            _df_elem["link"].alias("link"),
+            _df_elem["structure"].alias("structure"),
+            F.lit("docfound").alias("phase"),
         ).filter(F.col("link").isNotNull())
 
-        plain = live.select(
+        exploded = live.select(
             F.col("id"), F.col("url").alias("page_url"),
+            F.col("final_url").alias("page_final"),
             F.posexplode(
                 F.slice(
                     F.filter("_links", lambda x: x["signal"] == "plain"),
@@ -718,16 +733,52 @@ class CrawlEngine:
                 )
             ).alias("pos", "l"),
         ).select(
-            "id", "page_url", (F.col("pos") + 2).alias("pos"),
+            "id", "page_url", "page_final", (F.col("pos") + 2).alias("pos"),
             F.col("l")["link"].alias("link"),
+            F.col("l")["structure"].alias("structure"),
         )
-        plain = plain.withColumn(
+        # F15 gather-time gate (checkAndGatherInternalLink applies
+        # shouldNotAcceptInternalLink before any link is kept,
+        # PageCrawler.java:605-651) — applies to structure hits too
+        exploded = exploded.withColumn(
             "link_reject", self.battery.internal_link_reject_reason(F.lower(F.col("link")))
         ).filter(F.col("link_reject").isNull()).drop("link_reject")
+
+        # J7 structure-MLA prediction (PageStructureMLA.predictDocOrDatasetLink
+        # :65-100, called at PageCrawler.java:417): a gathered link whose
+        # DOM structure matches a stored structure for this page-path is
+        # the page's doc link — fetched outside the 5/10 caps.
+        struct_model = (state.structure_model if state.structure_model is not None
+                        else _empty(spark, "page_path string, structure string"))
+        sm = struct_model.select(
+            F.col("page_path").alias("_m_pp"), F.col("structure").alias("_m_st"),
+        ).withColumn("_m_hit", F.lit(True))
+        exploded = exploded.withColumn("_pp", U.path_of(F.col("page_final")))
+        exploded = exploded.join(
+            F.broadcast(sm),
+            (exploded["_pp"] == sm["_m_pp"]) & (exploded["structure"] == sm["_m_st"]),
+            "left",
+        ).drop("_m_pp", "_m_st")
+        struct_hits = exploded.filter(F.col("_m_hit")).select(
+            "id", "page_url", "page_final", "pos", "link", "structure",
+            F.lit("structure").alias("phase"),
+        )
+        plain = exploded.filter(F.col("_m_hit").isNull()).drop("_m_hit", "_pp")
         plain = plain.withColumn(
             "is_doc_like",
             FL.is_possible_doc_url(F.lower(F.col("link")))
             | FL.is_possible_dataset_url(F.lower(F.col("link"))),
+        )
+        # A7 kill-switch (PageCrawler.checkRemainingInternalLinks
+        # :710-728): once the "remaining links" phase has been evaluated
+        # >= 20 times with a doc hit-rate < 0.2%, it is disabled for all
+        # subsequent rounds (round-granular; counters live in lineage).
+        prev_m = state.metrics[-1] if state.metrics else {}
+        rem_evals = prev_m.get("remaining_evals", 0)
+        rem_hits = prev_m.get("remaining_hits", 0)
+        remaining_on = (
+            rem_evals < ST.MIN_EVALUATIONS
+            or (rem_hits / rem_evals) >= ST.HIT_RATE_THRESHOLD
         )
         wl = Window.partitionBy("page_url").orderBy(
             F.col("is_doc_like").desc(), F.col("pos")
@@ -735,11 +786,23 @@ class CrawlEngine:
         plain = plain.withColumn("_lr", F.row_number().over(wl))
         plain = plain.filter(
             (F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS))
-            | (~F.col("is_doc_like") & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS))
-        ).drop("is_doc_like", "_lr")
+            | (
+                F.lit(remaining_on)
+                & ~F.col("is_doc_like")
+                & (F.col("_lr") <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS)
+            )
+        ).select(
+            "id", "page_url", "page_final", "pos", "link", "structure",
+            F.when(F.col("is_doc_like"), "doclike").otherwise("remaining").alias("phase"),
+        )
 
         # fan-out: next-round frontier + "page yielded nothing" anti-join
-        links = meta_c.unionByName(doc_found).unionByName(plain).cache()
+        links = (
+            meta_c.unionByName(doc_found)
+            .unionByName(struct_hits)
+            .unionByName(plain)
+            .cache()
+        )
         _round_caches.append(links)
         next_frontier = links.select(
             F.col("id"),
@@ -747,9 +810,14 @@ class CrawlEngine:
             F.col("link").alias("url"),
             F.lit(1).alias("depth"),
             F.lit("internal").alias("kind"),
+            "page_final", "structure",
+            F.col("phase").alias("link_phase"),
         ).unionByName(
             # spilled rows re-enter untouched next round
-            spill.select("id", "order_in_id", "url", "depth", "kind")
+            spill.select(
+                "id", "order_in_id", "url", "depth", "kind",
+                "page_final", "structure", "link_phase",
+            )
         )
 
         # all page terminal outcomes in ONE pass over the cached pages:
@@ -924,6 +992,15 @@ class CrawlEngine:
             .agg(F.max("https_ok").alias("https_ok"), F.max("slash_ok").alias("slash_ok"))
         )
 
+        # J7 learning (PageStructureMLA.java:35-40): every VERIFIED doc
+        # that arrived via an extracted link stores (page_path, structure)
+        learned_struct = classified.filter(
+            is_doc & F.col("structure").isNotNull() & F.col("page_final").isNotNull()
+        ).select(
+            U.path_of(F.col("page_final")).alias("page_path"), "structure"
+        ).filter(F.col("page_path").isNotNull())
+        structure_model = struct_model.unionByName(learned_struct).distinct()
+
         unknown_blocked = classified.filter(
             F.col("error_class") == "unknown_code"
         ).select(F.col("host").alias("domain")).distinct()
@@ -950,14 +1027,24 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("error_class").isNotNull().cast("long")).alias("x"),
         ).select("_t", "host_bucket", "n", "x")
-        metrics_df = staged_agg.unionByName(fetch_agg)
+        remaining_agg = classified.filter(
+            F.col("link_phase") == "remaining"
+        ).groupBy().agg(
+            F.lit("remaining").alias("_t"),
+            F.lit(None).cast("int").alias("host_bucket"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_doc.cast("long")).alias("x"),
+        ).select("_t", "host_bucket", "n", "x")
+        metrics_df = staged_agg.unionByName(fetch_agg).unionByName(remaining_agg)
 
         def finalize(rows: list, delta_counts: dict[str, int]) -> None:
             """Ingest the fused metrics job's rows (collected AFTER the
             round's deltas materialized) and release the caches."""
             staged_rows = [r for r in rows if r["_t"] == "staged"]
             fetch_rows = [r for r in rows if r["_t"] == "fetch"]
-            prev_seen = state.metrics[-1]["seen_total"] if state.metrics else 0
+            rem_rows = [r for r in rows if r["_t"] == "remaining"]
+            prev = state.metrics[-1] if state.metrics else {}
+            prev_seen = prev.get("seen_total", 0)
             state.metrics.append({
                 "round": round_no,
                 "frontier_in": sum(r["n"] for r in staged_rows),
@@ -966,6 +1053,10 @@ class CrawlEngine:
                 "results": delta_counts.get("results", 0),
                 "seen_total": prev_seen + delta_counts.get("seen", 0),
                 "frontier_next": delta_counts.get("frontier", 0),
+                "remaining_evals": prev.get("remaining_evals", 0)
+                + sum(r["n"] for r in rem_rows),
+                "remaining_hits": prev.get("remaining_hits", 0)
+                + sum(r["x"] or 0 for r in rem_rows),
                 "frontier_offsets": {
                     str(r["host_bucket"]): r["n"] for r in staged_rows
                 },
@@ -996,6 +1087,7 @@ class CrawlEngine:
                 "domain_counts": domain_counts,
                 "path_counts": path_counts,
                 "domain_flags": domain_flags,
+                "structure_model": structure_model,
             },
             next_frontier=next_frontier,
             metrics_df=metrics_df,
@@ -1014,6 +1106,7 @@ class CrawlEngine:
             path_counts=_empty(spark, B.PATH_COUNTS_SCHEMA),
             blocked_paths=_empty(spark, "domain string, path string"),
             domain_flags=_empty(spark, DOMAIN_FLAGS_SCHEMA),
+            structure_model=_empty(spark, "page_path string, structure string"),
         )
 
     def crawl(
@@ -1060,6 +1153,7 @@ class CrawlEngine:
                 path_counts=tables.get("path_counts"),
                 blocked_paths=tables.get("blocked_paths"),
                 domain_flags=tables.get("domain_flags"),
+                structure_model=tables.get("structure_model"),
                 metrics=manifest["lineage"].get("rounds", []),
             )
             if state.domain_counts is None:
@@ -1070,6 +1164,10 @@ class CrawlEngine:
                 state.blocked_paths = B.eval_blocked_paths(state.path_counts)
             if state.domain_flags is None:
                 state.domain_flags = _empty(spark, DOMAIN_FLAGS_SCHEMA)
+            if state.structure_model is None:
+                state.structure_model = _empty(
+                    spark, "page_path string, structure string"
+                )
             frontier = tables["frontier"]
             start_round = manifest["round"] + 1
             pending = (
@@ -1078,8 +1176,12 @@ class CrawlEngine:
             )
         else:
             state = self._fresh_state()
-            frontier = seeds.withColumn("depth", F.lit(0)).withColumn(
-                "kind", F.lit("seed")
+            frontier = (
+                seeds.withColumn("depth", F.lit(0))
+                .withColumn("kind", F.lit("seed"))
+                .withColumn("page_final", F.lit(None).cast("string"))
+                .withColumn("structure", F.lit(None).cast("string"))
+                .withColumn("link_phase", F.lit(None).cast("string"))
             )
             pending = None
 
@@ -1122,6 +1224,7 @@ class CrawlEngine:
                     path_counts=loaded["path_counts"],
                     blocked_paths=B.eval_blocked_paths(loaded["path_counts"]),
                     domain_flags=loaded["domain_flags"],
+                    structure_model=loaded["structure_model"],
                     metrics=state.metrics,
                 )
                 frontier = loaded["frontier"]
@@ -1178,6 +1281,7 @@ class CrawlEngine:
                     path_counts=cut["path_counts"],
                     blocked_paths=B.eval_blocked_paths(cut["path_counts"]),
                     domain_flags=cut["domain_flags"],
+                    structure_model=cut["structure_model"],
                     order_log=(
                         union_parts("order_log", part_schemas["order_log"])
                         if self.record_order else None

@@ -126,3 +126,52 @@ def test_meta_doc_url_and_access(spark):
     assert got[1]["doc"] == "https://h.org/q.pdf"
     assert got[2]["restricted"] is True
     assert got[3]["doc"] is None and got[3]["restricted"] is False
+
+
+def test_turkj_special_extracts_pdf_from_div():
+    """G7 (SpecialUrlsHandler.extractAndCheckTurkjgastroenterolDocUrl,
+    :197-254): the pdf path sits in a bare div in the raw html."""
+    from publicationsretriever_spark.functions.htmlparse import extract_links_one
+
+    html = (
+        "<html><body><div >  /content/files/sayilar/389/buyuk/1-7.pdf"
+        " </div></body></html>"
+    )
+    out = extract_links_one(
+        html, "https://www.turkjgastroenterol.org/en/article-x"
+    )
+    assert out == [{
+        "link": "https://www.turkjgastroenterol.org/content/files/sayilar/389/buyuk/1-7.pdf",
+        "structure": None,
+        "signal": "docFound",
+    }]
+    # no div match -> page yields nothing (content-problem row upstream)
+    assert extract_links_one(
+        "<html><body><a href='/x'>x</a></body></html>",
+        "https://www.turkjgastroenterol.org/en/article-x",
+    ) == []
+
+
+def test_aup_online_data_title_download_form():
+    """G8 (SpecialUrlsHandler.handleAupOnlineDocUrl, :258-273): the doc
+    url is the action of the form whose data-title contains 'ownload'."""
+    from publicationsretriever_spark.functions.htmlparse import extract_links_one
+
+    html = (
+        '<html><body>'
+        '<form action="/fake/download" data-title="Preview"><input/></form>'
+        '<form action="/deliver/fulltext/1.pdf" data-title="Download PDF">'
+        "<input/></form>"
+        '<a href="/some/other">other</a>'
+        "</body></html>"
+    )
+    out = extract_links_one(html, "https://www.aup-online.com/content/journals/x")
+    assert len(out) == 1
+    assert out[0]["signal"] == "docFound"
+    assert out[0]["link"] == "https://www.aup-online.com/deliver/fulltext/1.pdf"
+    assert out[0]["structure"]  # learned structure (J7) present
+    # no Download form -> page yields nothing (DocLinkUnavailable)
+    assert extract_links_one(
+        '<html><body><a href="/y">y</a></body></html>',
+        "https://www.aup-online.com/content/journals/x",
+    ) == []
