@@ -124,7 +124,10 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("sh")
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
-    # per-doc shingle array in canonical (rarity, shingle) order
+    # per-doc shingle array in canonical (rarity, shingle) order —
+    # CACHED: the sets feed three consumers (prefix explode + both join
+    # sides); uncached, the shingle explode/join/sort would recompute
+    # once per consumer
     sets = (
         sh.join(freq, "sh")
         .groupBy(id_col)
@@ -134,6 +137,7 @@ def ngram_jaccard_pairs(
             F.transform("ss", lambda s: s["sh"]).alias("shs"),
             F.size("ss").alias("n_sh"),
         )
+        .cache()
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

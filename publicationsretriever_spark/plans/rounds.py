@@ -52,11 +52,14 @@ Scale design (10^10 frontier):
 
 from __future__ import annotations
 
+import os
+import time as _time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -402,11 +405,27 @@ class CrawlEngine:
         lit = F.lit
         _round_caches: list[DataFrame] = []
 
-        # ---- stage + in-round dedup + seen mark (ONE cache point: the
-        # window and the seen join are the two shuffles every downstream
-        # split re-reads) -------------------------------------------------
-        staged = self.prepare_frontier(frontier, round_no).cache()
-        _round_caches.append(staged)
+        # Every fan-out point is EAGERLY materialized (localCheckpoint):
+        # the round's result-delta is a union of many branches whose
+        # stages run CONCURRENTLY inside one job — with lazy .cache()
+        # the parallel stages race to compute the same cold partitions
+        # (Spark does not lock per-partition cache computation) and the
+        # round's Python work (canonicalize/fetch/extract) runs 2-4x.
+        # Eager checkpoints compute each stage exactly once AND truncate
+        # the logical plan, collapsing downstream analysis cost.
+        # serialized storage: the html-carrying frames stored as
+        # deserialized JVM strings GC-thrash small executors (measured
+        # 40-70%% GC time); serialized blocks live off the hot heap
+        def _cut(df: DataFrame) -> DataFrame:
+            # pyspark's MEMORY_AND_DISK is the SERIALIZED level (the
+            # deserialized variant is MEMORY_AND_DISK_DESER, the JVM
+            # localCheckpoint default)
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+
+        # ---- stage + in-round dedup + seen mark -------------------------
+        staged = _cut(self.prepare_frontier(frontier, round_no))
 
         reject_results = staged.filter(F.col("reject_reason").isNotNull()).select(
             *self._result_row(
@@ -423,11 +442,10 @@ class CrawlEngine:
         ok = staged.filter(F.col("reject_reason").isNull())
         w = Window.partitionBy("url_hash").orderBy("order_in_id", "id")
         seen_count = state.metrics[-1]["seen_total"] if state.metrics else 0
-        marked = mark_seen(
+        marked = _cut(mark_seen(
             ok.withColumn("_rn", F.row_number().over(w)),
             state.seen, "url_hash", seen_count=seen_count,
-        ).cache()
-        _round_caches.append(marked)
+        ))
 
         dup_results = marked.filter((F.col("_rn") > 1) | F.col("_seen")).select(
             *self._result_row(
@@ -549,8 +567,7 @@ class CrawlEngine:
             F.col("_orig_id").isNull() & F.col("_pblk").isNull() & ~F.col("_rob"),
         )
         wq = Window.partitionBy("top3", "_fetchable").orderBy("priority", "url_hash")
-        sched = sched.withColumn("_hq", F.row_number().over(wq)).cache()
-        _round_caches.append(sched)
+        sched = _cut(sched.withColumn("_hq", F.row_number().over(wq)))
 
         recross_results = sched.filter(F.col("_orig_id").isNotNull()).select(
             *self._result_row(
@@ -638,8 +655,8 @@ class CrawlEngine:
             )
             .when(M.is_html_mime(F.col("content_type")), "page")
             .otherwise("other"),
-        ).join(F.broadcast(self._payload_meta), "image_id", "left").cache()
-        _round_caches.append(classified)
+        ).join(F.broadcast(self._payload_meta), "image_id", "left")
+        classified = _cut(classified)
 
         # doc/error/other fetch outcomes in ONE pass (a single select with
         # when-chains instead of three branch plans)
@@ -688,8 +705,11 @@ class CrawlEngine:
             "_restricted", H.meta_access_restricted(F.col("html_body"))
         ).withColumn(
             "_links", H.extract_links_udf(F.col("html_body"), F.col("final_url"))
-        ).cache()
-        _round_caches.append(pages)
+        )
+        # the html served its purpose (meta scan + extraction): drop it
+        # before materializing — the pages checkpoint would otherwise
+        # store every body a second time
+        pages = _cut(pages.drop("html_body", "mime_res"))
 
         # dynamic-link pages block their domain (F13,
         # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
@@ -797,13 +817,11 @@ class CrawlEngine:
         )
 
         # fan-out: next-round frontier + "page yielded nothing" anti-join
-        links = (
+        links = _cut(
             meta_c.unionByName(doc_found)
             .unionByName(struct_hits)
             .unionByName(plain)
-            .cache()
         )
-        _round_caches.append(links)
         next_frontier = links.select(
             F.col("id"),
             F.col("pos").cast("long").alias("order_in_id"),
@@ -1199,7 +1217,13 @@ class CrawlEngine:
                 break
             if pending is None and frontier.isEmpty():
                 break
+            _t0 = _time.time()
+            _timing = os.environ.get("PR_TIMING") == "1"
             out = self.run_round(state, frontier, rnd)
+            if _timing:
+                print(f"TIMING r{rnd} plan_build {_time.time()-_t0:.2f}",
+                      flush=True)
+                _t0 = _time.time()
 
             if catalog is not None:
                 compact = (
@@ -1248,21 +1272,48 @@ class CrawlEngine:
                 # cache, so this one job materializes them; the
                 # remaining cuts run concurrently against warm caches.
                 cut = {"results": out.deltas["results"].localCheckpoint(eager=True)}
+                if _timing:
+                    print(f"TIMING r{rnd} results_ckpt {_time.time()-_t0:.2f}",
+                          flush=True)
+                    _t0 = _time.time()
                 to_cut = {
                     **{n: df for n, df in out.deltas.items() if n != "results"},
                     "frontier": out.next_frontier,
                     **out.fulls,
                 }
-                with ThreadPoolExecutor(max_workers=len(to_cut)) as pool:
-                    cut.update(
-                        zip(
-                            to_cut,
-                            pool.map(
-                                lambda df: df.localCheckpoint(eager=True),
-                                to_cut.values(),
-                            ),
+                # the two counter dims are the COLD caches every other
+                # dimension plan reads — materialize them alone first;
+                # concurrent jobs would race to compute the same cold
+                # partitions and multiply the work (measured 5x slower
+                # on a multi-executor cluster)
+                for name in ("domain_counts", "path_counts"):
+                    if name in to_cut:
+                        _tt = _time.time()
+                        cut[name] = to_cut.pop(name).localCheckpoint(eager=True)
+                        if _timing:
+                            print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
+                                  flush=True)
+                if _timing:
+                    for name, df in to_cut.items():
+                        _tt = _time.time()
+                        cut[name] = df.localCheckpoint(eager=True)
+                        print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
+                              flush=True)
+                else:
+                    with ThreadPoolExecutor(max_workers=len(to_cut)) as pool:
+                        cut.update(
+                            zip(
+                                to_cut,
+                                pool.map(
+                                    lambda df: df.localCheckpoint(eager=True),
+                                    to_cut.values(),
+                                ),
+                            )
                         )
-                    )
+                if _timing:
+                    print(f"TIMING r{rnd} other_ckpt {_time.time()-_t0:.2f}",
+                          flush=True)
+                    _t0 = _time.time()
                 for name in parts:
                     parts[name].append(cut[name])
                 # compaction: bound the number of union parts (and the
@@ -1307,6 +1358,9 @@ class CrawlEngine:
                     [r for r in rows if not r["_t"].startswith("count:")],
                     delta_counts,
                 )
+                if _timing:
+                    print(f"TIMING r{rnd} metrics {_time.time()-_t0:.2f}",
+                          flush=True)
             pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
         return state

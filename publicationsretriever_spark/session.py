@@ -41,6 +41,13 @@ def get_spark(
         # counters, blocking rules) collapse to few tasks instead of
         # paying full shuffle-partition scheduling overhead per stage
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # tiny advisory size: only KB-scale shuffles (dimension
+        # aggregates) coalesce; data-bearing shuffles keep full width.
+        # The crawl's rows are python-CPU-heavy, not byte-heavy — the
+        # default 64MB advisory would merge the whole fetch stage into
+        # one task and serialize the Python work
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

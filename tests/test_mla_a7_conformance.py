@@ -147,7 +147,7 @@ def test_structure_mla_shortcuts_the_capped_link(spark):
 
 def test_a7_kill_switch_disables_remaining_links(spark):
     web = A7Web()
-    state, oracle = _crawl_both(spark, web, max_rounds=5)
+    state, oracle = _crawl_both(spark, web, max_rounds=4)
     assert _results_key(state.results.collect()) == _results_key(oracle.results)
     srcs = {r["sourceUrl"] for r in state.results.collect()}
     # round 1 fetched the first-wave dead links (the >20 evaluations)...

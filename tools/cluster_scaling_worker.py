@@ -52,6 +52,13 @@ def get_session(parallelism: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # tiny advisory size: only KB-scale shuffles (dimension
+        # aggregates) coalesce; data-bearing shuffles keep full width.
+        # The crawl's rows are python-CPU-heavy, not byte-heavy — the
+        # default 64MB advisory would merge the whole fetch stage into
+        # one task and serialize the Python work
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -208,7 +215,7 @@ def main() -> None:
 
     # FIXED task count regardless of cluster size: both levels run the
     # identical 32 tasks per stage; only concurrency differs.
-    parallelism = int(os.environ.get("BENCH_PARTITIONS", "32"))
+    parallelism = int(os.environ.get("BENCH_PARTITIONS", "64"))
     spark = get_session(parallelism)
     out = {"n_executors": n_executors, "parallelism": parallelism}
     if os.environ.get("BENCH_SKIP_LOAD") != "1":
