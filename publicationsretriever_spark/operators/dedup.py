@@ -127,7 +127,9 @@ def ngram_jaccard_pairs(
     # per-doc shingle array in canonical (rarity, shingle) order —
     # CACHED: the sets feed three consumers (prefix explode + both join
     # sides); uncached, the shingle explode/join/sort would recompute
-    # once per consumer
+    # once per consumer. (A window-count over sh avoids the join but
+    # measured slower: the window materializes every row per shingle
+    # partition while the aggregate combines map-side.)
     sets = (
         sh.join(freq, "sh")
         .groupBy(id_col)

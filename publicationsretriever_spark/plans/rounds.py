@@ -189,6 +189,7 @@ class CrawlEngine:
         battery: FL.FilterBattery = FL.DEFAULT_BATTERY,
         compact_every: int = 8,
         record_order: bool = False,
+        request_budget_ms: int | None = None,
     ):
         self.spark = spark
         self.web = web
@@ -196,6 +197,11 @@ class CrawlEngine:
         # (round, host, url_hash, planned_fetch_ms) for crawl-order
         # conformance vs the sequential oracle (BASELINE.md criterion)
         self.record_order = record_order
+        # C6: per-request watchdog budget (the reference interrupts
+        # zombie reads with size-tiered timeouts, FileUtils.java:430-462,
+        # ConnSupportUtils.java:1109-1116); a fetch whose resolver takes
+        # longer than the budget is classified conn_timeout
+        self.request_budget_ms = request_budget_ms
         # host_bucket is a lineage/bucketing key only (metrics,
         # Iceberg bucket(N, host)); FETCH parallelism follows the quota
         # window's shuffle (spark.sql.shuffle.partitions) — so scale the
@@ -235,9 +241,30 @@ class CrawlEngine:
 
     def _fetch_udf(self):
         make_resolver = self._make_resolver  # picklable factory (tiny)
+        budget_ms = self.request_budget_ms
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            resolve = make_resolver()  # one construction per task
+            import time as _t
+
+            raw_resolve = make_resolver()  # one construction per task
+
+            if budget_ms is None:
+                resolve = raw_resolve
+            else:
+                # C6 watchdog: a request over budget becomes a timeout
+                # (status -1), indistinguishable from a network timeout
+                # for the retry/blocking rules downstream
+                def resolve(url):
+                    t0 = _t.time()
+                    resp = raw_resolve(url)
+                    if (_t.time() - t0) * 1000 > budget_ms:
+                        return {
+                            "status": -1, "location": None,
+                            "content_type": None, "content_disposition": None,
+                            "content_length": 0, "body_kind": "error",
+                            "image_id": None, "html_links": [],
+                        }
+                    return resp
 
             # per-host virtual politeness clock: ALL rows of one host are
             # in this partition (the quota window shuffled by top3), so
