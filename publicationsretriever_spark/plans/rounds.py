@@ -147,6 +147,7 @@ class CrawlState:
     blocked_paths: DataFrame | None = None  # domain string, path string
     domain_flags: DataFrame | None = None   # DOMAIN_FLAGS_SCHEMA (P11)
     structure_model: DataFrame | None = None  # (page_path, structure) — J7
+    pages_html: DataFrame | None = None       # S6 html sink (optional)
     order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
     metrics: list[dict] = field(default_factory=list)
 
@@ -190,6 +191,7 @@ class CrawlEngine:
         compact_every: int = 8,
         record_order: bool = False,
         request_budget_ms: int | None = None,
+        store_html: bool = False,
     ):
         self.spark = spark
         self.web = web
@@ -202,6 +204,10 @@ class CrawlEngine:
         # ConnSupportUtils.java:1109-1116); a fetch whose resolver takes
         # longer than the budget is classified conn_timeout
         self.request_budget_ms = request_budget_ms
+        # S6: -downloadJustHtmlFiles mode (ConnSupportUtils.java:994-1079,
+        # HtmlFileUtils.java:22-33, ArgsUtils.java:35) — persist each
+        # visited page's html hash/size as a pages_html delta table
+        self.store_html = store_html
         # host_bucket is a lineage/bucketing key only (metrics,
         # Iceberg bucket(N, host)); FETCH parallelism follows the quota
         # window's shuffle (spark.sql.shuffle.partitions) — so scale the
@@ -1123,6 +1129,17 @@ class CrawlEngine:
                 F.lit(round_no).alias("round"), F.col("host"),
                 F.col("url_hash"), F.col("planned_fetch_ms"),
             )
+        if self.store_html:
+            # S6 html sink: hash+size per visited page (the reference
+            # stores the file and logs md5/size; the table IS the sink)
+            deltas["pages_html"] = classified.filter(
+                (F.col("category") == "page") & F.col("html_body").isNotNull()
+            ).select(
+                F.col("url"), F.col("final_url"),
+                F.md5(F.col("html_body")).alias("html_hash"),
+                F.length(F.col("html_body")).alias("html_size"),
+                F.lit(round_no).alias("round"),
+            )
         return RoundOutput(
             deltas=deltas,
             # blocked_paths is NOT materialized: it is a filter over the
@@ -1185,6 +1202,11 @@ class CrawlEngine:
         if self.record_order:
             part_schemas["order_log"] = (
                 "round int, host string, url_hash long, planned_fetch_ms long"
+            )
+        if self.store_html:
+            part_schemas["pages_html"] = (
+                "url string, final_url string, html_hash string, "
+                "html_size long, round int"
             )
         parts: dict[str, list[DataFrame]] = {n: [] for n in part_schemas}
         if resume:
@@ -1360,6 +1382,10 @@ class CrawlEngine:
                     blocked_paths=B.eval_blocked_paths(cut["path_counts"]),
                     domain_flags=cut["domain_flags"],
                     structure_model=cut["structure_model"],
+                    pages_html=(
+                        union_parts("pages_html", part_schemas["pages_html"])
+                        if self.store_html else None
+                    ),
                     order_log=(
                         union_parts("order_log", part_schemas["order_log"])
                         if self.record_order else None
