@@ -16,24 +16,14 @@ def _key(df):
                   for r in df.collect())
 
 
-def test_compaction_changes_nothing(spark):
-    """compact_every=2 vs effectively-never: identical results/seen."""
+def test_compaction_and_catalog_resume_across_boundary(spark, tmp_path):
+    """One reference crawl (no compaction), then a catalog crawl with
+    compact_every=2 interrupted after round 2 and resumed: the delta
+    path lists stay bounded, and both the compacted in-memory state and
+    the resumed-across-compaction state match the reference exactly."""
     web = SpillWeb()
-    a = CrawlEngine(spark, web, num_buckets=4, host_quota=8,
-                    compact_every=2).crawl(web.seeds_df(spark), max_rounds=5)
-    b = CrawlEngine(spark, web, num_buckets=4, host_quota=8,
-                    compact_every=99).crawl(web.seeds_df(spark), max_rounds=5)
-    assert _key(a.results) == _key(b.results)
-    assert set(r[0] for r in a.seen.collect()) == set(
-        r[0] for r in b.seen.collect()
-    )
-
-
-def test_catalog_compaction_and_resume_across_boundary(spark, tmp_path):
-    """Catalog mode: delta paths are bounded by compact_every, and a
-    resume from a snapshot AFTER a compaction is exact."""
-    web = SpillWeb()
-    full = CrawlEngine(spark, web, num_buckets=4, host_quota=8).crawl(
+    reference = CrawlEngine(spark, web, num_buckets=4, host_quota=8,
+                            compact_every=99).crawl(
         web.seeds_df(spark), max_rounds=5
     )
 
@@ -50,7 +40,7 @@ def test_catalog_compaction_and_resume_across_boundary(spark, tmp_path):
                           compact_every=2).crawl(
         None, max_rounds=5, catalog=cat, resume=True
     )
-    assert _key(resumed.results) == _key(full.results)
+    assert _key(resumed.results) == _key(reference.results)
     assert set(r[0] for r in resumed.seen.collect()) == set(
-        r[0] for r in full.seen.collect()
+        r[0] for r in reference.seen.collect()
     )
