@@ -54,3 +54,48 @@ def per_host_rates(frontier_stream: DataFrame) -> DataFrame:
     return frontier_stream.groupBy(F.window("ts", "5 minutes"), "host").agg(
         F.count(F.lit(1)).alias("n_urls")
     )
+
+
+def schedule_politely(
+    frontier_stream: DataFrame, politeness_ms: int = 3000
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: the per-host politeness token
+    bucket (N5, ConnSupportUtils.applyPolitenessDelay :561-598) as
+    durable stream state via ``applyInPandasWithState``.
+
+    Each host group keeps one long of state — the next free fetch slot —
+    so slot assignment continues seamlessly ACROSS micro-batches (the
+    batch engine's task-local clock resets per round; the stream's
+    clock never does). Rows are slotted in deterministic (url_hash)
+    order within each batch, mirroring the batch fetch stage.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "id string, url string, url_hash long, host string, "
+        "planned_fetch_ms long"
+    )
+    state_schema = "next_slot long"
+
+    def assign(key, pdfs, state):
+        import pandas as pd
+
+        (next_slot,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url_hash", kind="mergesort")
+            slots = [next_slot + i * politeness_ms for i in range(len(pdf))]
+            if slots:
+                next_slot = slots[-1] + politeness_ms
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"], "url": pdf["url"],
+                    "url_hash": pdf["url_hash"], "host": pdf["host"],
+                    "planned_fetch_ms": slots,
+                }
+            )
+        state.update((next_slot,))
+
+    return frontier_stream.groupBy("host").applyInPandasWithState(
+        assign, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

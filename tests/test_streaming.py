@@ -67,3 +67,44 @@ def test_per_host_rates(spark, tmp_path):
     out = spark.sql("SELECT host, n_urls FROM rates_out").collect()
     assert sum(r["n_urls"] for r in out) == 4
     assert all(r["host"] == "h1.org" for r in out)
+
+
+def test_stateful_politeness_slots_continue_across_batches(spark, tmp_path):
+    """applyInPandasWithState politeness: per-host slot numbering is
+    durable stream state — the second micro-batch continues exactly
+    where the first stopped (the batch engine resets per round)."""
+    from publicationsretriever_spark.streaming.ingest import schedule_politely
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "seeds3"
+    src.mkdir()
+    # two separate files + maxFilesPerTrigger=1 => two micro-batches
+    spark.createDataFrame(
+        [("a", f"https://h9.org/files/a{i}.pdf", t0) for i in range(3)], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("b", f"https://h9.org/files/b{i}.pdf", t0) for i in range(2)], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    sched = schedule_politely(seed_stream_to_frontier(stream, num_buckets=8))
+    q = (
+        sched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sched_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM sched_out").collect()
+    assert len(out) == 5
+    slots = sorted(r["planned_fetch_ms"] for r in out)
+    # 5 urls of one host, slots 0..12000 in 3000ms steps with NO reset
+    # at the micro-batch boundary
+    assert slots == [0, 3000, 6000, 9000, 12000]
