@@ -239,12 +239,30 @@ def anti_join_seen(frontier: DataFrame, seen: DataFrame, key_col: str = "url_has
     )
 
 
+#: ~1.2 bytes/key at 1% fpp -> a whole-set sketch crosses ~38 MB of
+#: task-closure bytes at 32M keys; above that the sharded cogrouped
+#: probe (bounded per-task bytes) takes over
+SHARDED_THRESHOLD = 32_000_000
+#: per-shard sketch budget for the sharded path (bytes)
+SHARD_SKETCH_BYTES = 32 * 1024 * 1024
+
+
+def shards_for(seen_count: int, fpp: float = 0.01) -> int:
+    """Shard count sizing each shard's sketch under SHARD_SKETCH_BYTES:
+    ~1.2 bytes/key at 1% fpp -> 10^10 keys = ~12 GB total = ~384
+    shards of <=32 MB each."""
+    bytes_per_key = -math.log(fpp) / (math.log(2) ** 2) / 8
+    total = seen_count * bytes_per_key
+    return max(16, math.ceil(total / SHARD_SKETCH_BYTES))
+
+
 def mark_seen(
     frontier: DataFrame,
     seen: DataFrame,
     key_col: str = "url_hash",
     seen_count: int | None = None,
     bloom_threshold: int = 2_000_000,
+    sharded_threshold: int = SHARDED_THRESHOLD,
     fpp: float = 0.01,
     out_col: str = "_seen",
 ) -> DataFrame:
@@ -257,9 +275,21 @@ def mark_seen(
 
     Same bloom fast path as ``filter_unseen``: rows the broadcast sketch
     proves unseen skip the exact join entirely (they can never be
-    duplicates — bloom has no false negatives)."""
+    duplicates — bloom has no false negatives).
+
+    Size dispatch (the engine's default path at every scale):
+    ``seen_count < bloom_threshold`` -> plain exact join;
+    ``< sharded_threshold`` -> whole-set sketch in the probe closure;
+    above -> :func:`mark_seen_sharded` (cogrouped per-shard probe, per-
+    task sketch bytes bounded by SHARD_SKETCH_BYTES — a whole-set
+    sketch at 10^10 keys is ~12 GB PER TASK BINARY and must never ship)."""
     if seen_count is None:
         seen_count = seen.count()
+    if seen_count >= sharded_threshold:
+        return mark_seen_sharded(
+            frontier, seen, key_col, seen_count=seen_count,
+            n_shards=shards_for(seen_count, fpp), fpp=fpp, out_col=out_col,
+        )
     # shuffle_hash hint: see anti_join_seen — the seen table must never
     # be auto-broadcast (unbounded growth; driver-side collect
     # serializes the round). The marker is distinct'd so the left join

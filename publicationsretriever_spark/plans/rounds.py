@@ -71,6 +71,7 @@ from ..functions import urls as U
 from ..operators import blocking as B
 from ..operators.besturl import pick_best_url_per_id
 from . import stats as ST
+from ..operators import seen as SEEN
 from ..operators.seen import mark_seen
 from ..sources.synthetic_web import SyntheticWeb
 
@@ -192,6 +193,8 @@ class CrawlEngine:
         record_order: bool = False,
         request_budget_ms: int | None = None,
         store_html: bool = False,
+        bloom_threshold: int = 2_000_000,
+        sharded_threshold: int | None = None,
     ):
         self.spark = spark
         self.web = web
@@ -219,6 +222,17 @@ class CrawlEngine:
         self.host_quota = host_quota
         self.battery = battery
         self.compact_every = compact_every
+        # J2 seen-path dispatch thresholds (operators/seen.py): below
+        # bloom_threshold keys the exact join runs alone; between the
+        # two a whole-set sketch prefilters it; above sharded_threshold
+        # the sharded cogrouped probe bounds per-task sketch bytes
+        # (the 10^10-key scale path). Tests force low thresholds to
+        # exercise every path against the same oracle.
+        self.bloom_threshold = bloom_threshold
+        self.sharded_threshold = (
+            sharded_threshold if sharded_threshold is not None
+            else SEEN.SHARDED_THRESHOLD
+        )
         # The fetch surface is pluggable: a web exposing
         # ``resolver_factory()`` hands the executors a picklable factory
         # (a live-HTTP client in production; a pure url->response
@@ -478,6 +492,8 @@ class CrawlEngine:
         marked = _cut(mark_seen(
             ok.withColumn("_rn", F.row_number().over(w)),
             state.seen, "url_hash", seen_count=seen_count,
+            bloom_threshold=self.bloom_threshold,
+            sharded_threshold=self.sharded_threshold,
         ))
 
         dup_results = marked.filter((F.col("_rn") > 1) | F.col("_seen")).select(
