@@ -161,6 +161,9 @@ class OracleState:
     # A7: remaining-links kill-switch counters (PageCrawler.java:60-61)
     rem_evals: int = 0
     rem_hits: int = 0
+    # J4: fallback pool — id -> ladder-ordered list of non-best rows
+    # (checkRemainingUrls, LoaderAndChecker.java:534-561)
+    fallback_pool: dict = field(default_factory=dict)
 
 
 def crawl_oracle(
@@ -229,6 +232,14 @@ def crawl_oracle(
                 first[r["hash"]] = r
         unseen = list(first.values())
         # best per id (round 0): fold semantics (rank0 first-wins, 1-3 last-wins)
+        def _prio(u: str) -> int:
+            return (
+                0 if v.doc_like[u]
+                else 1 if "/handle/" in u
+                else 2 if "doi.org" not in u
+                else 3
+            )
+
         if rnd == 0:
             by_id: dict[str, list[dict]] = {}
             for r in unseen:
@@ -239,12 +250,7 @@ def crawl_oracle(
                 best, best_rank = None, 99
                 for r in rows:
                     u = r["url"]
-                    rank = (
-                        0 if v.doc_like[u]
-                        else 1 if "/handle/" in u
-                        else 2 if "doi.org" not in u
-                        else 3
-                    )
+                    rank = _prio(u)
                     if rank == 0 and best_rank != 0:
                         best, best_rank = r, 0
                     elif rank != 0 and rank <= best_rank and best_rank != 0:
@@ -252,8 +258,31 @@ def crawl_oracle(
                     elif rank < best_rank:
                         best, best_rank = r, rank
                 picked.append(best)
+                # J4 pool: non-best urls in candidate-ladder order; the
+                # hashes stay OUT of the seen set (not yet checked)
+                rest = [r for r in rows if r is not best]
+                rest.sort(
+                    key=lambda r: (
+                        _prio(r["url"]),
+                        r["order_in_id"] if _prio(r["url"]) == 0
+                        else -r["order_in_id"],
+                    )
+                )
+                if rest:
+                    st.fallback_pool[_id] = rest
+                    for r in rest:
+                        new_seen.discard(r["hash"])
         else:
             picked = unseen
+        # J4 attempt tracking: the id's best (round 0) or its fallback/
+        # spill re-entry (kind seed|fallback) this round
+        if rnd == 0:
+            attempts = {r["id"] for r in picked}
+        else:
+            attempts = {
+                r["id"] for r in frontier if r["kind"] in ("seed", "fallback")
+            }
+        resolved: set = set()
         # round-delta A2/A3 counters (merged + evaluated at round end,
         # mirroring the engine's round-granular blocking)
         rd_dom: dict[str, dict] = {}
@@ -281,6 +310,9 @@ def crawl_oracle(
                 emit(rnd, r["id"], r["url"], r["canon"], None)
                 bump(r["top3"], "good")
                 bump(v.top3.get(r["canon"]), "good")
+                # re-cross = connectAndCheckMimeType returns true
+                if r["kind"] in ("seed", "fallback"):
+                    resolved.add(r["id"])
             else:
                 to_fetch.append(r)
         # gate ladder in engine order: blacklist (silent) -> 403-path ->
@@ -324,16 +356,26 @@ def crawl_oracle(
         rd_https: set = set()
         rd_slash: set = set()
         rd_model: set = set()
-        rd_rem_evals = rd_rem_hits = 0
+        # A7 per-PAGE basis (PageCrawler.java:715-717,761): evals
+        # counted once per page that emits >=1 remaining candidate (at
+        # candidate-generation time), hits once per parent page whose
+        # remaining link verified as doc (at fetch time, next round)
+        rd_rem_evals = 0
+        rd_rem_hit_pages: set = set()
         # A7 flag evaluated ONCE at round start from prior rounds' counters
         remaining_on = (
             st.rem_evals < 20 or (st.rem_hits / st.rem_evals) >= 0.002
         )
+        spilled_ids = {
+            r["id"] for r in spill if r["kind"] in ("seed", "fallback")
+        }
         for r in fetch_now:
             st.order_log.append((rnd, r["top3"], r["hash"]))
-            if r.get("phase") == "remaining":
-                rd_rem_evals += 1
-            max_hops = MAX_PAGE_REDIRECTS if r["kind"] in ("seed", "redirect") else MAX_LINK_REDIRECTS
+            _att = r["kind"] in ("seed", "fallback")
+            max_hops = (
+                MAX_PAGE_REDIRECTS if r["kind"] in ("seed", "redirect", "fallback")
+                else MAX_LINK_REDIRECTS
+            )
             url = v.fetch_url.get(r["url"], r["canon"])
             # P11 apply: offline https/slash rewrite from PRIOR rounds'
             # learned flags (HttpConnUtils.java:326-334)
@@ -346,7 +388,9 @@ def crawl_oracle(
                 url += "/"
             hops = 0
             resp = web.resolve(url)
-            while resp["status"] in (301, 302, 303, 307, 308) and resp["location"] and hops < max_hops:
+            # 3XX except 304 redirect; 2XX and 304 succeed
+            # (HttpConnUtils.java:284-288,631) — mirrors the fetch UDF
+            while (300 <= resp["status"] <= 399 and resp["status"] != 304) and resp["location"] and hops < max_hops:
                 loc = resp["location"]
                 # P11 learn: protocol-only / slash-only hop -> target domain
                 if (
@@ -365,10 +409,10 @@ def crawl_oracle(
             # handle.net 500 -> 404 (ConnSupportUtils.java:642-645)
             if status == 500 and "handle.net" in (r["top3"] or ""):
                 status = 404
-            if status in (301, 302, 303, 307, 308):
+            if 300 <= status <= 399 and status != 304:
                 emit(rnd, r["id"], r["url"], "unreachable", "redirect_limit")
                 continue
-            if status != 200:
+            if not (200 <= status <= 299 or status == 304):
                 if status == -1:
                     key = "conn_timeout"
                     bump(r["top3"], "n_timeout")
@@ -405,13 +449,15 @@ def crawl_oracle(
             if cat is None and resp["body_kind"] == "image":
                 cat = "document"
             if cat in ("document", "dataset"):
+                if _att:
+                    resolved.add(r["id"])
                 emit(rnd, r["id"], r["url"], url, None)
                 # +1 good for page domain and doc-url domain
                 # (UrlUtils.java:113-119)
                 bump(r["top3"], "good")
                 bump(v.top3.get(url), "good")
-                if r.get("phase") == "remaining":
-                    rd_rem_hits += 1
+                if r.get("phase") == "remaining" and r.get("page_final"):
+                    rd_rem_hit_pages.add(r["page_final"])
                 # J7 learn: a verified doc that came via an extracted
                 # link stores (page_path, structure)
                 if r.get("structure") is not None and r.get("page_final"):
@@ -436,15 +482,22 @@ def crawl_oracle(
                 am = _re.search(META_ACCESS_RIGHTS, body)
                 rights = (am.group(1) or am.group(2)) if am else None
                 if rights and _re.fullmatch(NO_ACCESS_RIGHTS, rights.lower()):
+                    if _att:  # successful connect; MetadataHandler stop
+                        resolved.add(r["id"])
                     emit(rnd, r["id"], r["url"], "unreachable",
                          "restricted access (meta rights)")
                     continue
                 extracted = extract_links_one(body, url)
                 if any(x["signal"] == "dynamic" for x in extracted):
+                    # DynamicInternalLinksFoundException propagates out
+                    # of the visit (PageCrawler.java:610-611) -> the
+                    # attempt FAILED, the fallback wave fires
                     emit(rnd, r["id"], r["url"], "unreachable",
                          "dynamic internal links")
                     st.blocked.add(v.top3.get(url) or r["top3"])
                     continue
+                if _att:  # page connect succeeded -> id resolved
+                    resolved.add(r["id"])
                 # candidates: (pos, link, structure, phase)
                 candidates: list[tuple] = []
                 if meta_url:
@@ -487,6 +540,8 @@ def crawl_oracle(
                         and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS
                     ):
                         candidates.append((p, l, x["structure"], "remaining"))
+                if any(ph == "remaining" for *_x, ph in candidates):
+                    rd_rem_evals += 1
                 if not candidates:
                     emit(rnd, r["id"], r["url"], "unreachable", "no docUrl found on page")
                     # PageCrawler counters :314,369 — zero extracted links
@@ -501,17 +556,41 @@ def crawl_oracle(
                              "phase": phase}
                         )
             else:
+                if _att:  # connected fine; returns false, no exception
+                    resolved.add(r["id"])
                 emit(rnd, r["id"], r["url"], "unreachable", "not a document or page")
                 if sniffed_ct is None and resp["content_disposition"] is None:
                     bump(r["top3"], "n_notype")
                 else:
                     bump(r["top3"], "n_notdocnorpage")
+        # J4 round end: resolved ids surrender their pool (skipped
+        # rows); failed ids inject their next pool url as a fallback
+        # attempt next round (mirrors the engine's wave)
+        failed = attempts - resolved - spilled_ids
+        for id_ in sorted(set(st.fallback_pool) & resolved):
+            for pr in st.fallback_pool.pop(id_):
+                emit(
+                    rnd, id_, pr["url"], "unreachable",
+                    "Skipped in LoaderAndChecker, as a better url was "
+                    f"selected for id: {id_}",
+                )
+        for id_ in sorted(failed):
+            pool_rows = st.fallback_pool.get(id_)
+            if pool_rows:
+                nxt = pool_rows.pop(0)
+                if not pool_rows:
+                    del st.fallback_pool[id_]
+                next_frontier.append(
+                    {"id": id_, "order_in_id": nxt["order_in_id"],
+                     "url": nxt["url"], "depth": 0, "kind": "fallback",
+                     "page_final": None, "structure": None, "phase": None}
+                )
         st.seen |= new_seen
         st.https_domains |= {d for d in rd_https if d}
         st.slash_domains |= {d for d in rd_slash if d}
         st.structure_model |= rd_model
         st.rem_evals += rd_rem_evals
-        st.rem_hits += rd_rem_hits
+        st.rem_hits += len(rd_rem_hit_pages)
         # round boundary: merge counter deltas, then evaluate the exact
         # A2/A3 rules over the CUMULATIVE counters (latched blocks) —
         # operators/blocking.py has the citations
@@ -541,4 +620,20 @@ def crawl_oracle(
                     st.blocked.add(dom)
                     break
         frontier = next_frontier
+    # J4 end-of-crawl flush: pool urls whose id never resolved still owe
+    # an output row (one row per input record, README.md:19-33); round
+    # -1 marks post-crawl emission — mirrors CrawlEngine.crawl
+    for id_ in sorted(st.fallback_pool):
+        for pr in st.fallback_pool[id_]:
+            emit(
+                -1, id_, pr["url"], "unreachable",
+                "Skipped in LoaderAndChecker, as a better url was "
+                f"selected for id: {id_}",
+            )
+    # attempt rows pending in the never-executed next frontier (mirrors
+    # CrawlEngine.crawl's budget-exhausted rows)
+    for r in frontier:
+        if r["kind"] in ("seed", "fallback"):
+            emit(-1, r["id"], r["url"], "unreachable",
+                 "Not checked: crawl round budget exhausted")
     return st

@@ -107,6 +107,13 @@ ENDING_WITH_SLASH_OR_EXTENSION = r".*(?:(?:/|\.[^.?&/_-]{1,7})(?:\?.+)?|\?.+)$"
 
 DOMAIN_FLAGS_SCHEMA = "domain string, https_ok boolean, slash_ok boolean"
 
+#: J4 fallback pool: the non-best urls of each id, ranked in the
+#: reference's candidate-ladder order (LoaderAndChecker.java:219-235).
+#: Strictly shrinking (urls are consumed by fallback injection or
+#: emitted as "Skipped" rows), bounded by the seed input size — safe to
+#: rewrite whole each round, unlike the append-only results/seen.
+FALLBACK_POOL_SCHEMA = "id string, rank int, order_in_id long, url string"
+
 
 NOT_FOUND = {
     "status": 404, "location": None, "content_type": None,
@@ -148,6 +155,7 @@ class CrawlState:
     blocked_paths: DataFrame | None = None  # domain string, path string
     domain_flags: DataFrame | None = None   # DOMAIN_FLAGS_SCHEMA (P11)
     structure_model: DataFrame | None = None  # (page_path, structure) — J7
+    fallback_pool: DataFrame | None = None    # FALLBACK_POOL_SCHEMA — J4
     pages_html: DataFrame | None = None       # S6 html sink (optional)
     order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
     metrics: list[dict] = field(default_factory=list)
@@ -303,14 +311,19 @@ class CrawlEngine:
                     last_fetch_ms[host] = planned
 
                     max_hops = (
-                        MAX_PAGE_REDIRECTS if row.kind in ("seed", "redirect")
+                        MAX_PAGE_REDIRECTS
+                        if row.kind in ("seed", "redirect", "fallback")
                         else MAX_LINK_REDIRECTS
                     )
                     url = row.fetch_url
                     hops = 0
                     learned_https_url = learned_slash_url = None
                     resp = resolve(url)
-                    while resp["status"] in (301, 302, 303, 307, 308):
+                    # 3XX except 304 are redirects; 2XX and 304 are
+                    # success (HttpConnUtils.java:284-288,631) — a 201/
+                    # 204/206/300 must never hit the unknown_code
+                    # domain-kill branch below
+                    while 300 <= resp["status"] <= 399 and resp["status"] != 304:
                         loc = resp["location"]
                         if loc is None or hops >= max_hops:
                             break
@@ -333,9 +346,9 @@ class CrawlEngine:
                     # (ConnSupportUtils.java:642-645)
                     if status == 500 and "handle.net" in (host or ""):
                         status = 404
-                    if status in (301, 302, 303, 307, 308):
+                    if 300 <= status <= 399 and status != 304:
                         error_class = "redirect_limit"
-                    elif status == 200:
+                    elif 200 <= status <= 299 or status == 304:
                         error_class = None
                     elif status == -1:
                         error_class = "conn_timeout"
@@ -427,12 +440,12 @@ class CrawlEngine:
     @staticmethod
     def _result_row(round_no: int, *, pageUrl, doc, valid, accessible, direct,
                     retry, mime, fileHash, fileSize, filePath, error,
-                    source=None):
+                    source=None, checked="true"):
         src = source if source is not None else F.col("url")
         return [
             F.col("id"), src.alias("sourceUrl"), pageUrl.alias("pageUrl"),
             doc.alias("docOrDatasetUrl"),
-            F.lit("true").alias("wasUrlChecked"),
+            F.lit(checked).alias("wasUrlChecked"),
             valid.alias("wasUrlValid"),
             accessible.alias("wasDocumentOrDatasetAccessible"),
             direct.alias("wasDirectLink"),
@@ -511,10 +524,34 @@ class CrawlEngine:
         )
 
         # ---- J4: best-url-per-id (seed rounds group by id) ---------------
+        # Non-best urls are NOT dropped: they form the id's FALLBACK
+        # POOL (checkRemainingUrls, LoaderAndChecker.java:534-561) —
+        # tried one per round when the id's attempt has a connect-level
+        # failure — and urls never checked get a "Skipped in
+        # LoaderAndChecker" output row (handleLogOfRemainingUrls,
+        # :685-698), restoring the one-output-row-per-input-record
+        # contract (README.md:19-33). Round-granular cleanups vs the
+        # reference (documented): pool urls are tried in the candidate-
+        # ladder order (the reference iterates set-insertion order) and
+        # one wave per ROUND (the reference loops synchronously).
         if round_no == 0:
-            picked = pick_best_url_per_id(unseen).filter(F.col("is_best")).drop("is_best")
+            ranked = _cut(pick_best_url_per_id(unseen))
+            picked = ranked.filter(F.col("is_best")).drop("is_best")
+            _tie = F.when(
+                F.col("priority") == 0, F.col("order_in_id")
+            ).otherwise(-F.col("order_in_id"))
+            wp = Window.partitionBy("id").orderBy(F.col("priority").asc(), _tie.asc())
+            non_best = ranked.filter(~F.col("is_best"))
+            pool = non_best.withColumn("rank", F.row_number().over(wp)).select(
+                "id", "rank", F.col("order_in_id").cast("long").alias("order_in_id"),
+                "url",
+            )
+            pool_hashes = non_best.select("url_hash")
         else:
             picked = unseen.withColumn("priority", F.lit(0))
+            pool = (state.fallback_pool if state.fallback_pool is not None
+                    else _empty(spark, FALLBACK_POOL_SCHEMA))
+            pool_hashes = None
 
         # ---- the SCHEDULE plan: recross + rewrite + gates + quota fused
         # into one cached DataFrame (one window shuffle; every split —
@@ -921,6 +958,83 @@ class CrawlEngine:
             )
         )
 
+        # ---- J4 fallback wave + skipped-row emission ---------------------
+        # An id's ATTEMPT row this round is its best url (round 0) or
+        # its injected fallback/spill re-entry (kind seed|fallback).
+        # RESOLVED = the attempt connected without a connect-level
+        # failure: any fetch outcome except category 'error', EXCEPT a
+        # dynamic-links page (the reference throws DomainBlockedException
+        # there, PageCrawler.java:610-611) — plus re-cross hits
+        # (connectAndCheckMimeType returns true on an already-found doc).
+        # FAILED = attempted but neither resolved nor quota-spilled:
+        # covers fetch errors, staging duplicates, silent domain blocks,
+        # 403-path and robots gates — each of which the reference's
+        # checkRemainingUrls loop skips past to the next url.
+        is_attempt_kind = F.col("kind").isin("seed", "fallback")
+        if round_no == 0:
+            attempt_ids = picked.select("id")
+        else:
+            attempt_ids = staged.filter(is_attempt_kind).select("id").distinct()
+        dynamic_attempt_ids = page_tagged.filter(
+            (F.col("_po") == "dynamic") & is_attempt_kind
+        ).select("id")
+        resolved_ids = (
+            classified.filter(is_attempt_kind & (F.col("category") != "error"))
+            .select("id")
+            .join(dynamic_attempt_ids, "id", "left_anti")
+            .unionByName(
+                sched.filter(F.col("_orig_id").isNotNull() & is_attempt_kind)
+                .select("id")
+            )
+            .distinct()
+        )
+        spilled_attempt_ids = spill.filter(is_attempt_kind).select("id")
+        failed_ids = (
+            attempt_ids.join(resolved_ids, "id", "left_anti")
+            .join(spilled_attempt_ids, "id", "left_anti")
+        )
+        # resolved ids surrender their pool: every never-checked url
+        # gets its "Skipped" row NOW (handleLogOfRemainingUrls)
+        skipped_pool = pool.join(resolved_ids, "id", "left_semi")
+        skipped_results = skipped_pool.select(
+            *self._result_row(
+                round_no,
+                pageUrl=lit("null"), doc=lit("unreachable"),
+                checked="false",
+                valid=lit("null"), accessible=lit("null"),
+                direct=lit("null"), retry=lit("true"),
+                mime=lit("null"), fileHash=lit("null"), fileSize=lit("null"),
+                filePath=lit("null"),
+                error=F.concat(
+                    lit("Skipped in LoaderAndChecker, as a better url was "
+                        "selected for id: "),
+                    F.col("id"),
+                ),
+            )
+        )
+        # failed ids inject their next-ranked pool url into the next
+        # round's frontier (one per round — the round-granular image of
+        # the reference's sequential try-until-success loop)
+        wn = Window.partitionBy("id").orderBy("rank")
+        inject = (
+            pool.join(failed_ids, "id")
+            .withColumn("_fr", F.row_number().over(wn))
+            .filter(F.col("_fr") == 1)
+            .drop("_fr")
+        )
+        pool_next = (
+            pool.join(resolved_ids, "id", "left_anti")
+            .join(inject.select("id", "rank"), ["id", "rank"], "left_anti")
+        )
+        inject_frontier = inject.select(
+            "id", "order_in_id", "url",
+            F.lit(0).alias("depth"), F.lit("fallback").alias("kind"),
+            F.lit(None).cast("string").alias("page_final"),
+            F.lit(None).cast("string").alias("structure"),
+            F.lit(None).cast("string").alias("link_phase"),
+        )
+        next_frontier = next_frontier.unionByName(inject_frontier)
+
         results_delta = (
             reject_results.unionByName(dup_results)
             .unionByName(recross_results)
@@ -928,6 +1042,7 @@ class CrawlEngine:
             .unionByName(robots_results)
             .unionByName(fetch_results)
             .unionByName(page_results)
+            .unionByName(skipped_results)
         )
 
         # ---- payload delta (J5 source table): new image ids only ---------
@@ -950,6 +1065,12 @@ class CrawlEngine:
         new_staged_hashes = unseen.select("url_hash").join(
             spill.select("url_hash"), "url_hash", "left_anti"
         )
+        if pool_hashes is not None:
+            # J4 pool urls are "not yet checked" (exactly like spill):
+            # they must stay fetchable for a later fallback wave
+            new_staged_hashes = new_staged_hashes.join(
+                pool_hashes, "url_hash", "left_anti"
+            )
         final_cand = (
             classified.filter(U.url_hash64(F.col("final_url")) != F.col("url_hash"))
             .select(U.url_hash64(F.col("final_url")).alias("url_hash"))
@@ -1094,22 +1215,46 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("error_class").isNotNull().cast("long")).alias("x"),
         ).select("_t", "host_bucket", "n", "x")
-        remaining_agg = classified.filter(
-            F.col("link_phase") == "remaining"
-        ).groupBy().agg(
-            F.lit("remaining").alias("_t"),
+        # A7 counters on the reference's PER-PAGE basis
+        # (PageCrawler.java:715-717,761): timesCheckedRemainingLinks
+        # increments once per checkRemainingInternalLinks CALL (here: a
+        # page that emitted >=1 remaining-phase candidate this round),
+        # timesFound... once per page whose remaining link verified (the
+        # reference stops at the first hit, so max one per page —
+        # countDistinct over the parent page reproduces that). Evals are
+        # counted at link-GENERATION time (round R), hits at fetch time
+        # (round R+1) — the round-granular image of the reference's
+        # sequential increment-then-check.
+        rem_eval_agg = links.filter(F.col("phase") == "remaining").groupBy().agg(
+            F.lit("remaining_evals").alias("_t"),
             F.lit(None).cast("int").alias("host_bucket"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(is_doc.cast("long")).alias("x"),
+            # page_url (the fetched row's source url) is unique per
+            # round — page_final could collapse two pages that redirect
+            # to one final url into a single eval
+            F.countDistinct("page_url").alias("n"),
+            F.lit(0).cast("long").alias("x"),
         ).select("_t", "host_bucket", "n", "x")
-        metrics_df = staged_agg.unionByName(fetch_agg).unionByName(remaining_agg)
+        rem_hit_agg = classified.filter(
+            (F.col("link_phase") == "remaining") & is_doc
+        ).groupBy().agg(
+            F.lit("remaining_hits").alias("_t"),
+            F.lit(None).cast("int").alias("host_bucket"),
+            F.countDistinct("page_final").alias("n"),
+            F.lit(0).cast("long").alias("x"),
+        ).select("_t", "host_bucket", "n", "x")
+        metrics_df = (
+            staged_agg.unionByName(fetch_agg)
+            .unionByName(rem_eval_agg)
+            .unionByName(rem_hit_agg)
+        )
 
         def finalize(rows: list, delta_counts: dict[str, int]) -> None:
             """Ingest the fused metrics job's rows (collected AFTER the
             round's deltas materialized) and release the caches."""
             staged_rows = [r for r in rows if r["_t"] == "staged"]
             fetch_rows = [r for r in rows if r["_t"] == "fetch"]
-            rem_rows = [r for r in rows if r["_t"] == "remaining"]
+            rem_eval_rows = [r for r in rows if r["_t"] == "remaining_evals"]
+            rem_hit_rows = [r for r in rows if r["_t"] == "remaining_hits"]
             prev = state.metrics[-1] if state.metrics else {}
             prev_seen = prev.get("seen_total", 0)
             state.metrics.append({
@@ -1121,9 +1266,9 @@ class CrawlEngine:
                 "seen_total": prev_seen + delta_counts.get("seen", 0),
                 "frontier_next": delta_counts.get("frontier", 0),
                 "remaining_evals": prev.get("remaining_evals", 0)
-                + sum(r["n"] for r in rem_rows),
+                + sum(r["n"] for r in rem_eval_rows),
                 "remaining_hits": prev.get("remaining_hits", 0)
-                + sum(r["x"] or 0 for r in rem_rows),
+                + sum(r["n"] for r in rem_hit_rows),
                 "frontier_offsets": {
                     str(r["host_bucket"]): r["n"] for r in staged_rows
                 },
@@ -1166,6 +1311,7 @@ class CrawlEngine:
                 "path_counts": path_counts,
                 "domain_flags": domain_flags,
                 "structure_model": structure_model,
+                "fallback_pool": pool_next,
             },
             next_frontier=next_frontier,
             metrics_df=metrics_df,
@@ -1185,6 +1331,7 @@ class CrawlEngine:
             blocked_paths=_empty(spark, "domain string, path string"),
             domain_flags=_empty(spark, DOMAIN_FLAGS_SCHEMA),
             structure_model=_empty(spark, "page_path string, structure string"),
+            fallback_pool=_empty(spark, FALLBACK_POOL_SCHEMA),
         )
 
     def crawl(
@@ -1237,6 +1384,9 @@ class CrawlEngine:
                 blocked_paths=tables.get("blocked_paths"),
                 domain_flags=tables.get("domain_flags"),
                 structure_model=tables.get("structure_model"),
+                fallback_pool=tables.get("fallback_pool"),
+                pages_html=tables.get("pages_html"),
+                order_log=tables.get("order_log"),
                 metrics=manifest["lineage"].get("rounds", []),
             )
             if state.domain_counts is None:
@@ -1251,6 +1401,8 @@ class CrawlEngine:
                 state.structure_model = _empty(
                     spark, "page_path string, structure string"
                 )
+            if state.fallback_pool is None:
+                state.fallback_pool = _empty(spark, FALLBACK_POOL_SCHEMA)
             frontier = tables["frontier"]
             start_round = manifest["round"] + 1
             pending = (
@@ -1314,6 +1466,12 @@ class CrawlEngine:
                     blocked_paths=B.eval_blocked_paths(loaded["path_counts"]),
                     domain_flags=loaded["domain_flags"],
                     structure_model=loaded["structure_model"],
+                    fallback_pool=loaded["fallback_pool"],
+                    # optional delta tables must flow back into state:
+                    # the next round's compaction unions prior parts
+                    # via ``prior`` and would hit None otherwise
+                    pages_html=loaded.get("pages_html"),
+                    order_log=loaded.get("order_log"),
                     metrics=state.metrics,
                 )
                 frontier = loaded["frontier"]
@@ -1398,6 +1556,7 @@ class CrawlEngine:
                     blocked_paths=B.eval_blocked_paths(cut["path_counts"]),
                     domain_flags=cut["domain_flags"],
                     structure_model=cut["structure_model"],
+                    fallback_pool=cut["fallback_pool"],
                     pages_html=(
                         union_parts("pages_html", part_schemas["pages_html"])
                         if self.store_html else None
@@ -1432,4 +1591,53 @@ class CrawlEngine:
                           flush=True)
             pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
+        # J4 end-of-crawl flush (handleLogOfRemainingUrls,
+        # LoaderAndChecker.java:685-698): pool urls never checked —
+        # their id never resolved within max_rounds — still owe one
+        # output row each. The flush augments the RETURNED results view
+        # only (round = -1 marks post-crawl emission); the persisted
+        # state keeps the pool pending, so a resumed crawl with more
+        # rounds continues the fallback waves exactly.
+        if state.fallback_pool is not None:
+            lit = F.lit
+            flush = state.fallback_pool.select(
+                *self._result_row(
+                    -1,
+                    pageUrl=lit("null"), doc=lit("unreachable"),
+                    checked="false",
+                    valid=lit("null"), accessible=lit("null"),
+                    direct=lit("null"), retry=lit("true"),
+                    mime=lit("null"), fileHash=lit("null"),
+                    fileSize=lit("null"), filePath=lit("null"),
+                    error=F.concat(
+                        lit("Skipped in LoaderAndChecker, as a better url "
+                            "was selected for id: "),
+                        F.col("id"),
+                    ),
+                )
+            )
+            state.results = state.results.unionByName(flush)
+        # attempt rows still pending in the never-executed next frontier
+        # (a fallback injected on the last round, or a quota-spilled
+        # seed) are input records the crawl ran out of rounds for —
+        # they too owe an output row (no reference analog: the
+        # reference always runs to completion; round-budgeted crawls
+        # surface the budget in the error text instead)
+        if frontier is not None:
+            lit = F.lit
+            pending = frontier.filter(
+                F.col("kind").isin("seed", "fallback")
+            ).select(
+                *self._result_row(
+                    -1,
+                    pageUrl=lit("null"), doc=lit("unreachable"),
+                    checked="false",
+                    valid=lit("null"), accessible=lit("null"),
+                    direct=lit("null"), retry=lit("true"),
+                    mime=lit("null"), fileHash=lit("null"),
+                    fileSize=lit("null"), filePath=lit("null"),
+                    error=lit("Not checked: crawl round budget exhausted"),
+                )
+            )
+            state.results = state.results.unionByName(pending)
         return state

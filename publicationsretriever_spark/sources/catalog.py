@@ -167,8 +167,17 @@ class SnapshotCatalog:
         def write_one(item):
             name, df = item
             is_delta = name in deltas
-            if is_delta and compact and prior is not None and name in prior:
-                df = prior[name].unionByName(df)
+            if is_delta and compact and prior is not None:
+                # a prior view the caller didn't carry (e.g. resuming a
+                # catalog written before the table existed) falls back
+                # to the parent snapshot's data files — compaction must
+                # never drop history just because the in-memory state
+                # lost the handle
+                p = prior.get(name)
+                if p is None and parent_paths(name):
+                    p = spark.read.parquet(*parent_paths(name))
+                if p is not None:
+                    df = p.unionByName(df)
             path = snap_dir / name
             df.write.mode("overwrite").parquet(str(path))
             back = spark.read.parquet(str(path))

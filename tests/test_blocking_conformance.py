@@ -280,11 +280,14 @@ def test_exempt_domain_never_blocked_across_spill_rounds(spark):
     assert "zenodo.org" not in blocked
     # zenodo keeps being fetched every round; blockme stops after its
     # counter crossed 10 at the end of round 1
+    # round -1 rows are the J4 end-of-crawl budget flush (seeds still
+    # quota-spilled when max_rounds ran out) — not fetch outcomes
     per_round = {
         (r["round"],
          "zen" if "zenodo" in r["sourceUrl"] else "blk"): 1
         for r in state.results.filter(
-            F.col("docOrDatasetUrl") == "unreachable"
+            (F.col("docOrDatasetUrl") == "unreachable")
+            & (F.col("round") >= 0)
         ).collect()
     }
     zen_rounds = {k[0] for k in per_round if k[1] == "zen"}

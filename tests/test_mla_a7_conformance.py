@@ -73,11 +73,12 @@ class MlaWeb(ErrorWeb):
 
 
 class A7Web(ErrorWeb):
-    """Three page waves. Round 1 burns >20 remaining-link evaluations
-    (all dead) — the kill-switch latches at the end of round 1, so the
-    third-wave pages (processed in round 2) get their remaining links
-    killed while the second wave's (processed in round 1, switch still
-    on) were emitted normally."""
+    """Three page waves of 10 pages each, counted on the reference's
+    PER-PAGE basis (one eval per checkRemainingInternalLinks CALL,
+    PageCrawler.java:715-717): wave 1 (round 0) adds 10 evals — below
+    the 20-eval threshold, so wave 2's pages (processed round 1) still
+    emit remaining links and push evals to 20 with zero hits; the
+    switch latches for round 2, killing wave 3's remaining links."""
 
     HOST = "a7host.example.org"
 
@@ -92,7 +93,7 @@ class A7Web(ErrorWeb):
 
     def _build(self):
         h = self.HOST
-        for i in range(25):
+        for i in range(10):
             self.responses[f"https://{h}/page/{i}"] = self._page_resp(
                 [f"https://{h}/nope/{i}", f"https://{h}/second/{i}"]
             )
@@ -150,13 +151,13 @@ def test_a7_kill_switch_disables_remaining_links(spark):
     state, oracle = _crawl_both(spark, web, max_rounds=4)
     assert _results_key(state.results.collect()) == _results_key(oracle.results)
     srcs = {r["sourceUrl"] for r in state.results.collect()}
-    # round 1 fetched the first-wave dead links (the >20 evaluations)...
+    # round 1 fetched the first-wave dead links (10 page-evals)...
     assert f"https://{web.HOST}/nope/0" in srcs
-    # ...second-wave pages were processed in round 1 BEFORE the switch
-    # latched, so their links went out normally...
+    # ...second-wave pages were processed in round 1 with the switch
+    # still on (evals 10 < 20), so their links went out normally...
     assert any("/nope2/" in s for s in srcs)
-    # ...but third-wave pages (processed round 2, switch latched at the
-    # end of round 1) had their remaining links killed
+    # ...but third-wave pages (processed round 2; evals hit 20 with 0
+    # hits at the end of round 1) had their remaining links killed
     assert not any("/nope3/" in s for s in srcs)
     m = state.metrics[-1]
     assert m["remaining_evals"] >= 20
