@@ -115,42 +115,81 @@ def ngram_jaccard_pairs(
     Scale: the join key is a RARE shingle by construction (prefixes are
     the lowest-doc-frequency shingles), so no quadratic bucket can form
     from boilerplate like "of the university of" — the failure mode of
-    the naive all-shingle self-join. Everything is JVM-side (explode /
-    groupBy / array_sort / array_intersect); exact intersections are
-    computed per candidate pair from the docs' sorted shingle arrays,
-    never by re-joining the full shingle table.
+    the naive all-shingle self-join. PPJoin's length filter
+    (min >= t*max) and positional filter (suffix bound vs the
+    equivalent-overlap threshold) prune candidates before the distinct.
+    Everything is JVM-side (explode / groupBy / array_sort /
+    array_intersect); exact intersections are computed per candidate
+    pair from the docs' sorted shingle arrays, never by re-joining the
+    full shingle table.
+
+    Known skew ceiling: the doc-frequency aggregation collects the id
+    list per shingle, so a boilerplate shingle shared by M documents
+    builds one M-element array in a single aggregation buffer (~10
+    bytes x M). Fine through M ~ 10^7; a corpus with hotter shingles
+    should hash shingles to int64 first (8-byte elements) or use
+    minhash_lsh_pairs for the candidate stage.
     """
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("sh")
     )
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    # doc-frequency WITHOUT a join back to the shingle table: one
+    # groupBy collects (count, ids) per shingle, then re-explodes the
+    # id list — the shingling expression runs ONCE and the plan costs
+    # two shuffles instead of three (the join formulation re-evaluated
+    # the whole shingle subtree on the probe side; measured 2x slower).
+    fw = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df_sh"), F.collect_list(id_col).alias("_ids")
+    )
+    shdf = fw.select("sh", "df_sh", F.explode("_ids").alias(id_col))
     # per-doc shingle array in canonical (rarity, shingle) order —
-    # CACHED: the sets feed three consumers (prefix explode + both join
-    # sides); uncached, the shingle explode/join/sort would recompute
-    # once per consumer. (A window-count over sh avoids the join but
-    # measured slower: the window materializes every row per shingle
-    # partition while the aggregate combines map-side.)
+    # localCheckpoint (NOT .cache()): the sets feed three consumers
+    # (prefix explode + both join sides) and must be computed once; an
+    # eager checkpoint also lets the ContextCleaner reclaim the blocks
+    # when the returned plan is garbage-collected, where a .cache()
+    # pinned in the catalog's CacheManager leaked storage per call.
     sets = (
-        sh.join(freq, "sh")
-        .groupBy(id_col)
+        shdf.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("df_sh", "sh"))).alias("ss"))
         .select(
             F.col(id_col),
             F.transform("ss", lambda s: s["sh"]).alias("shs"),
             F.size("ss").alias("n_sh"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")
+    # prefix tokens WITH their 1-based canonical position (PPJoin's
+    # positional information) and the doc's set size (length filter)
     pref = sets.select(
-        F.col(id_col), F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
-    )
+        F.col(id_col), F.col("n_sh"),
+        F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("p", "sh"),
+    ).withColumn("p", F.col("p") + 1)
     a, b = pref.alias("a"), pref.alias("b")
+    t = F.lit(threshold)
+    # PPJoin filters, both EXACT given J(A,B) >= t:
+    # - length: |A∩B| <= min and >= t*|A∪B| >= t*max  =>  min >= t*max
+    # - positional: for the globally-rarest COMMON token (its prior
+    #   tokens in each doc are absent from the other), total overlap
+    #   <= 1 + min(|A|-pa, |B|-pb), which must reach the equivalent
+    #   overlap threshold t/(1+t)*(|A|+|B|); a qualifying pair always
+    #   survives via that first-common-token occurrence, and distinct()
+    #   keeps a pair if ANY occurrence passes.
     cand = (
         a.join(b, "sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= t * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
+        .filter(
+            F.least(
+                F.col("a.n_sh") - F.col("a.p"), F.col("b.n_sh") - F.col("b.p")
+            ) + 1
+            >= (t / (F.lit(1.0) + t)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
