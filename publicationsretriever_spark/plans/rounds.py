@@ -272,27 +272,46 @@ class CrawlEngine:
         budget_ms = self.request_budget_ms
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import time as _t
-
             raw_resolve = make_resolver()  # one construction per task
 
             if budget_ms is None:
                 resolve = raw_resolve
             else:
-                # C6 watchdog: a request over budget becomes a timeout
-                # (status -1), indistinguishable from a network timeout
-                # for the retry/blocking rules downstream
+                # C6 watchdog: the resolver call runs in a DAEMON thread
+                # joined with the budget — a request over budget (or a
+                # genuinely hung read) becomes a timeout (status -1),
+                # indistinguishable from a network timeout for the
+                # retry/blocking rules downstream, and the task moves on
+                # immediately (the reference interrupts zombie reads the
+                # same way, util/file/FileUtils.java:430-462). Daemon
+                # threads so an abandoned hung call can never block
+                # python-worker shutdown.
+                import threading as _th
+
+                TIMEOUT_RESP = {
+                    "status": -1, "location": None,
+                    "content_type": None, "content_disposition": None,
+                    "content_length": 0, "body_kind": "error",
+                    "image_id": None, "html_links": [],
+                }
+
                 def resolve(url):
-                    t0 = _t.time()
-                    resp = raw_resolve(url)
-                    if (_t.time() - t0) * 1000 > budget_ms:
-                        return {
-                            "status": -1, "location": None,
-                            "content_type": None, "content_disposition": None,
-                            "content_length": 0, "body_kind": "error",
-                            "image_id": None, "html_links": [],
-                        }
-                    return resp
+                    box: dict = {}
+
+                    def _call():
+                        try:
+                            box["resp"] = raw_resolve(url)
+                        except Exception as e:  # noqa: BLE001
+                            box["err"] = e
+
+                    th = _th.Thread(target=_call, daemon=True)
+                    th.start()
+                    th.join(budget_ms / 1000.0)
+                    if "err" in box:
+                        raise box["err"]
+                    if th.is_alive() or "resp" not in box:
+                        return TIMEOUT_RESP  # abandoned; thread is daemon
+                    return box["resp"]
 
             # per-host virtual politeness clock: ALL rows of one host are
             # in this partition (the quota window shuffled by top3), so

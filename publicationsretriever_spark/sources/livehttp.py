@@ -1,0 +1,273 @@
+"""Live-HTTP fetch resolver — the production swap-in for the synthetic
+web's ``resolver_factory`` seam (plans/rounds.py).
+
+Implements the reference's connection ladder (N2/N4/N11/N12,
+util/http/HttpConnUtils.openHttpConnection :310-519 and
+ConnSupportUtils :111-135, 742-777) on the stdlib ``urllib`` stack:
+
+- HEAD-first policy with a per-domain "HEAD unsupported" memory:
+  405/501 on a HEAD marks the domain and falls back to GET
+  (HttpConnUtils.java:433-450).
+- 406 retries once without the Accept-Language header and remembers
+  the domain (HttpConnUtils.java:415-432,
+  domainsWithUnsupportedAcceptLanguageParameter).
+- Browser-shaped request headers (ConnSupportUtils.setHttpHeaders
+  :111-135); Accept-Encoding limited to codecs we can decode.
+- Response decompression: gzip/deflate always; brotli/zstd when their
+  python codecs are importable (ConnSupportUtils.java:742-777).
+- Redirects are NOT followed: the engine's fetch UDF owns the redirect
+  loop (hop caps, P11 learning), so ``location`` is surfaced raw.
+- Error mapping matches the engine's status contract:
+  timeout -> status -1 (conn_timeout: retryable, A2-counted);
+  DNS failure / SSL failure -> status 0 (falls into the engine's
+  unknown_code branch = immediate domain block, exactly the
+  reference's UnknownHostException / SSLException blacklisting,
+  HttpConnUtils.java:477-502).
+- HTTP/2->1.1 fallback is N/A: urllib speaks HTTP/1.1 only (the
+  reference needs the fallback because java.net.http defaults to 2).
+
+The factory is picklable (plain attributes); each Spark task builds
+its own resolver with task-local domain-memory sets — consistent with
+the engine's design of host-partitioned fetch tasks (a domain's
+requests land in one task, so its HEAD/language memory is complete).
+"""
+
+from __future__ import annotations
+
+import gzip
+import socket
+import ssl
+import urllib.error
+import urllib.parse
+import urllib.request
+import zlib
+
+#: ConnSupportUtils.setHttpHeaders :119-133 (Accept-Encoding reduced to
+#: what this resolver can actually decode)
+BASE_HEADERS = {
+    "User-Agent": (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) "
+        "Gecko/20100101 Firefox/119.0"
+    ),
+    "Accept": (
+        "text/html,application/xhtml+xml,application/xml;q=0.9,"
+        "image/avif,image/webp,*/*;q=0.8"
+    ),
+    "DNT": "1",
+    "Sec-Fetch-Dest": "document",
+    "Sec-Fetch-Mode": "navigate",
+    "Sec-Fetch-Site": "cross-site",
+    "Upgrade-Insecure-Requests": "1",
+    "Pragma": "no-cache",
+    "Cache-Control": "no-cache",
+}
+ACCEPT_LANGUAGE = "en-US,en;q=0.5"
+
+try:  # optional codecs (not in every image)
+    import brotli as _brotli  # type: ignore
+except Exception:  # noqa: BLE001
+    _brotli = None
+try:
+    import zstandard as _zstd  # type: ignore
+except Exception:  # noqa: BLE001
+    _zstd = None
+
+
+def _accept_encoding() -> str:
+    encs = ["gzip", "deflate"]
+    if _brotli is not None:
+        encs.append("br")
+    if _zstd is not None:
+        encs.append("zstd")
+    return ", ".join(encs)
+
+
+def decompress(body: bytes, encoding: str | None) -> bytes | None:
+    """ConnSupportUtils.getCompressedInputStream (:742-777): decode the
+    Content-Encoding; None for an unsupported/broken encoding (the
+    reference drops those responses)."""
+    if not encoding:
+        return body
+    enc = encoding.strip().lower()
+    try:
+        if enc in ("identity", ""):
+            return body
+        if enc == "gzip":
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+        if enc == "br" and _brotli is not None:
+            return _brotli.decompress(body)
+        if enc == "zstd" and _zstd is not None:
+            return _zstd.ZstdDecompressor().decompress(
+                body, max_output_size=1 << 30
+            )
+    except Exception:  # noqa: BLE001 — corrupt stream: drop like the ref
+        return None
+    return None  # unsupported encoding
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """Surface 3XX to the caller — the engine's fetch loop owns hops."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: D102
+        return None
+
+
+class _NoHttpError(urllib.request.HTTPErrorProcessor):
+    """4XX/5XX are data, not exceptions."""
+
+    def http_response(self, request, response):  # noqa: D102
+        return response
+
+    https_response = http_response
+
+
+def _domain_of(url: str) -> str:
+    try:
+        return (urllib.parse.urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+class LiveHttpResolver:
+    """One per Spark task (built by the factory's ``__call__``)."""
+
+    def __init__(
+        self,
+        head_first: bool = True,
+        head_timeout_s: float = 10.0,
+        get_timeout_s: float = 30.0,
+        max_body_bytes: int = 8 * 1024 * 1024,
+    ):
+        self.head_first = head_first
+        self.head_timeout_s = head_timeout_s
+        self.get_timeout_s = get_timeout_s
+        self.max_body_bytes = max_body_bytes
+        #: HttpConnUtils.domainsWithUnsupportedHeadMethod (task-local)
+        self.head_unsupported: set[str] = set()
+        #: HttpConnUtils.domainsWithUnsupportedAcceptLanguageParameter
+        self.no_accept_language: set[str] = set()
+        self._opener = urllib.request.build_opener(_NoRedirect, _NoHttpError)
+
+    # -- one request, no ladder -------------------------------------------
+
+    def _request(self, url: str, method: str, domain: str):
+        headers = dict(BASE_HEADERS)
+        headers["Accept-Encoding"] = _accept_encoding()
+        if domain not in self.no_accept_language:
+            headers["Accept-Language"] = ACCEPT_LANGUAGE
+        req = urllib.request.Request(url, headers=headers, method=method)
+        timeout = (
+            self.head_timeout_s if method == "HEAD" else self.get_timeout_s
+        )
+        return self._opener.open(req, timeout=timeout)
+
+    # -- the ladder ---------------------------------------------------------
+
+    def resolve(self, url: str) -> dict:
+        domain = _domain_of(url)
+        method = (
+            "GET"
+            if (not self.head_first or domain in self.head_unsupported)
+            else "HEAD"
+        )
+        try:
+            resp = self._request(url, method, domain)
+            status = resp.status
+            # 405/501 on HEAD: domain can't HEAD — remember + GET
+            # (HttpConnUtils.java:433-450)
+            if status in (405, 501) and method == "HEAD":
+                self.head_unsupported.add(domain)
+                resp.close()
+                method = "GET"
+                resp = self._request(url, method, domain)
+                status = resp.status
+            # 406: retry once without Accept-Language and remember
+            # (HttpConnUtils.java:415-432)
+            if status == 406 and domain not in self.no_accept_language:
+                self.no_accept_language.add(domain)
+                resp.close()
+                resp = self._request(url, method, domain)
+                status = resp.status
+        except (TimeoutError, socket.timeout):
+            return self._status_only(-1)  # conn_timeout (retryable)
+        except urllib.error.URLError as e:
+            reason = getattr(e, "reason", None)
+            if isinstance(reason, (TimeoutError, socket.timeout)):
+                return self._status_only(-1)
+            if isinstance(reason, (socket.gaierror, ssl.SSLError)):
+                # unknown host / SSL failure -> engine unknown_code ->
+                # immediate domain block (HttpConnUtils.java:477-502)
+                return self._status_only(0)
+            return self._status_only(-1)  # conn refused etc: retryable
+        except (ssl.SSLError, socket.gaierror):
+            return self._status_only(0)
+        except (ConnectionError, OSError):
+            return self._status_only(-1)
+
+        with resp:
+            h = resp.headers
+            location = h.get("Location")
+            if location:
+                location = urllib.parse.urljoin(url, location)
+            content_type = h.get("Content-Type")
+            content_disposition = h.get("Content-Disposition")
+            clen = h.get("Content-Length")
+            content_length = int(clen) if clen and clen.isdigit() else 0
+            body = b""
+            if method == "GET" and 200 <= status < 300:
+                body = resp.read(self.max_body_bytes + 1)
+                decoded = decompress(body, h.get("Content-Encoding"))
+                body = b"" if decoded is None else decoded
+        mime = (content_type or "").split(";")[0].strip().lower()
+        is_html = mime in ("text/html", "application/xhtml+xml") or (
+            not mime and body.lstrip()[:6].lower() in (b"<html>", b"<!doct")
+        )
+        html_body = None
+        body_kind = "other"
+        if is_html:
+            body_kind = "html"
+            if body:
+                html_body = body.decode("utf-8", errors="replace")
+        elif mime.startswith("image/"):
+            body_kind = "image"
+        elif status >= 400 or status <= 0:
+            body_kind = "error"
+        if not content_length and body:
+            content_length = len(body)
+        return {
+            "status": status,
+            "location": location,
+            "content_type": content_type,
+            "content_disposition": content_disposition,
+            "content_length": content_length,
+            "body_kind": body_kind,
+            "image_id": None,  # live payloads carry no synthetic id
+            "html_links": [],  # extraction happens in the page stage
+            "html_body": html_body,
+        }
+
+    @staticmethod
+    def _status_only(status: int) -> dict:
+        return {
+            "status": status, "location": None, "content_type": None,
+            "content_disposition": None, "content_length": 0,
+            "body_kind": "error", "image_id": None, "html_links": [],
+            "html_body": None,
+        }
+
+
+class LiveHttpResolverFactory:
+    """Picklable ``resolver_factory`` for CrawlEngine: attach to a web/
+    config object as ``resolver_factory = lambda: LiveHttpResolverFactory(...)``
+    — each task then builds one LiveHttpResolver and calls ``.resolve``."""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def __call__(self):
+        return LiveHttpResolver(**self.kwargs).resolve

@@ -69,6 +69,54 @@ def test_over_budget_request_becomes_timeout(spark):
     assert counts.get("budget.example.org") == 1
 
 
+def _make_hung_factory():
+    """A /hang/ url stalls 30s — far beyond any sane test wall. Only a
+    REAL interrupting watchdog lets the task finish fast."""
+
+    def factory():
+        import time
+
+        def resolve(url):
+            if "/hang/" in url:
+                time.sleep(30)
+            return {
+                "status": 200, "location": None, "content_type": "image/png",
+                "content_disposition": None, "content_length": 10,
+                "body_kind": "image", "image_id": "img-b", "html_links": [],
+            }
+
+        return resolve
+
+    return factory
+
+
+class HungWeb(SlowWeb):
+    def _build(self):
+        super()._build()
+        self._seed("hung::000", "https://budget.example.org/hang/2/fulltext.pdf")
+
+    def resolver_factory(self):
+        return _make_hung_factory()
+
+
+def test_watchdog_interrupts_a_hung_resolver(spark):
+    """C6 is a true interrupt, not post-hoc classification: a resolver
+    that sleeps 30s under a 100ms budget must neither stall the task
+    nor poison the fast rows' results."""
+    import time as _time
+
+    web = HungWeb()
+    engine = CrawlEngine(spark, web, num_buckets=4, request_budget_ms=100)
+    t0 = _time.time()
+    state = engine.crawl(web.seeds_df(spark), max_rounds=1)
+    rows = {r["id"]: (r["docOrDatasetUrl"], r["couldRetry"])
+            for r in state.results.collect()}
+    wall = _time.time() - t0
+    assert wall < 20, f"task stalled on the hung resolver ({wall:.1f}s)"
+    assert rows["hung::000"] == ("unreachable", "true")
+    assert rows["fast::000"][0] != "unreachable"
+
+
 def test_no_budget_means_no_watchdog(spark):
     web = SlowWeb()
     engine = CrawlEngine(spark, web, num_buckets=4)

@@ -1,0 +1,172 @@
+"""Live-HTTP resolver ladder (N2/N4/N11/N12) against a local test
+server: HEAD policy + 405 fallback + per-domain memory, 406
+Accept-Language retry, gzip/deflate decompression, raw 3XX surfacing,
+timeout/DNS error mapping. The engine stays on the synthetic resolver;
+this proves the production swap-in (HttpConnUtils.java:310-519)."""
+
+from __future__ import annotations
+
+import gzip
+import threading
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from publicationsretriever_spark.sources.livehttp import (
+    LiveHttpResolver,
+    LiveHttpResolverFactory,
+    decompress,
+)
+
+REQUESTS: list[tuple[str, str, dict]] = []  # (method, path, headers)
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def _record(self, method):
+        REQUESTS.append((method, self.path, dict(self.headers)))
+
+    def _send(self, status, headers=None, body=b""):
+        self.send_response(status)
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def do_HEAD(self):
+        self._record("HEAD")
+        if self.path.startswith("/pdf-no-head"):
+            self._send(405)
+        elif self.path.startswith("/pdf"):
+            self._send(200, {"Content-Type": "application/pdf"})
+        elif self.path.startswith("/lang406"):
+            if "Accept-Language" in self.headers:
+                self._send(406)
+            else:
+                self._send(200, {"Content-Type": "application/pdf"})
+        elif self.path.startswith("/redir"):
+            self._send(302, {"Location": "/pdf"})
+        else:
+            self._send(200, {"Content-Type": "text/html"})
+
+    def do_GET(self):
+        self._record("GET")
+        if self.path.startswith("/html-gzip"):
+            body = gzip.compress(b"<html><body>hello gz</body></html>")
+            self._send(200, {"Content-Type": "text/html; charset=utf-8",
+                             "Content-Encoding": "gzip"}, body)
+        elif self.path.startswith("/html-deflate"):
+            body = zlib.compress(b"<html><body>hello df</body></html>")
+            self._send(200, {"Content-Type": "text/html",
+                             "Content-Encoding": "deflate"}, body)
+        elif self.path.startswith("/pdf-no-head"):
+            self._send(200, {"Content-Type": "application/pdf",
+                             "Content-Disposition": 'attachment; filename="x.pdf"'},
+                       b"%PDF-fake")
+        elif self.path.startswith("/slow"):
+            import time
+            time.sleep(3)
+            self._send(200, {"Content-Type": "text/html"}, b"<html></html>")
+        else:
+            self._send(200, {"Content-Type": "text/html"},
+                       b"<html><body>plain</body></html>")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    yield base
+    srv.shutdown()
+
+
+def test_head_first_then_get_only_when_needed(server):
+    r = LiveHttpResolver()
+    REQUESTS.clear()
+    out = r.resolve(f"{server}/pdf")
+    assert out["status"] == 200
+    assert out["content_type"].startswith("application/pdf")
+    assert [m for m, _p, _h in REQUESTS] == ["HEAD"]  # no body needed
+
+
+def test_405_head_fallback_marks_domain(server):
+    r = LiveHttpResolver()
+    REQUESTS.clear()
+    out = r.resolve(f"{server}/pdf-no-head")
+    assert out["status"] == 200
+    assert out["content_disposition"] is not None
+    assert [m for m, _p, _h in REQUESTS] == ["HEAD", "GET"]
+    # the domain is remembered: second call goes straight to GET
+    REQUESTS.clear()
+    out2 = r.resolve(f"{server}/pdf-no-head/2")
+    assert out2["status"] == 200
+    assert [m for m, _p, _h in REQUESTS] == ["GET"]
+
+
+def test_406_retries_without_accept_language(server):
+    r = LiveHttpResolver()
+    REQUESTS.clear()
+    out = r.resolve(f"{server}/lang406")
+    assert out["status"] == 200
+    methods = [(m, "Accept-Language" in h) for m, _p, h in REQUESTS]
+    assert methods == [("HEAD", True), ("HEAD", False)]
+    # remembered for the whole domain afterwards
+    REQUESTS.clear()
+    r.resolve(f"{server}/lang406")
+    assert [(m, "Accept-Language" in h) for m, _p, h in REQUESTS] == [
+        ("HEAD", False)
+    ]
+
+
+def test_gzip_and_deflate_bodies_are_decoded(server):
+    r = LiveHttpResolver(head_first=False)
+    out = r.resolve(f"{server}/html-gzip")
+    assert out["body_kind"] == "html"
+    assert "hello gz" in out["html_body"]
+    out = r.resolve(f"{server}/html-deflate")
+    assert "hello df" in out["html_body"]
+
+
+def test_redirects_are_surfaced_not_followed(server):
+    r = LiveHttpResolver()
+    out = r.resolve(f"{server}/redir")
+    assert out["status"] == 302
+    assert out["location"].endswith("/pdf")  # absolutized
+
+
+def test_timeout_maps_to_minus_one(server):
+    r = LiveHttpResolver(head_first=False, get_timeout_s=0.5)
+    out = r.resolve(f"{server}/slow")
+    assert out["status"] == -1
+    assert out["body_kind"] == "error"
+
+
+def test_unknown_host_maps_to_unknown_code_block(server):
+    r = LiveHttpResolver()
+    out = r.resolve("http://no-such-host-xyz.invalid/x")
+    assert out["status"] == 0  # engine: unknown_code -> domain block
+
+
+def test_factory_is_picklable():
+    import pickle
+
+    f = LiveHttpResolverFactory(head_first=False, get_timeout_s=5)
+    f2 = pickle.loads(pickle.dumps(f))
+    assert callable(f2())
+
+
+def test_decompress_edge_cases():
+    assert decompress(b"abc", None) == b"abc"
+    assert decompress(gzip.compress(b"x"), "gzip") == b"x"
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    body = raw.compress(b"y") + raw.flush()
+    assert decompress(body, "deflate") == b"y"  # raw-deflate server
+    assert decompress(b"garbage", "gzip") is None
+    assert decompress(b"abc", "unsupported-enc") is None
