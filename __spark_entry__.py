@@ -121,6 +121,41 @@ def q_best_url_per_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("id", "url", "priority").orderBy("id")
 
 
+def q_skipped_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 output contract: every NON-best url of an id owes a row —
+    "Skipped in LoaderAndChecker, as a better url was selected"
+    (handleLogOfRemainingUrls, LoaderAndChecker.java:685-698) — ranked
+    in the ladder order the checkRemainingUrls fallback wave
+    (:534-561) would consume them."""
+    from pyspark.sql import Window
+
+    from publicationsretriever_spark.operators.besturl import pick_best_url_per_id
+
+    urls = _q_urls(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("id"),
+        F.col("doc_id").alias("order_in_id"),
+        "url",
+    )
+    ranked = pick_best_url_per_id(urls)
+    prio = F.col("priority")
+    tie = F.when(prio == 0, F.col("order_in_id")).otherwise(-F.col("order_in_id"))
+    w = Window.partitionBy("id").orderBy(prio.asc(), tie.asc())
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") > 1)
+        .select(
+            "id", "url",
+            (F.col("rn") - 1).cast("int").alias("pool_rank"),
+            F.concat(
+                F.lit("Skipped in LoaderAndChecker, as a better url was "
+                      "selected for id: "),
+                F.col("id").cast("string"),
+            ).alias("error"),
+        )
+        .orderBy("id", "pool_rank")
+    )
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 exact path: frontier rows not in the seen set (anti-join).
     Seen = urls of even doc_id."""
@@ -564,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "reject_stats": q_reject_stats,
         "best_url_per_id": q_best_url_per_id,
+        "skipped_urls": q_skipped_urls,
         "seen_antijoin": q_seen_antijoin,
         "recross_join": q_recross_join,
         "domain_block_rule": q_domain_block_rule,
@@ -622,6 +658,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, url, CAST(priority AS INT) AS priority
             FROM ranked WHERE rn = 1 ORDER BY id
+        """,
+        "skipped_urls": f"""
+            WITH u AS (
+              SELECT CAST(doc_id % 97 AS BIGINT) AS id, doc_id AS order_in_id, url,
+                CASE
+                  WHEN regexp_matches(lower(url), '{DOC_URL_RE}')
+                    OR regexp_matches(lower(url), '{DATASET_URL_RE}') THEN 0
+                  WHEN url LIKE '%/handle/%' THEN 1
+                  WHEN url NOT LIKE '%doi.org%' THEN 2
+                  ELSE 3 END AS priority
+              FROM ({urls})
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY id
+                ORDER BY priority ASC,
+                         CASE WHEN priority = 0 THEN order_in_id ELSE -order_in_id END ASC
+              ) AS rn
+              FROM u
+            )
+            SELECT id, url, CAST(rn - 1 AS INT) AS pool_rank,
+                   'Skipped in LoaderAndChecker, as a better url was selected for id: '
+                     || CAST(id AS VARCHAR) AS error
+            FROM ranked WHERE rn > 1 ORDER BY id, pool_rank
         """,
         "seen_antijoin": f"""
             WITH u AS (SELECT doc_id, url, md5(url) AS url_hash FROM ({urls}))

@@ -41,6 +41,7 @@ class Verdicts:
     fetch_url: dict[str, str]         # canon -> P9-rewritten
     doc_like: dict[str, bool]
     mime_category: dict[str, str | None]  # final_url -> document/dataset/None
+    docid: dict[str, str | None]      # getDocIdStr (U.doc_id_of) — J6
 
 
 def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
@@ -67,8 +68,9 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
             | FL.is_possible_dataset_url(F.lower(F.col("url")))
         ).alias("dl"),
         U.path_of(F.col("url")).alias("pp"),
+        U.doc_id_of(F.col("url")).alias("did"),
     ).collect()
-    v = Verdicts({}, {}, {}, {}, {}, {}, {}, {}, {})
+    v = Verdicts({}, {}, {}, {}, {}, {}, {}, {}, {}, {})
     for r in rows:
         u = r["url"]
         v.page_reject[u] = r["pr"]
@@ -79,6 +81,7 @@ def compute_verdicts(spark, urls: list[str], web: SyntheticWeb) -> Verdicts:
         v.fetch_url[u] = r["fetch_url"]
         v.doc_like[u] = bool(r["dl"])
         v.path[u] = r["pp"]
+        v.docid[u] = r["did"]
 
     # top3 for canonical-form strings too (the engine derives the
     # doc-url domain of a re-crossed row from its canon url)
@@ -164,6 +167,17 @@ class OracleState:
     # J4: fallback pool — id -> ladder-ordered list of non-best rows
     # (checkRemainingUrls, LoaderAndChecker.java:534-561)
     fallback_pool: dict = field(default_factory=dict)
+    # J6: path-MLA model (MachineLearning.successPathsHashMultiMap /
+    # successDocPathsExtensionHashMap)
+    path_model: dict = field(default_factory=dict)  # page_path -> set(doc_path)
+    path_ext: dict = field(default_factory=dict)    # doc_path -> ext (max)
+
+
+#: mirrors rounds.PLAIN_PAGE_EXT_RE
+PLAIN_PAGE_EXT_RE = _re_mod.compile(
+    r"\.(?:html?|php\d?|aspx?|jsp|jspx|do|asp|cfm|cgi|shtml)$", _re_mod.I
+)
+DOC_EXT_RE = _re_mod.compile(r"(\.[A-Za-z0-9]{1,7})$")
 
 
 def crawl_oracle(
@@ -172,10 +186,17 @@ def crawl_oracle(
     seeds: list[tuple[str, int, str]],
     max_rounds: int = 3,
     host_quota: int = 50,
+    use_mla: bool = False,
+    mla_gate=None,
 ) -> OracleState:
     """seeds: (id, order_in_id, url)."""
     v = verdicts
     st = OracleState()
+    if use_mla and mla_gate is None:
+        from ..plans.stats import MlaGate
+
+        mla_gate = MlaGate()
+    _off = 1 if use_mla else 0
     frontier = [
         {"id": i, "order_in_id": o, "url": u, "depth": 0, "kind": "seed"}
         for i, o, u in seeds
@@ -192,6 +213,8 @@ def crawl_oracle(
     for rnd in range(max_rounds):
         if not frontier:
             break
+        # A8 gate: one decision per round (mirrors CrawlEngine)
+        mla_predict_on = use_mla and mla_gate.should_run_prediction()
         # stage: gate + canon
         staged = []
         for row in frontier:
@@ -362,6 +385,12 @@ def crawl_oracle(
         # remaining link verified as doc (at fetch time, next round)
         rd_rem_evals = 0
         rd_rem_hit_pages: set = set()
+        # J6/A8 round deltas (model visible from NEXT round, like the
+        # engine's path_model dimension table)
+        rd_pm_pairs: set = set()
+        rd_pm_ext: dict = {}
+        rd_mla_gather = rd_mla_pages = rd_mla_checked = 0
+        rd_mla_found_pages: set = set()
         # A7 flag evaluated ONCE at round start from prior rounds' counters
         remaining_on = (
             st.rem_evals < 20 or (st.rem_hits / st.rem_evals) >= 0.002
@@ -458,6 +487,21 @@ def crawl_oracle(
                 bump(v.top3.get(url), "good")
                 if r.get("phase") == "remaining" and r.get("page_final"):
                     rd_rem_hit_pages.add(r["page_final"])
+                # J6 learn (gatherMLData) + A8 found counter
+                if use_mla and r.get("page_final") and url != r["page_final"]:
+                    _pp2 = v.path.get(r["page_final"])
+                    _dp = v.path.get(url)
+                    if _pp2 and _dp:
+                        rd_pm_pairs.add((_pp2, _dp))
+                        rd_mla_gather += 1
+                        _did2 = v.docid.get(url)
+                        _m = DOC_EXT_RE.search(_did2) if _did2 else None
+                        if _m:
+                            rd_pm_ext[_dp] = max(
+                                rd_pm_ext.get(_dp, ""), _m.group(1)
+                            )
+                if r.get("phase") == "mla" and r.get("page_final"):
+                    rd_mla_found_pages.add(r["page_final"])
                 # J7 learn: a verified doc that came via an extracted
                 # link stores (page_path, structure)
                 if r.get("structure") is not None and r.get("page_final"):
@@ -498,17 +542,13 @@ def crawl_oracle(
                     continue
                 if _att:  # page connect succeeded -> id resolved
                     resolved.add(r["id"])
+                rd_mla_pages += 1  # live page reached the MLA stage
                 # candidates: (pos, link, structure, phase)
                 candidates: list[tuple] = []
                 if meta_url:
                     candidates.append((0, meta_url, None, "meta"))
-                found = [x for x in extracted if x["signal"] == "docFound"]
-                if found:
-                    candidates.append(
-                        (1, found[0]["link"], found[0]["structure"], "docfound")
-                    )
                 plain = [
-                    (pos + 2, x)
+                    (pos + 2 + _off, x)
                     for pos, x in enumerate(
                         [y for y in extracted if y["signal"] == "plain"][:MAX_LINKS_PER_PAGE]
                     )
@@ -517,29 +557,58 @@ def crawl_oracle(
                 accepted = [
                     (p, x) for p, x in plain if v.link_reject.get(x["link"]) is None
                 ]
-                # J7 structure-MLA hits bypass the 5/10 caps
-                page_path = v.path.get(url)
-                hits = [
-                    (p, x) for p, x in accepted
-                    if (page_path, x["structure"]) in st.structure_model
-                ]
-                rest = [
-                    (p, x) for p, x in accepted
-                    if (page_path, x["structure"]) not in st.structure_model
-                ]
-                for p, x in hits:
-                    candidates.append((p, x["link"], x["structure"], "structure"))
-                ranked = sorted(rest, key=lambda t: (not v.doc_like[t[1]["link"]], t[0]))
-                for i, (p, x) in enumerate(ranked, start=1):
-                    l = x["link"]
-                    if v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS:
-                        candidates.append((p, l, x["structure"], "doclike"))
-                    elif (
-                        remaining_on
-                        and not v.doc_like[l]
-                        and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS
-                    ):
-                        candidates.append((p, l, x["structure"], "remaining"))
+                # J6 path-MLA prediction (mirrors the engine: a hit
+                # suppresses docfound/structure/doclike/remaining)
+                mla_cands: list[tuple] = []
+                if mla_predict_on:
+                    _pp = v.path.get(url)
+                    _did = v.docid.get(url)
+                    if _did:
+                        _did = PLAIN_PAGE_EXT_RE.sub("", _did)
+                    _paths = st.path_model.get(_pp) if _pp else None
+                    if _did and _paths and len(_paths) <= 5:
+                        rd_mla_checked += 1
+                        _preds = {
+                            p + _did + st.path_ext.get(p, "") for p in _paths
+                        }
+                        mla_cands = [
+                            (1, x["link"], x["structure"], "mla")
+                            for _p2, x in accepted if x["link"] in _preds
+                        ]
+                if mla_cands:
+                    candidates.extend(mla_cands)
+                else:
+                    found = [x for x in extracted if x["signal"] == "docFound"]
+                    if found:
+                        candidates.append(
+                            (1 + _off, found[0]["link"],
+                             found[0]["structure"], "docfound")
+                        )
+                    # J7 structure-MLA hits bypass the 5/10 caps
+                    page_path = v.path.get(url)
+                    hits = [
+                        (p, x) for p, x in accepted
+                        if (page_path, x["structure"]) in st.structure_model
+                    ]
+                    rest = [
+                        (p, x) for p, x in accepted
+                        if (page_path, x["structure"]) not in st.structure_model
+                    ]
+                    for p, x in hits:
+                        candidates.append((p, x["link"], x["structure"], "structure"))
+                    ranked = sorted(
+                        rest, key=lambda t: (not v.doc_like[t[1]["link"]], t[0])
+                    )
+                    for i, (p, x) in enumerate(ranked, start=1):
+                        l = x["link"]
+                        if v.doc_like[l] and i <= MAX_POSSIBLE_DOC_LINKS:
+                            candidates.append((p, l, x["structure"], "doclike"))
+                        elif (
+                            remaining_on
+                            and not v.doc_like[l]
+                            and i <= MAX_POSSIBLE_DOC_LINKS + MAX_REMAINING_LINKS
+                        ):
+                            candidates.append((p, l, x["structure"], "remaining"))
                 if any(ph == "remaining" for *_x, ph in candidates):
                     rd_rem_evals += 1
                 if not candidates:
@@ -591,6 +660,15 @@ def crawl_oracle(
         st.structure_model |= rd_model
         st.rem_evals += rd_rem_evals
         st.rem_hits += len(rd_rem_hit_pages)
+        if use_mla:
+            for _ppx, _dpx in rd_pm_pairs:
+                st.path_model.setdefault(_ppx, set()).add(_dpx)
+            for _dpx, _ex in rd_pm_ext.items():
+                st.path_ext[_dpx] = max(st.path_ext.get(_dpx, ""), _ex)
+            mla_gate.observe_round(
+                gathered=rd_mla_gather, pages_reached=rd_mla_pages,
+                checked=rd_mla_checked, found=len(rd_mla_found_pages),
+            )
         # round boundary: merge counter deltas, then evaluate the exact
         # A2/A3 rules over the CUMULATIVE counters (latched blocks) —
         # operators/blocking.py has the citations

@@ -114,6 +114,16 @@ DOMAIN_FLAGS_SCHEMA = "domain string, https_ok boolean, slash_ok boolean"
 #: rewrite whole each round, unlike the append-only results/seen.
 FALLBACK_POOL_SCHEMA = "id string, rank int, order_in_id long, url string"
 
+#: J6 path-MLA model: distinct (page_path, doc_path) success pairs
+#: (MachineLearning.successPathsHashMultiMap) with the doc_path's
+#: known file extension (successDocPathsExtensionHashMap; max() as the
+#: deterministic stand-in for the reference's racy last-write-wins)
+PATH_MODEL_SCHEMA = "page_path string, doc_path string, doc_ext string"
+
+#: page-extensions stripped from a docid before prediction
+#: (UrlTypeChecker.PLAIN_PAGE_EXTENSION_FILTER via MachineLearning.java:285-288)
+PLAIN_PAGE_EXT_RE = r"(?i)\.(?:html?|php\d?|aspx?|jsp|jspx|do|asp|cfm|cgi|shtml)$"
+
 
 NOT_FOUND = {
     "status": 404, "location": None, "content_type": None,
@@ -155,6 +165,7 @@ class CrawlState:
     blocked_paths: DataFrame | None = None  # domain string, path string
     domain_flags: DataFrame | None = None   # DOMAIN_FLAGS_SCHEMA (P11)
     structure_model: DataFrame | None = None  # (page_path, structure) — J7
+    path_model: DataFrame | None = None       # PATH_MODEL_SCHEMA — J6
     fallback_pool: DataFrame | None = None    # FALLBACK_POOL_SCHEMA — J4
     pages_html: DataFrame | None = None       # S6 html sink (optional)
     order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
@@ -203,6 +214,8 @@ class CrawlEngine:
         store_html: bool = False,
         bloom_threshold: int = 2_000_000,
         sharded_threshold: int | None = None,
+        use_mla: bool = False,
+        mla_gate: "ST.MlaGate | None" = None,
     ):
         self.spark = spark
         self.web = web
@@ -241,6 +254,16 @@ class CrawlEngine:
             sharded_threshold if sharded_threshold is not None
             else SEEN.SHARDED_THRESHOLD
         )
+        # J6+A8: path-MLA prediction behind a flag (the reference ships
+        # useMLA=false, MachineLearning.java:33). When on, every round
+        # LEARNS (page_path -> doc_path [+ext]) pairs from verified
+        # docs (gatherMLData :121-168) and, gate permitting (MlaGate =
+        # shouldRunPrediction :187-240), PREDICTS each page's doc url
+        # as doc_path + docid(page) [+ext], accepted only if present
+        # among the page's accepted links — a hit shortcuts the
+        # docfound/structure/doclike/remaining fetches for that page.
+        self.use_mla = use_mla
+        self.mla_gate = mla_gate if mla_gate is not None else ST.MlaGate()
         # The fetch surface is pluggable: a web exposing
         # ``resolver_factory()`` hands the executors a picklable factory
         # (a live-HTTP client in production; a pure url->response
@@ -483,6 +506,10 @@ class CrawlEngine:
         spark = self.spark
         lit = F.lit
         _round_caches: list[DataFrame] = []
+        # A8 gate: one deterministic decision per round from the
+        # counters accumulated through the PRIOR round (the reference
+        # consults the same state machine per page under a lock)
+        mla_predict_on = self.use_mla and self.mla_gate.should_run_prediction()
 
         # Every fan-out point is EAGERLY materialized (localCheckpoint):
         # the round's result-delta is a union of many branches whose
@@ -836,13 +863,16 @@ class CrawlEngine:
             F.lit(0).alias("pos"), F.col("_meta_url").alias("link"),
             null_s.alias("structure"), F.lit("meta").alias("phase"),
         )
+        # J6: when MLA is on, candidate positions shift by one to make
+        # room for the prediction rank between meta (0) and docfound
+        _off = 1 if self.use_mla else 0
         _df_elem = F.try_element_at(
             F.filter("_links", lambda x: x["signal"] == "docFound"), F.lit(1)
         )
         doc_found = live.select(
             F.col("id"), F.col("url").alias("page_url"),
             F.col("final_url").alias("page_final"),
-            F.lit(1).alias("pos"),
+            F.lit(1 + _off).alias("pos"),
             _df_elem["link"].alias("link"),
             _df_elem["structure"].alias("structure"),
             F.lit("docfound").alias("phase"),
@@ -858,7 +888,7 @@ class CrawlEngine:
                 )
             ).alias("pos", "l"),
         ).select(
-            "id", "page_url", "page_final", (F.col("pos") + 2).alias("pos"),
+            "id", "page_url", "page_final", (F.col("pos") + 2 + _off).alias("pos"),
             F.col("l")["link"].alias("link"),
             F.col("l")["structure"].alias("structure"),
         )
@@ -868,6 +898,59 @@ class CrawlEngine:
         exploded = exploded.withColumn(
             "link_reject", self.battery.internal_link_reject_reason(F.lower(F.col("link")))
         ).filter(F.col("link_reject").isNull()).drop("link_reject")
+
+        # J6 path-MLA prediction (MachineLearning.predictInternalDocUrl
+        # :253-353, called at PageCrawler.java:174 after the metadata
+        # scan and BEFORE the gathering loops): predicted doc url =
+        # known doc_path + docid(page) [+known extension], accepted
+        # only when present among the page's accepted links. A page
+        # with a hit skips its docfound/structure/doclike/remaining
+        # candidates (the reference returns from visit() on success) —
+        # if the prediction fails to verify next round, those skipped
+        # candidates are NOT retried (round-granular deviation; the
+        # reference falls back within the same visit).
+        mla_hits = None
+        mla_checked_pages = None
+        if mla_predict_on:
+            pm = (state.path_model if state.path_model is not None
+                  else _empty(spark, PATH_MODEL_SCHEMA))
+            w_pm = Window.partitionBy("page_path")
+            # a page_path with >5 doc_paths is too noisy to predict
+            # from (MachineLearning.java:56-58,273-278)
+            usable = pm.withColumn(
+                "_npp", F.count(F.lit(1)).over(w_pm)
+            ).filter(F.col("_npp") <= 5).drop("_npp")
+            pred = (
+                live.select(
+                    F.col("url").alias("_mp_page"),
+                    U.path_of(F.col("final_url")).alias("_mp_pp"),
+                    F.regexp_replace(
+                        U.doc_id_of(F.col("final_url")), PLAIN_PAGE_EXT_RE, ""
+                    ).alias("_mp_docid"),
+                )
+                .filter(F.col("_mp_docid").isNotNull() & (F.col("_mp_docid") != ""))
+                .join(F.broadcast(usable), F.col("_mp_pp") == usable["page_path"])
+                .withColumn(
+                    "_mp_pred",
+                    F.concat(
+                        F.col("doc_path"), F.col("_mp_docid"),
+                        F.coalesce(F.col("doc_ext"), F.lit("")),
+                    ),
+                )
+            )
+            mla_checked_pages = pred.select("_mp_page").distinct()
+            preds = pred.select("_mp_page", "_mp_pred").distinct()
+            mla_hits = exploded.join(
+                F.broadcast(preds),
+                (exploded["page_url"] == preds["_mp_page"])
+                & (exploded["link"] == preds["_mp_pred"]),
+            ).select(
+                "id", "page_url", "page_final", F.lit(1).alias("pos"),
+                "link", "structure", F.lit("mla").alias("phase"),
+            )
+            mla_pages = mla_hits.select("page_url").distinct()
+            exploded = exploded.join(mla_pages, "page_url", "left_anti")
+            doc_found = doc_found.join(mla_pages, "page_url", "left_anti")
 
         # J7 structure-MLA prediction (PageStructureMLA.predictDocOrDatasetLink
         # :65-100, called at PageCrawler.java:417): a gathered link whose
@@ -922,11 +1005,14 @@ class CrawlEngine:
         )
 
         # fan-out: next-round frontier + "page yielded nothing" anti-join
-        links = _cut(
+        links = (
             meta_c.unionByName(doc_found)
             .unionByName(struct_hits)
             .unionByName(plain)
         )
+        if mla_hits is not None:
+            links = links.unionByName(mla_hits)
+        links = _cut(links)
         next_frontier = links.select(
             F.col("id"),
             F.col("pos").cast("long").alias("order_in_id"),
@@ -1208,6 +1294,50 @@ class CrawlEngine:
         ).filter(F.col("page_path").isNotNull())
         structure_model = struct_model.unionByName(learned_struct).distinct()
 
+        # J6 learning (gatherMLData, MachineLearning.java:121-168):
+        # every verified doc that came via a page stores
+        # (page_path -> doc_path) and the doc_path's file extension.
+        # Runs whenever use_mla (the reference gathers regardless of
+        # the prediction gate); pairs are distinct-merged, extensions
+        # keep max() per doc_path (deterministic last-write-wins).
+        prior_pm = (state.path_model if state.path_model is not None
+                    else _empty(spark, PATH_MODEL_SCHEMA))
+        if self.use_mla:
+            learned_pm = classified.filter(
+                is_doc & F.col("page_final").isNotNull()
+                & (F.col("final_url") != F.col("page_final"))
+            ).select(
+                U.path_of(F.col("page_final")).alias("page_path"),
+                U.path_of(F.col("final_url")).alias("doc_path"),
+                F.nullif(
+                    F.regexp_extract(
+                        U.doc_id_of(F.col("final_url")),
+                        r"(\.[A-Za-z0-9]{1,7})$", 1,
+                    ),
+                    F.lit(""),
+                ).alias("doc_ext"),
+            ).filter(
+                F.col("page_path").isNotNull() & F.col("doc_path").isNotNull()
+            )
+            pm_pairs = (
+                prior_pm.select("page_path", "doc_path")
+                .unionByName(learned_pm.select("page_path", "doc_path"))
+                .distinct()
+            )
+            pm_exts = (
+                prior_pm.select("doc_path", "doc_ext")
+                .unionByName(learned_pm.select("doc_path", "doc_ext"))
+                .filter(F.col("doc_ext").isNotNull())
+                .groupBy("doc_path")
+                .agg(F.max("doc_ext").alias("doc_ext"))
+            )
+            path_model = pm_pairs.join(F.broadcast(pm_exts), "doc_path", "left").select(
+                "page_path", "doc_path", "doc_ext"
+            )
+        else:
+            learned_pm = None
+            path_model = prior_pm
+
         unknown_blocked = classified.filter(
             F.col("error_class") == "unknown_code"
         ).select(F.col("host").alias("domain")).distinct()
@@ -1266,6 +1396,31 @@ class CrawlEngine:
             .unionByName(rem_eval_agg)
             .unionByName(rem_hit_agg)
         )
+        if self.use_mla:
+            # A8 gate counter deltas, all over already-planned frames
+            metrics_df = (
+                metrics_df
+                .unionByName(_count_row(learned_pm, "mla_gathered"))
+                .unionByName(_count_row(live, "mla_pages"))
+                .unionByName(
+                    _count_row(
+                        mla_checked_pages
+                        if mla_checked_pages is not None
+                        else _empty(spark, "x string"),
+                        "mla_checked",
+                    )
+                )
+                .unionByName(
+                    classified.filter(
+                        (F.col("link_phase") == "mla") & is_doc
+                    ).groupBy().agg(
+                        F.lit("mla_found").alias("_t"),
+                        F.lit(None).cast("int").alias("host_bucket"),
+                        F.countDistinct("page_final").alias("n"),
+                        F.lit(0).cast("long").alias("x"),
+                    ).select("_t", "host_bucket", "n", "x")
+                )
+            )
 
         def finalize(rows: list, delta_counts: dict[str, int]) -> None:
             """Ingest the fused metrics job's rows (collected AFTER the
@@ -1296,6 +1451,19 @@ class CrawlEngine:
                     for r in fetch_rows
                 },
             })
+            if self.use_mla:
+                def _one(tag: str) -> int:
+                    return sum(r["n"] for r in rows if r["_t"] == tag)
+
+                self.mla_gate.observe_round(
+                    gathered=_one("mla_gathered"),
+                    pages_reached=_one("mla_pages"),
+                    checked=_one("mla_checked"),
+                    found=_one("mla_found"),
+                )
+                # gate state rides the lineage: resume restores it
+                state.metrics[-1]["mla_gate"] = self.mla_gate.to_lineage()
+                state.metrics[-1]["mla_predicted"] = mla_predict_on
             for df in _round_caches:
                 df.unpersist()
 
@@ -1330,6 +1498,7 @@ class CrawlEngine:
                 "path_counts": path_counts,
                 "domain_flags": domain_flags,
                 "structure_model": structure_model,
+                "path_model": path_model,
                 "fallback_pool": pool_next,
             },
             next_frontier=next_frontier,
@@ -1350,6 +1519,7 @@ class CrawlEngine:
             blocked_paths=_empty(spark, "domain string, path string"),
             domain_flags=_empty(spark, DOMAIN_FLAGS_SCHEMA),
             structure_model=_empty(spark, "page_path string, structure string"),
+            path_model=_empty(spark, PATH_MODEL_SCHEMA),
             fallback_pool=_empty(spark, FALLBACK_POOL_SCHEMA),
         )
 
@@ -1403,6 +1573,7 @@ class CrawlEngine:
                 blocked_paths=tables.get("blocked_paths"),
                 domain_flags=tables.get("domain_flags"),
                 structure_model=tables.get("structure_model"),
+                path_model=tables.get("path_model"),
                 fallback_pool=tables.get("fallback_pool"),
                 pages_html=tables.get("pages_html"),
                 order_log=tables.get("order_log"),
@@ -1422,6 +1593,13 @@ class CrawlEngine:
                 )
             if state.fallback_pool is None:
                 state.fallback_pool = _empty(spark, FALLBACK_POOL_SCHEMA)
+            if state.path_model is None:
+                state.path_model = _empty(spark, PATH_MODEL_SCHEMA)
+            # A8 gate state round-trips through snapshot lineage
+            if self.use_mla and state.metrics:
+                gate_lineage = state.metrics[-1].get("mla_gate")
+                if gate_lineage:
+                    self.mla_gate = ST.MlaGate.from_lineage(gate_lineage)
             frontier = tables["frontier"]
             start_round = manifest["round"] + 1
             pending = (
@@ -1453,6 +1631,7 @@ class CrawlEngine:
                 break
             if pending is None and frontier.isEmpty():
                 break
+            _round_t0 = _time.time()
             _t0 = _time.time()
             _timing = os.environ.get("PR_TIMING") == "1"
             out = self.run_round(state, frontier, rnd)
@@ -1485,6 +1664,7 @@ class CrawlEngine:
                     blocked_paths=B.eval_blocked_paths(loaded["path_counts"]),
                     domain_flags=loaded["domain_flags"],
                     structure_model=loaded["structure_model"],
+                    path_model=loaded["path_model"],
                     fallback_pool=loaded["fallback_pool"],
                     # optional delta tables must flow back into state:
                     # the next round's compaction unions prior parts
@@ -1575,6 +1755,7 @@ class CrawlEngine:
                     blocked_paths=B.eval_blocked_paths(cut["path_counts"]),
                     domain_flags=cut["domain_flags"],
                     structure_model=cut["structure_model"],
+                    path_model=cut["path_model"],
                     fallback_pool=cut["fallback_pool"],
                     pages_html=(
                         union_parts("pages_html", part_schemas["pages_html"])
@@ -1608,6 +1789,9 @@ class CrawlEngine:
                 if _timing:
                     print(f"TIMING r{rnd} metrics {_time.time()-_t0:.2f}",
                           flush=True)
+            # per-round wall for scaling-flatness evidence (delta state
+            # must keep round cost O(delta), not O(cumulative))
+            state.metrics[-1]["wall_sec"] = round(_time.time() - _round_t0, 3)
             pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
         # J4 end-of-crawl flush (handleLogOfRemainingUrls,

@@ -142,7 +142,8 @@ def stop_cluster() -> None:
             pass
 
 
-def run_level(n_exec: int, n_urls: int, n_hosts: int, pages_max: int) -> dict:
+def run_level(n_exec: int, n_urls: int, n_hosts: int, pages_max: int,
+              env: dict | None = None) -> dict:
     out = sh(
         [
             f"{SPARK_HOME}/bin/spark-submit",
@@ -159,6 +160,7 @@ def run_level(n_exec: int, n_urls: int, n_hosts: int, pages_max: int) -> dict:
             str(REPO / "tools/cluster_scaling_worker.py"),
             str(n_exec), str(n_urls), str(n_hosts), str(pages_max),
         ],
+        env=env,
     )
     line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
     return json.loads(line[len("RESULT "):])
@@ -169,17 +171,55 @@ def main() -> None:
     n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     pages_max = int(sys.argv[3]) if len(sys.argv) > 3 else 12
 
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     sh([sys.executable, str(REPO / "tools/make_pyfiles.py")])
     hw = hardware_ceiling()
     start_cluster()
+    deep = skew = None
+    los: list[dict] = []
+    his: list[dict] = []
     try:
-        lo = run_level(LEVELS["N"], n_urls, n_hosts, pages_max)
-        hi = run_level(LEVELS["4N"], n_urls, n_hosts, pages_max)
+        # interleave N/4N runs so slow host drift hits both levels
+        for _ in range(repeats):
+            los.append(run_level(LEVELS["N"], n_urls, n_hosts, pages_max))
+            his.append(run_level(LEVELS["4N"], n_urls, n_hosts, pages_max))
+        if os.environ.get("BENCH_SKIP_DEEP") != "1":
+            # deep-rounds flatness + seen-path transitions + compaction
+            # at the big level, plus the zipf hot-host stress
+            deep = run_level(
+                LEVELS["4N"], n_urls, n_hosts, pages_max,
+                env={"BENCH_SKIP_LOAD": "1", "BENCH_DEEP": "1",
+                     "BENCH_ROUNDS": "6", "BENCH_SKEW": "1"},
+            )
     finally:
         stop_cluster()
 
+    # best-of-repeats per level (shared-host noise is one-sided: slow
+    # outliers come from neighbors stealing cores)
+    lo = min(los, key=lambda r: r["crawl_wall_sec"])
+    hi = min(his, key=lambda r: r["crawl_wall_sec"])
+    eff_fetch_runs = [
+        (h["fetched_urls_per_sec"] / l["fetched_urls_per_sec"]) / 4
+        for l, h in zip(los, his)
+    ]
     eff_fetch = (hi["fetched_urls_per_sec"] / lo["fetched_urls_per_sec"]) / 4
     eff_check = (hi["checked_urls_per_sec"] / lo["checked_urls_per_sec"]) / 4
+
+    def norm(x: float) -> float:
+        # normalized = engine behavior with the host's physical 4x
+        # ceiling divided out, CAPPED at 1.0 — values above 1.0 are
+        # measurement noise, never engine merit (round-2 advice)
+        return round(min(1.0, x / hw["efficiency"]), 3)
+
+    flatness = None
+    if deep and deep.get("round_walls"):
+        # wall per fetched url, rounds 1.. (round 0 is seed-only)
+        per_url = [
+            w / f for w, f in zip(deep["round_walls"], deep["round_fetched"])
+            if w and f
+        ][1:]
+        if per_url:
+            flatness = round(max(per_url) / min(per_url) - 1.0, 3)
     report = {
         "topology": {
             "N": f"{LEVELS['N']} executors x {EXEC_CORES} cores",
@@ -188,11 +228,19 @@ def main() -> None:
         },
         "N": lo,
         "4N": hi,
+        "repeats": {
+            "n": repeats,
+            "eff_fetch_per_pair": [round(e, 3) for e in eff_fetch_runs],
+            "lo_walls": [r["crawl_wall_sec"] for r in los],
+            "hi_walls": [r["crawl_wall_sec"] for r in his],
+        },
         "hardware_ceiling": hw,
         "scaling_efficiency_fetched": round(eff_fetch, 3),
         "scaling_efficiency_checked": round(eff_check, 3),
-        "normalized_efficiency_fetched": round(eff_fetch / hw["efficiency"], 3),
-        "normalized_efficiency_checked": round(eff_check / hw["efficiency"], 3),
+        "normalized_efficiency_fetched": norm(eff_fetch),
+        "normalized_efficiency_checked": norm(eff_check),
+        "deep_rounds": deep,
+        "round_wall_flatness_per_url": flatness,
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     bench_dir = REPO / "BENCH"
@@ -238,9 +286,18 @@ consumed in Python), so a level of E executors consumes ~2E host
 cores. N=1/4N=4 keeps BOTH levels well under this host's ~16 physical
 cores; a 2-vs-8 comparison saturates the host at the big level and
 measures the machine, not the engine (a real cluster's 4N executors
-bring 4x hardware). Run-to-run variance on this shared host is ~±10%,
-so raw efficiencies can land slightly above 1.0; standalone
-single-level probes of the same crawl measured 0.85 raw.
+bring 4x hardware).
+
+### Variance ({report['repeats']['n']} interleaved N/4N pairs)
+
+crawl walls N = {report['repeats']['lo_walls']} s,
+4N = {report['repeats']['hi_walls']} s; per-pair raw fetch
+efficiency = {report['repeats']['eff_fetch_per_pair']}. Headline uses
+best-of-repeats per level (shared-host noise is one-sided). Raw
+efficiency above 1.0 is measurement noise on this host — the
+normalized column is therefore CAPPED at 1.0; the politeness delays
+are a virtual clock (planned slots, not wall sleeps), so the N=1
+baseline is throughput-bound, not idle-dominated.
 
 ### Engine results
 
@@ -272,9 +329,49 @@ stage, state merge + lineage truncation):
 | fetched URLs/sec (full crawl) | {report['scaling_efficiency_fetched']} | **{report['normalized_efficiency_fetched']}** | >= 0.8 |
 
 The normalized number is the engine's own scaling behavior (what a
-real cluster with per-machine executors would see); the raw number
-multiplies it by this host's physical 4x ceiling.
+real cluster with per-machine executors would see), capped at 1.0;
+the raw number multiplies it by this host's physical 4x ceiling.
+"""
+    if deep:
+        walls = deep.get("round_walls") or []
+        fetched = deep.get("round_fetched") or []
+        per_url = [
+            (i, w, f, round(w / f * 1000, 3))
+            for i, (w, f) in enumerate(zip(walls, fetched)) if w and f
+        ]
+        rows = "\n".join(
+            f"| {i} | {w} | {f:,} | {ms} |" for i, w, f, ms in per_url
+        )
+        md += f"""
+### Deep-rounds flatness (6 rounds at 4N, compaction every 3, seen path crossing bloom->sharded)
 
+State is delta-append: per-round cost must track the round's DELTA,
+not the crawl's age. This run forces compaction mid-run
+(compact_every=3) and low seen-path thresholds (bloom at
+{100_000:,} keys, sharded at {300_000:,}) so the engine crosses
+exact -> whole-set-bloom -> sharded-bloom while measured; final seen
+set = {deep.get('seen_total', 0):,} keys.
+
+| round | wall (s) | fetched | ms per fetched url |
+|---|---|---|---|
+{rows}
+
+Max/min spread of ms-per-fetched-url over rounds 1+ =
+**{report['round_wall_flatness_per_url']}** (target: flat within
+±15%% -> spread <= 0.35 given shared-host noise; round 0 excluded as
+the seed-only warm round).
+
+### Zipf hot-host skew stress
+
+The same load job on {deep.get('skew_n_urls', 0):,} urls, uniform vs
+30%% of urls on ONE host: {deep.get('skew_wall_uniform_sec')}s vs
+{deep.get('skew_wall_hot30_sec')}s -> slowdown
+**{deep.get('skew_slowdown')}x**. One host's schedulable rows rank in
+one task BY DESIGN (per-host politeness needs a total order), but the
+quota cap bounds the per-round work a hot host can contribute; the
+measured slowdown is the residual single-task ranking cost.
+"""
+    md += f"""
 Reproduce: `python tools/bench_cluster_scaling.py {n_urls} {n_hosts} {pages_max}`
 """
     (bench_dir / "BASELINE.md").write_text(md)

@@ -68,7 +68,10 @@ def get_session(parallelism: int) -> SparkSession:
     return spark
 
 
-def synth_urls(spark, n: int, parts: int):
+def synth_urls(spark, n: int, parts: int, hot_host_pct: int = 0):
+    """Synthesized frontier; ``hot_host_pct`` percent of the urls land
+    on ONE host (zipf-head skew stress — the quota window shuffles by
+    top3 domain, so a hot host concentrates in a single task)."""
     from pyspark.sql import functions as F
 
     df = spark.range(0, n, 1, parts)
@@ -77,6 +80,11 @@ def synth_urls(spark, n: int, parts: int):
         F.pmod(F.pmod(F.col("id") * 2654435761, F.lit(997)), F.lit(500)),
         F.lit(".example.org"),
     )
+    if hot_host_pct:
+        host = F.when(
+            F.pmod(F.col("id"), F.lit(100)) < hot_host_pct,
+            F.lit("hothead.example.org"),
+        ).otherwise(host)
     kind = F.pmod(F.col("id"), F.lit(10))
     url = (
         F.when(kind == 0, F.concat(F.lit("https://"), host, F.lit("/files/"), F.col("id"), F.lit("/fulltext.pdf")))
@@ -155,7 +163,56 @@ def run_load_stage(spark, n_urls: int, parts: int) -> dict:
     }
 
 
-def run_crawl(spark, n_hosts: int, pages_max: int, parts: int) -> dict:
+def run_skew_stress(spark, n_urls: int, parts: int) -> dict:
+    """Zipf-head stress: the SAME load job on a frontier where 30% of
+    urls live on one host vs the uniform-ish baseline. Reports the
+    wall ratio — the cost of the politeness design point that one
+    host's schedulable rows rank inside one task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.besturl import pick_best_url_per_id
+    from publicationsretriever_spark.operators.seen import filter_unseen
+    from publicationsretriever_spark.plans.rounds import CrawlEngine
+    from publicationsretriever_spark.sources.synthetic_web import SyntheticWeb
+
+    web = SyntheticWeb(seed=1, n_hosts=2, pages_per_host_max=2)
+    engine = CrawlEngine(spark, web, num_buckets=parts)
+    seen = spark.range(0, n_urls // 2, 1, parts).select(
+        F.xxhash64(F.concat(F.lit("https://hostx.example.org/a/"), F.col("id"))).alias("url_hash")
+    )
+
+    def job(seeds):
+        staged = engine.prepare_frontier(
+            seeds.withColumn("depth", F.lit(0)).withColumn("kind", F.lit("seed")),
+            round_no=0,
+        )
+        ok = staged.filter(F.col("reject_reason").isNull())
+        w = Window.partitionBy("url_hash").orderBy("order_in_id", "id")
+        ok = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        unseen = filter_unseen(ok, seen, "url_hash", seen_count=n_urls // 2)
+        best = pick_best_url_per_id(unseen).filter(F.col("is_best"))
+        wq = Window.partitionBy("top3").orderBy("priority", "url_hash")
+        sched = best.withColumn("_slot", F.row_number().over(wq))
+        return sched.select(F.count(F.lit(1))).collect()[0][0]
+
+    walls = {}
+    for name, pct in (("uniform", 0), ("hot30", 30)):
+        seeds = synth_urls(spark, n_urls, parts, hot_host_pct=pct)
+        job(seeds.limit(20_000))  # warm
+        t0 = time.time()
+        job(seeds)
+        walls[name] = round(time.time() - t0, 2)
+    return {
+        "skew_n_urls": n_urls,
+        "skew_wall_uniform_sec": walls["uniform"],
+        "skew_wall_hot30_sec": walls["hot30"],
+        "skew_slowdown": round(walls["hot30"] / walls["uniform"], 3),
+    }
+
+
+def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
+              rounds: int = 2, engine_kwargs: dict | None = None) -> dict:
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -172,7 +229,8 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int) -> dict:
     from bigweb import BigWeb
 
     web = BigWeb(n_hosts=n_hosts, pages_per_host=pages_max, seed=42)
-    engine = CrawlEngine(spark, web, num_buckets=parts, host_quota=10**9)
+    engine = CrawlEngine(spark, web, num_buckets=parts, host_quota=10**9,
+                         **(engine_kwargs or {}))
     seeds = web.seeds_df(spark).repartition(parts).cache()
     seeds.count()
     payloads_src = web.payloads_df(spark).repartition(parts).cache()
@@ -184,7 +242,7 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int) -> dict:
     ).count()
 
     t0 = time.time()
-    state = engine.crawl(seeds, max_rounds=2)
+    state = engine.crawl(seeds, max_rounds=rounds)
     # north-rule per-row invariant on every fetched payload: decode the
     # pixels + recompute phash (Arrow-batched mapInPandas) — part of
     # the crawl's work, not an afterthought (BASELINE.json input_hint)
@@ -202,6 +260,9 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int) -> dict:
         "fetched_urls_per_sec": round(fetched / wall, 1),
         "rounds": len(state.metrics),
         "rounds_per_hour": round(len(state.metrics) / wall * 3600, 1),
+        "round_walls": [m.get("wall_sec") for m in state.metrics],
+        "round_fetched": [m["fetched"] for m in state.metrics],
+        "seen_total": state.metrics[-1]["seen_total"] if state.metrics else 0,
     }
 
 
@@ -221,7 +282,21 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_LOAD") != "1":
         out.update(run_load_stage(spark, n_urls, parallelism))
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        out.update(run_crawl(spark, n_hosts, pages_max, parallelism))
+        rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+        ek: dict = {}
+        # deep-rounds mode: force compaction AND the bloom->sharded
+        # seen-path transitions inside the run (the scale behaviors the
+        # flatness evidence is about)
+        if os.environ.get("BENCH_DEEP") == "1":
+            ek = {
+                "compact_every": 3,
+                "bloom_threshold": int(os.environ.get("BENCH_BLOOM", "100000")),
+                "sharded_threshold": int(os.environ.get("BENCH_SHARDED", "300000")),
+            }
+        out.update(run_crawl(spark, n_hosts, pages_max, parallelism,
+                             rounds=rounds, engine_kwargs=ek))
+    if os.environ.get("BENCH_SKEW") == "1":
+        out.update(run_skew_stress(spark, n_urls, parallelism))
     print("RESULT " + json.dumps(out))
     spark.stop()
 
