@@ -574,6 +574,25 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
+    exact cosine verify (operators/similarity.embedding_neardup_pairs).
+    Threshold 0.3 is dataset-relative — the synthetic embeddings are
+    near-orthogonal; a production corpus would run 0.95+."""
+    from publicationsretriever_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.3)
+    # 4 decimals: float32 accumulation order differs between Spark's
+    # aggregate() and DuckDB's list_sum at the 6th decimal
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector column hygiene: per-label norms (F.aggregate JVM-side)."""
     from publicationsretriever_spark.operators.similarity import l2_norm
@@ -620,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "dedup_embedding": q_dedup_embedding,
         "embedding_stats": q_embedding_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -946,6 +966,23 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY 1 ORDER BY bucket
+        """,
+        "dedup_embedding": """
+            WITH v AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM pairs
+            WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
         """,
         "embedding_stats": """
             WITH n AS (

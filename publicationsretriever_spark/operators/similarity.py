@@ -77,6 +77,41 @@ def signlsh_bucket(vec: Column, planes: list[int]) -> Column:
     return out
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: list[int] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket the
+    vectors, self-join ON THE BUCKET (candidate cardinality ~ n^2/2^b
+    per bucket instead of n^2 total), then exact cosine verify. Near
+    duplicates agree on sign bits with high probability; recall < 1 by
+    construction (raise the plane count for precision/recall trades —
+    at 100 TB this is the only shape that avoids the cross product).
+    Returns (id_a < id_b, cos_sim >= threshold)."""
+    planes = planes or [0, 1, 2, 3]
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        signlsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -147,3 +147,37 @@ def test_decode_image_metrics_and_resize(spark):
     resized = resize_images(df, 4, 4).collect()
     for r in resized:
         assert decode_png(bytes(r["bytes"])).shape == (4, 4, 3)
+
+
+def test_embedding_neardup_pairs(spark):
+    """Near-dup pairs: exact-cosine verification within LSH buckets —
+    a planted duplicate pair must surface with cos_sim ~ 1, and every
+    returned pair must share a bucket and clear the threshold."""
+    import random
+
+    from publicationsretriever_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        signlsh_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    vecs.append([v * 1.001 for v in vecs[0]])  # planted near-duplicate of vec 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    out = embedding_neardup_pairs(df, threshold=0.999).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 40 for r in out), out
+    for r in out:
+        assert r["cos_sim"] >= 0.999
+        assert r["id_a"] < r["id_b"]
+    # candidates never cross buckets (the 100TB shape: no cross product)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", signlsh_bucket(F.col("embedding"), [0, 1, 2, 3]).alias("b")
+        ).collect()
+    }
+    for r in out:
+        assert buckets[r["id_a"]] == buckets[r["id_b"]]
