@@ -92,9 +92,13 @@ def embedding_neardup_pairs(
     at 100 TB this is the only shape that avoids the cross product).
     Returns (id_a < id_b, cos_sim >= threshold)."""
     planes = planes or [0, 1, 2, 3]
+    # norms computed ONCE per vector before the self-join — the
+    # higher-order array expressions run interpreted, so per-PAIR norm
+    # recomputation would triple the hot-path work
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
         signlsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        l2_norm(F.col(vec_col)).alias("_n"),
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = (
@@ -104,7 +108,9 @@ def embedding_neardup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
