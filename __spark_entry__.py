@@ -574,6 +574,22 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic centroids, nprobe=4 of 16 cells, exact
+    cosine within probed cells only (operators/similarity.ivf_topk) —
+    the partition-pruning scale path next to the brute-force baseline."""
+    from publicationsretriever_spark.operators.similarity import ivf_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
     exact cosine verify (operators/similarity.embedding_neardup_pairs).
@@ -639,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         "embedding_stats": q_embedding_stats,
         "q1_pricing_summary": q1_pricing_summary,
@@ -966,6 +983,48 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY 1 ORDER BY bucket
+        """,
+        "ann_ivf_topk": """
+            WITH cent AS (
+              SELECT vec_id AS cell_id, embedding AS cv
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT v.vec_id, v.embedding, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY round(list_sum(list_transform(list_zip(v.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) DESC,
+                                  c.cell_id ASC) AS rn
+                FROM embeddings v CROSS JOIN cent c) t
+              WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            probe AS (
+              SELECT query_id, qv, cell_id FROM (
+                SELECT q.query_id, q.qv, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY round(list_sum(list_transform(list_zip(q.qv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) DESC,
+                                  c.cell_id ASC) AS rn
+                FROM q CROSS JOIN cent c) t
+              WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_sum(list_transform(list_zip(a.embedding, p.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+              FROM assign a JOIN probe p USING (cell_id)
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "dedup_embedding": """
             WITH v AS (

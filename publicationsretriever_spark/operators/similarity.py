@@ -118,6 +118,103 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Coarse quantizer for IVF: the n_cells lowest-id vectors, taken
+    deterministically (TakeOrdered on the driver side of a tiny limit —
+    no full sort materializes). Production would run k-means|| over a
+    sample; the IVF structure downstream (cell assignment, inverted
+    lists, nprobe search) is identical either way, and determinism is
+    what makes the operator oracle-checkable."""
+    return vectors.orderBy(F.col(id_col).asc()).limit(n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties to
+    the lowest cell_id). The centroid table is tiny and broadcast, so
+    assignment is one map-side n x C pass + a per-vector argmax window
+    on the vector id — this IS the inverted-list build: at scale you
+    write the result partitioned by cell_id and each probe touches
+    only nprobe/n_cells of the data."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate nearest neighbours: vectors are bucketed into
+    n_cells inverted lists by nearest centroid; each query probes its
+    nprobe closest cells and runs exact cosine only there. Candidate
+    fraction ~ nprobe/n_cells of the corpus per query, vs 1.0 for the
+    brute-force baseline — at 100 TB the inverted-list table is written
+    partitioned by cell_id so the probe join partition-prunes to the
+    probed cells. Recall < 1 by construction (raise nprobe to trade
+    cost for recall). Ties broken by id for determinism."""
+    cent = ivf_centroids(vectors, vec_col, id_col, n_cells)
+    inv = ivf_assign(vectors, cent, vec_col, id_col)
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    ).crossJoin(F.broadcast(cent)).select(
+        F.col(query_id_col),
+        F.col("_qv"),
+        F.col("cell_id"),
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("cell_id").asc()
+    )
+    probe = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qv", "cell_id")
+    )
+    joined = inv.join(F.broadcast(probe), "cell_id")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -19,7 +19,13 @@ from publicationsretriever_spark.operators.multimodal import (
     decode_image_metrics,
     resize_images,
 )
-from publicationsretriever_spark.operators.similarity import brute_force_topk, lsh_topk
+from publicationsretriever_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+    lsh_topk,
+)
 from publicationsretriever_spark.sources.imagecodec import (
     decode_png,
     encode_png,
@@ -120,6 +126,38 @@ def test_lsh_topk_subset_of_bucket(spark):
     rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in out if r["rank"] == 1}
     for q, (v, s) in rank1.items():
         assert v == q and abs(s - 1.0) < 1e-6
+
+
+def test_ivf_assign_partitions_all_vectors(spark):
+    rng = np.random.default_rng(2)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cent = ivf_centroids(df, n_cells=8)
+    inv = ivf_assign(df, cent).collect()
+    # every vector assigned to exactly one cell, cells from the centroid set
+    assert len(inv) == 80
+    assert {r["cell_id"] for r in inv} <= set(range(8))
+    # a centroid's nearest centroid is itself (cosine 1.0)
+    own = {r["vec_id"]: r["cell_id"] for r in inv if r["vec_id"] < 8}
+    assert own == {i: i for i in range(8)}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(df, queries, k=3, n_cells=8, nprobe=8).collect()
+    exact = brute_force_topk(df, queries, k=3).collect()
+    # nprobe == n_cells probes every cell -> identical to brute force
+    key = lambda rows: {(r["query_id"], r["rank"]): r["vec_id"] for r in rows}
+    assert key(approx) == key(exact)
+    # self always rank 1 even at nprobe=2 (own cell is always probed)
+    out = ivf_topk(df, queries, k=3, n_cells=8, nprobe=2).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}
 
 
 def test_png_roundtrip_and_psnr():
