@@ -3,10 +3,12 @@
 Binary payloads are opaque ``binary`` columns with typed metadata
 (input_hint schema: image_id, bytes, w, h, fmt, caption, phash). The
 Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning — is real and tested; the actual codec work
-beyond our pure-Python PNG path is STUBBED (this container has no
-image/audio libraries): JPEG/audio/video decode raise
-NotImplementedError behind a clearly-marked flag.
+signatures, partitioning — is real and tested for all three
+modalities; only the codec step is substituted (this container has no
+image/audio/video libraries): JPEG decode raises NotImplementedError,
+audio uses a clearly-marked deterministic PCM16 fake, video uses a
+clearly-marked length-prefixed-PNG fake container — each pluggable
+for the real codec in production.
 """
 
 from __future__ import annotations
@@ -89,12 +91,140 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
-def audio_frame_sample(df: DataFrame, frame_ms: int = 20) -> DataFrame:
-    """STUB: audio decode is unavailable in this sandbox. The operator
-    shape (binary column -> array of frame features) is the contract;
-    calling it raises until a codec is provided."""
-    raise NotImplementedError(
-        "audio codecs are not available in this container; "
-        "wire pyav/soundfile into a mapInPandas op with schema "
-        "'media_id string, frame_idx int, features array<float>'"
-    )
+AUDIO_FRAME_SCHEMA = (
+    "media_id string, frame_idx int, rms double, zero_cross int"
+)
+
+
+def _pcm16_decode(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE CODEC (clearly marked): interprets the binary
+    payload as 16-bit little-endian mono PCM. Stands in for a real
+    audio codec (pyav/soundfile — not in this container) so the
+    mapInPandas plumbing is testable end-to-end; swap via the
+    ``decoder`` argument in production."""
+    usable = len(payload) - (len(payload) % 2)
+    return np.frombuffer(payload[:usable], dtype="<i2")
+
+
+def audio_frame_sample(
+    df: DataFrame,
+    frame_ms: int = 20,
+    sample_rate: int = 16_000,
+    id_col: str = "media_id",
+    decoder=None,
+) -> DataFrame:
+    """Frame-sample an audio binary column into per-frame features
+    (RMS energy + zero-crossing count). The Spark-side plumbing is
+    real — Arrow-batched mapInPandas, one Python pass per partition,
+    rows explode to one-per-frame so downstream aggs stay columnar.
+    Only the codec is a deterministic fake (``_pcm16_decode``);
+    pass ``decoder=`` to swap in a real one."""
+    frame_len = max(1, sample_rate * frame_ms // 1000)
+    dec = decoder or _pcm16_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = dec(bytes(r.bytes))
+                n = len(pcm) // frame_len
+                for i in range(n):
+                    fr = pcm[i * frame_len:(i + 1) * frame_len].astype(
+                        np.float64
+                    ) / 32768.0
+                    rows.append({
+                        "media_id": r.media_id,
+                        "frame_idx": i,
+                        "rms": float(np.sqrt((fr * fr).mean())),
+                        "zero_cross": int(((fr[:-1] * fr[1:]) < 0).sum()),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "rms", "zero_cross"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "bytes"
+    ).mapInPandas(op, schema=AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id string, frame_idx int, w int, h int, mean_luma double, "
+    "phash long"
+)
+
+
+def pack_video(frames: list[bytes]) -> bytes:
+    """Container format for the deterministic fake video codec: each
+    frame is a length-prefixed (u32 LE) PNG. Real videos would arrive
+    as H.264/VP9 and be split by pyav — same downstream shape."""
+    out = bytearray()
+    for f in frames:
+        out += len(f).to_bytes(4, "little") + f
+    return bytes(out)
+
+
+def _split_video(payload: bytes) -> list[bytes]:
+    """DETERMINISTIC FAKE CODEC (clearly marked): splits the
+    length-prefixed PNG container written by ``pack_video``. Stands in
+    for pyav demux+decode, which is not in this container."""
+    frames, off = [], 0
+    while off + 4 <= len(payload):
+        n = int.from_bytes(payload[off:off + 4], "little")
+        off += 4
+        if off + n > len(payload):
+            break
+        frames.append(payload[off:off + n])
+        off += n
+    return frames
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "media_id",
+    splitter=None,
+) -> DataFrame:
+    """Sample every k-th frame of a video binary column and emit
+    per-frame stats (mean luminance + perceptual hash) — the
+    training-pipeline frame-extraction shape: binary in, one row per
+    sampled frame out, Arrow-batched mapInPandas, no per-row UDF.
+    Only the demux step is the deterministic fake (``_split_video``);
+    pass ``splitter=`` for a real container format."""
+    split = splitter or _split_video
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, frame in enumerate(split(bytes(r.bytes))):
+                    if i % every_k:
+                        continue
+                    rec = {
+                        "media_id": r.media_id, "frame_idx": i,
+                        "w": None, "h": None, "mean_luma": None,
+                        "phash": None,
+                    }
+                    try:
+                        px = decode_png(frame)
+                        luma = (
+                            0.299 * px[..., 0] + 0.587 * px[..., 1]
+                            + 0.114 * px[..., 2]
+                        )
+                        rec.update(
+                            w=px.shape[1], h=px.shape[0],
+                            mean_luma=float(luma.mean()),
+                            phash=phash64(px),
+                        )
+                    except NotImplementedError:
+                        pass  # non-PNG frame codec: stubbed
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "w", "h", "mean_luma", "phash"
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "bytes"
+    ).mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)

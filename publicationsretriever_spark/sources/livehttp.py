@@ -35,6 +35,7 @@ requests land in one task, so its HEAD/language memory is complete).
 from __future__ import annotations
 
 import gzip
+import http.cookiejar
 import socket
 import ssl
 import urllib.error
@@ -151,7 +152,25 @@ class LiveHttpResolver:
         self.head_unsupported: set[str] = set()
         #: HttpConnUtils.domainsWithUnsupportedAcceptLanguageParameter
         self.no_accept_language: set[str] = set()
-        self._opener = urllib.request.build_opener(_NoRedirect, _NoHttpError)
+        #: C3 — the reference keeps one CookieManager with policy
+        #: ACCEPT_ORIGINAL_SERVER and clears it after every input batch
+        #: (HttpClientUtils.java:13-23, LoaderAndChecker.java:471-474).
+        #: Here the jar is task-local: a resolver lives for one Spark
+        #: task of one round, so each round starts cookie-clean — the
+        #: per-batch reset, by construction. ``clear_cookies`` exists
+        #: for long-lived resolvers (streaming ingest).
+        self.cookies = http.cookiejar.CookieJar(
+            http.cookiejar.DefaultCookiePolicy()  # origin-server only
+        )
+        self._opener = urllib.request.build_opener(
+            _NoRedirect,
+            _NoHttpError,
+            urllib.request.HTTPCookieProcessor(self.cookies),
+        )
+
+    def clear_cookies(self) -> None:
+        """Per-batch cookie reset (LoaderAndChecker.java:471-474)."""
+        self.cookies.clear()
 
     # -- one request, no ladder -------------------------------------------
 

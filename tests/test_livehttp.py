@@ -68,6 +68,12 @@ class Handler(BaseHTTPRequestHandler):
             self._send(200, {"Content-Type": "application/pdf",
                              "Content-Disposition": 'attachment; filename="x.pdf"'},
                        b"%PDF-fake")
+        elif self.path.startswith("/setcookie"):
+            self._send(
+                200,
+                {"Content-Type": "text/html", "Set-Cookie": "sid=abc123"},
+                b"<html>cookie set</html>",
+            )
         elif self.path.startswith("/slow"):
             import time
             time.sleep(3)
@@ -152,6 +158,23 @@ def test_unknown_host_maps_to_unknown_code_block(server):
     r = LiveHttpResolver()
     out = r.resolve("http://no-such-host-xyz.invalid/x")
     assert out["status"] == 0  # engine: unknown_code -> domain block
+
+
+def test_cookies_held_within_batch_and_cleared_on_reset(server):
+    # C3: cookies accepted from the origin server, sent back on later
+    # requests, and dropped by the per-batch reset
+    # (LoaderAndChecker.java:471-474)
+    r = LiveHttpResolver(head_first=False)
+    r.resolve(f"{server}/setcookie")
+    assert len(list(r.cookies)) == 1
+    REQUESTS.clear()
+    r.resolve(f"{server}/plain")
+    assert any("sid=abc123" in h.get("Cookie", "") for _m, _p, h in REQUESTS)
+    r.clear_cookies()
+    assert len(list(r.cookies)) == 0
+    REQUESTS.clear()
+    r.resolve(f"{server}/plain")
+    assert all("Cookie" not in h for _m, _p, h in REQUESTS)
 
 
 def test_factory_is_picklable():

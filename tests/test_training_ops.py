@@ -187,6 +187,56 @@ def test_decode_image_metrics_and_resize(spark):
         assert decode_png(bytes(r["bytes"])).shape == (4, 4, 3)
 
 
+def test_audio_frame_sample_plumbing(spark):
+    from publicationsretriever_spark.operators.multimodal import (
+        audio_frame_sample,
+    )
+
+    # deterministic 16-bit PCM: a 100 Hz-ish square wave, 3 frames worth
+    sr, frame_ms = 16_000, 20
+    frame_len = sr * frame_ms // 1000  # 320 samples
+    t = np.arange(frame_len * 3)
+    pcm = (np.where((t // 80) % 2 == 0, 0.5, -0.5) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("a0", bytearray(pcm.tobytes())), ("a1", bytearray(b""))],
+        "media_id string, bytes binary",
+    )
+    out = audio_frame_sample(df, frame_ms=frame_ms, sample_rate=sr).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert "a1" not in by_id  # empty payload -> zero frames, no rows
+    frames = sorted(by_id["a0"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+    for r in frames:
+        assert abs(r["rms"] - 0.5) < 1e-3  # square wave RMS = amplitude
+        assert r["zero_cross"] == 3  # 320 samples / 80-sample half-period
+
+
+def test_video_frame_sample_plumbing(spark):
+    from publicationsretriever_spark.operators.multimodal import (
+        pack_video,
+        video_frame_sample,
+    )
+    from publicationsretriever_spark.sources.imagecodec import encode_png
+
+    frames = [synth_pixels(f"v0f{i}") for i in range(5)]
+    payload = pack_video([encode_png(px) for px in frames])
+    df = spark.createDataFrame(
+        [("v0", bytearray(payload))], "media_id string, bytes binary"
+    )
+    out = sorted(
+        video_frame_sample(df, every_k=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]  # every 2nd frame
+    for r in out:
+        px = frames[r["frame_idx"]]
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9
+        assert r["phash"] is not None and r["w"] == px.shape[1]
+
+
 def test_embedding_neardup_pairs(spark):
     """Near-dup pairs: exact-cosine verification within LSH buckets —
     a planted duplicate pair must surface with cos_sim ~ 1, and every
