@@ -1,4 +1,4 @@
-"""S1/S2 seed readers (SURVEY.md §2.1).
+"""S1/S2/S3 seed readers (SURVEY.md §2.1).
 
 S1: line-delimited JSON ``{"id": ..., "url": ...}``
     (FileUtils.getNextIdUrlPairBatchFromJson, util/file/FileUtils.java:249-289;
@@ -7,6 +7,8 @@ S1: line-delimited JSON ``{"id": ..., "url": ...}``
     the ROUND loop provides the batching.
 S2: one plain URL per line, optional header row, surrounding quotes
     stripped (FileUtils.getNextUrlBatchTest, util/file/FileUtils.java:805-840).
+S3: the same JSON-lines input downloaded from an ``inputDataUrl``
+    (ConnSupportUtils.getInputStreamFromInputDataUrl :1451-1501).
 
 Both attach ``order_in_id`` (input line order) because the reference's
 best-url-per-id pick depends on insertion order (J4) — making the
@@ -27,12 +29,11 @@ ID_URL_SCHEMA = T.StructType(
 )
 
 
-def read_id_url_pairs(spark: SparkSession, path: str) -> DataFrame:
-    """S1: JSON-lines {id,url} -> (id, order_in_id, url). In-batch
+def _attach_order_and_dups(raw: DataFrame) -> DataFrame:
+    """Shared S1/S3 tail: input order + duplicate-pair flag. In-batch
     duplicate (id,url) pairs are KEPT (flagged ``is_duplicate_pair``) —
     the reference logs them as 'duplicate' output rows
     (FileUtils.java:282-285); the round engine does the same."""
-    raw = spark.read.schema(ID_URL_SCHEMA).json(path)
     raw = raw.withColumn(
         "order_in_id",
         F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
@@ -41,6 +42,71 @@ def read_id_url_pairs(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn(
         "is_duplicate_pair", F.row_number().over(w) > 1
     )
+
+
+def read_id_url_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """S1: JSON-lines {id,url} -> (id, order_in_id, url,
+    is_duplicate_pair)."""
+    return _attach_order_and_dups(spark.read.schema(ID_URL_SCHEMA).json(path))
+
+
+def read_id_url_pairs_from_url(
+    spark: SparkSession,
+    input_url: str,
+    max_bytes: int = 256 * 1024 * 1024,
+    timeout_s: float = 60.0,
+) -> DataFrame:
+    """S3: download the JSON-lines input from ``inputDataUrl`` and feed
+    it through the S1 parse path
+    (ConnSupportUtils.getInputStreamFromInputDataUrl :1451-1501).
+
+    Reference-faithful gates: the Content-Type must contain "json"
+    (exit-56 analog -> ValueError), the HTTP-reported or actual size
+    must fit ``max_bytes`` (the "unacceptable size" code), and the body
+    is decompressed per Content-Encoding (checkEncodingAndGetInputStream).
+
+    The download is DRIVER-side by design — the reference also reads
+    one stream on the main thread; an input list is tiny next to the
+    crawl (10^8 seed lines ~ a few GB), and the parallelize below
+    distributes parsing. Rows that fail JSON parsing are dropped like
+    the reference's per-line jsonError skip (FileUtils.java:268-280)."""
+    import json as _json
+    import urllib.request as _rq
+
+    from .livehttp import BASE_HEADERS, decompress
+
+    req = _rq.Request(input_url, headers=dict(BASE_HEADERS), method="GET")
+    with _rq.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+        mime = (resp.headers.get("Content-Type") or "").lower()
+        if "json" not in mime:
+            raise ValueError(
+                f"inputDataUrl mimeType is null or non-json: {mime!r}"
+            )
+        clen = resp.headers.get("Content-Length")
+        if clen and clen.isdigit() and int(clen) > max_bytes:
+            raise ValueError(f"inputDataUrl size {clen} exceeds {max_bytes}")
+        body = resp.read(max_bytes + 1)
+        if len(body) > max_bytes:
+            raise ValueError(f"inputDataUrl body exceeds {max_bytes} bytes")
+        decoded = decompress(body, resp.headers.get("Content-Encoding"))
+        if decoded is None:
+            raise ValueError("could not decode the inputDataUrl body")
+    rows = []
+    for line in decoded.decode("utf-8", errors="replace").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = _json.loads(line)
+        except ValueError:
+            continue  # reference: log jsonError, skip the line
+        if isinstance(obj, dict):
+            rows.append((
+                str(obj["id"]) if obj.get("id") is not None else None,
+                str(obj["url"]) if obj.get("url") is not None else None,
+            ))
+    raw = spark.createDataFrame(rows, ID_URL_SCHEMA)
+    return _attach_order_and_dups(raw)
 
 
 def read_plain_urls(

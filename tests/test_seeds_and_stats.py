@@ -29,6 +29,64 @@ def test_read_id_url_pairs(spark, tmp_path):
     assert [r["is_duplicate_pair"] for r in rows] == [False, False, True, False]
 
 
+def test_read_id_url_pairs_from_url(spark):
+    # S3: serve the same JSON-lines over local HTTP (gzip-encoded) and
+    # check mime gate + parse parity with S1
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from publicationsretriever_spark.sources.seeds import (
+        read_id_url_pairs_from_url,
+    )
+
+    payload = (
+        b'{"id":"a","url":"https://x.org/1"}\n'
+        b'{"id":"a","url":"https://x.org/1"}\n'
+        b"not json at all\n"
+        b'{"id":"b","url":"https://y.org/1"}\n'
+    )
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/seeds.json":
+                body = gzip.compress(payload)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:  # wrong mime
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        rows = (
+            read_id_url_pairs_from_url(spark, f"{base}/seeds.json")
+            .orderBy("order_in_id")
+            .collect()
+        )
+        assert [r["url"] for r in rows] == [
+            "https://x.org/1", "https://x.org/1", "https://y.org/1",
+        ]  # bad JSON line skipped, duplicates kept
+        assert [r["is_duplicate_pair"] for r in rows] == [False, True, False]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-json"):
+            read_id_url_pairs_from_url(spark, f"{base}/not-json")
+    finally:
+        srv.shutdown()
+
+
 def test_read_plain_urls(spark, tmp_path):
     p = tmp_path / "urls.csv"
     p.write_text('url\n"https://x.org/1"\nhttps://y.org/2\n\n')
