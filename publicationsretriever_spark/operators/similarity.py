@@ -153,13 +153,16 @@ def ivf_assign(
         F.col("cell_id"),
         F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("cell_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    # argmax via max_by with a (sim, -cell_id) comparator instead of a
+    # sort window: the hash aggregate combines MAP-SIDE, so the shuffle
+    # carries one row per vector, not one per (vector x centroid) —
+    # a window would ship and sort the full cross product. first()
+    # is safe: vec_col is constant within an id group.
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            F.col("cell_id"), F.struct(F.col("_sim"), -F.col("cell_id"))
+        ).alias("cell_id"),
     )
 
 
