@@ -46,6 +46,14 @@ def main() -> int:
     ap.add_argument("--host-quota", type=int, default=50)
     ap.add_argument("--resume", action="store_true",
                     help="continue exactly from the latest snapshot")
+    ap.add_argument("--use-mla", action="store_true",
+                    help="enable path-MLA prediction + A8 gate "
+                         "(reference default is off)")
+    ap.add_argument("--bloom-threshold", type=int, default=2_000_000,
+                    help="seen-keys above which the bloom prefilter kicks in")
+    ap.add_argument("--sharded-threshold", type=int, default=None,
+                    help="seen-keys above which the sharded cogrouped "
+                         "probe replaces the whole-set sketch")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.rounds import CrawlEngine
@@ -58,7 +66,9 @@ def main() -> int:
         seed=args.seed, n_hosts=args.hosts, pages_per_host_max=args.pages_max
     )
     engine = CrawlEngine(
-        spark, web, num_buckets=args.buckets, host_quota=args.host_quota
+        spark, web, num_buckets=args.buckets, host_quota=args.host_quota,
+        use_mla=args.use_mla, bloom_threshold=args.bloom_threshold,
+        sharded_threshold=args.sharded_threshold,
     )
     catalog = SnapshotCatalog(args.catalog)
     resume = args.resume

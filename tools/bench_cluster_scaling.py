@@ -346,9 +346,12 @@ the raw number multiplies it by this host's physical 4x ceiling.
 ### Deep-rounds flatness (6 rounds at 4N, compaction every 3, seen path crossing bloom->sharded)
 
 State is delta-append: per-round cost must track the round's DELTA,
-not the crawl's age. This run forces compaction mid-run
-(compact_every=3) and low seen-path thresholds (bloom at
-{100_000:,} keys, sharded at {300_000:,}) so the engine crosses
+not the crawl's age. This run seeds only page 0 of every host (the
+synthetic web's sibling ring then yields ~one new page per host per
+round, so all 6 rounds carry real frontier work), forces compaction
+mid-run (compact_every=3), and lowers the seen-path thresholds
+(bloom at {deep.get('bloom_threshold', 0):,} keys, sharded at
+{deep.get('sharded_threshold', 0):,}) so the engine crosses
 exact -> whole-set-bloom -> sharded-bloom while measured; final seen
 set = {deep.get('seen_total', 0):,} keys.
 

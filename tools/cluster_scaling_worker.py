@@ -212,7 +212,8 @@ def run_skew_stress(spark, n_urls: int, parts: int) -> dict:
 
 
 def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
-              rounds: int = 2, engine_kwargs: dict | None = None) -> dict:
+              rounds: int = 2, engine_kwargs: dict | None = None,
+              seed_ring: bool = False) -> dict:
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -231,7 +232,15 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
     web = BigWeb(n_hosts=n_hosts, pages_per_host=pages_max, seed=42)
     engine = CrawlEngine(spark, web, num_buckets=parts, host_quota=10**9,
                          **(engine_kwargs or {}))
-    seeds = web.seeds_df(spark).repartition(parts).cache()
+    seeds = web.seeds_df(spark)
+    if seed_ring:
+        # deep-rounds mode: seed ONLY page 0 of each host. BigWeb pages
+        # link to sibling (pi+1) % pages, so the frontier advances one
+        # ring hop per round — every round discovers ~n_hosts new pages
+        # (+ their doc urls), giving REAL multi-round flatness data
+        # instead of a 2-round frontier exhaustion.
+        seeds = seeds.filter(F.col("url").endswith("/article/0"))
+    seeds = seeds.repartition(parts).cache()
     seeds.count()
     payloads_src = web.payloads_df(spark).repartition(parts).cache()
     payloads_src.count()
@@ -284,17 +293,28 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
         rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
         ek: dict = {}
+        deep = os.environ.get("BENCH_DEEP") == "1"
         # deep-rounds mode: force compaction AND the bloom->sharded
         # seen-path transitions inside the run (the scale behaviors the
-        # flatness evidence is about)
-        if os.environ.get("BENCH_DEEP") == "1":
+        # flatness evidence is about). Threshold defaults scale with the
+        # web (seen grows ~2*n_hosts/round in ring mode) so both
+        # crossings land MID-RUN, not before or after it.
+        if deep:
             ek = {
                 "compact_every": 3,
-                "bloom_threshold": int(os.environ.get("BENCH_BLOOM", "100000")),
-                "sharded_threshold": int(os.environ.get("BENCH_SHARDED", "300000")),
+                "bloom_threshold": int(
+                    os.environ.get("BENCH_BLOOM", str(n_hosts * 3))
+                ),
+                "sharded_threshold": int(
+                    os.environ.get("BENCH_SHARDED", str(n_hosts * 8))
+                ),
             }
         out.update(run_crawl(spark, n_hosts, pages_max, parallelism,
-                             rounds=rounds, engine_kwargs=ek))
+                             rounds=rounds, engine_kwargs=ek,
+                             seed_ring=deep))
+        if deep:
+            out["bloom_threshold"] = ek["bloom_threshold"]
+            out["sharded_threshold"] = ek["sharded_threshold"]
     if os.environ.get("BENCH_SKEW") == "1":
         out.update(run_skew_stress(spark, n_urls, parallelism))
     print("RESULT " + json.dumps(out))
