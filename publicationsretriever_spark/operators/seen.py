@@ -118,9 +118,15 @@ def probe_bloom(df: DataFrame, key_col: str, sketch: BloomSketch, out_col: str =
     return df.mapInPandas(probe, schema=f"{schema}, {out_col} boolean")
 
 
+def shard_sketch_params(capacity: int, n_shards: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) of each shard's bloom for a TOTAL capacity."""
+    proto = BloomSketch.for_capacity(max(capacity // n_shards, 1), fpp)
+    return proto.m_bits, proto.k
+
+
 def build_bloom_shards(
     seen: DataFrame, key_col: str, capacity: int, n_shards: int = 16,
-    fpp: float = 0.01,
+    fpp: float = 0.01, m_bits: int | None = None, k: int | None = None,
 ) -> DataFrame:
     """SHARDED sketch build for 10^10-key seen sets: keys are split by
     ``pmod(key, n_shards)`` and each shard gets its own bloom sized for
@@ -131,9 +137,15 @@ def build_bloom_shards(
     BINARY. Sharding bounds the per-task bytes to total/n_shards because
     the probe joins each frontier shard with exactly its own sketch row
     (cogrouped applyInPandas), never materializing all shards in one
-    task."""
-    proto = BloomSketch.for_capacity(max(capacity // n_shards, 1), fpp)
-    m_bits, k = proto.m_bits, proto.k
+    task.
+
+    Pass explicit ``m_bits``/``k`` to build DELTA partials compatible
+    with an existing sketch table (incremental maintenance: sketches
+    with identical params merge by bitwise OR, so a round only builds
+    partials over its seen DELTA and ORs them into the persisted
+    table — per-round cost tracks the delta, not the crawl age)."""
+    if m_bits is None or k is None:
+        m_bits, k = shard_sketch_params(capacity, n_shards, fpp)
 
     def partials(batches) -> pd.DataFrame:
         # one pass per PARTITION (bounded memory: arrow-batch sized
@@ -164,6 +176,30 @@ def build_bloom_shards(
     return partial_df.groupBy("shard").applyInPandas(merge, schema="shard int, bits binary")
 
 
+def merge_shard_sketches(
+    prior: DataFrame, delta_partials: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """OR-merge two (shard, bits) sketch tables built with identical
+    (m_bits, k). Cost ~ n_shards rows — the incremental per-round
+    maintenance step for the sharded seen sketch."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = BloomSketch(m_bits, k)
+        for b in pdf["bits"]:
+            out = out.merge(
+                BloomSketch(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy())
+            )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [out.bits.tobytes()]}
+        )
+
+    return (
+        prior.unionByName(delta_partials)
+        .groupBy("shard")
+        .applyInPandas(merge, schema="shard int, bits binary")
+    )
+
+
 def mark_seen_sharded(
     frontier: DataFrame,
     seen: DataFrame,
@@ -172,6 +208,9 @@ def mark_seen_sharded(
     n_shards: int = 16,
     fpp: float = 0.01,
     out_col: str = "_seen",
+    sketches: DataFrame | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Sharded-bloom variant of :func:`mark_seen` for seen sets whose
     whole-set sketch would blow the task binary (10^10 keys). Same
@@ -180,13 +219,22 @@ def mark_seen_sharded(
 
     Plan shape: frontier + sketches are COGROUPED on the shard key, so
     each task holds exactly one shard's bits (total_bits/n_shards);
-    bloom-negative rows skip the exact join entirely."""
+    bloom-negative rows skip the exact join entirely.
+
+    Pass ``sketches`` (+ its ``m_bits``/``k``/``n_shards``) to reuse an
+    incrementally-maintained sketch table (the engine persists one in
+    crawl state and ORs each round's seen delta into it) — without it
+    the full seen table is re-sketched HERE, an O(crawl age) per-round
+    cost that the flatness bench flags at depth."""
     if seen_count is None:
         seen_count = seen.count()
-    sketches = build_bloom_shards(seen, key_col, capacity=max(seen_count, 1),
-                                  n_shards=n_shards, fpp=fpp)
-    proto = BloomSketch.for_capacity(max(max(seen_count, 1) // n_shards, 1), fpp)
-    m_bits, k = proto.m_bits, proto.k
+    if sketches is None:
+        sketches = build_bloom_shards(
+            seen, key_col, capacity=max(seen_count, 1),
+            n_shards=n_shards, fpp=fpp,
+        )
+    if m_bits is None or k is None:
+        m_bits, k = shard_sketch_params(max(seen_count, 1), n_shards, fpp)
     shard_col = F.pmod(F.col(key_col), F.lit(n_shards)).cast("int")
     fr = frontier.withColumn("_shard", shard_col)
     out_schema = ", ".join(
@@ -265,6 +313,7 @@ def mark_seen(
     sharded_threshold: int = SHARDED_THRESHOLD,
     fpp: float = 0.01,
     out_col: str = "_seen",
+    sketch_state: tuple[DataFrame, int, int, int] | None = None,
 ) -> DataFrame:
     """One-shuffle variant of :func:`filter_unseen` that KEEPS both
     sides: adds ``out_col`` (True = key present in ``seen``). The crawl
@@ -286,6 +335,13 @@ def mark_seen(
     if seen_count is None:
         seen_count = seen.count()
     if seen_count >= sharded_threshold:
+        if sketch_state is not None:
+            sk_df, sk_m, sk_k, sk_shards = sketch_state
+            return mark_seen_sharded(
+                frontier, seen, key_col, seen_count=seen_count,
+                n_shards=sk_shards, fpp=fpp, out_col=out_col,
+                sketches=sk_df, m_bits=sk_m, k=sk_k,
+            )
         return mark_seen_sharded(
             frontier, seen, key_col, seen_count=seen_count,
             n_shards=shards_for(seen_count, fpp), fpp=fpp, out_col=out_col,

@@ -169,6 +169,11 @@ class CrawlState:
     fallback_pool: DataFrame | None = None    # FALLBACK_POOL_SCHEMA — J4
     pages_html: DataFrame | None = None       # S6 html sink (optional)
     order_log: DataFrame | None = None      # (round, host, url_hash, planned_fetch_ms)
+    #: incrementally-maintained J2 shard sketch: (shard int, bits binary)
+    #: + its params; derivable from ``seen`` (NOT persisted — a resume
+    #: rebuilds it on the first sharded-path round)
+    seen_sketch: DataFrame | None = None
+    sketch_meta: dict | None = None         # capacity, n_shards, m_bits, k
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -553,6 +558,12 @@ class CrawlEngine:
             state.seen, "url_hash", seen_count=seen_count,
             bloom_threshold=self.bloom_threshold,
             sharded_threshold=self.sharded_threshold,
+            sketch_state=(
+                (state.seen_sketch, state.sketch_meta["m_bits"],
+                 state.sketch_meta["k"], state.sketch_meta["n_shards"])
+                if state.seen_sketch is not None and state.sketch_meta
+                else None
+            ),
         ))
 
         dup_results = marked.filter((F.col("_rn") > 1) | F.col("_seen")).select(
@@ -1523,6 +1534,49 @@ class CrawlEngine:
             fallback_pool=_empty(spark, FALLBACK_POOL_SCHEMA),
         )
 
+    def _maintain_seen_sketch(
+        self,
+        sketch: DataFrame | None,
+        meta: dict | None,
+        seen_cum: DataFrame,
+        seen_delta: DataFrame | None,
+        seen_total: int,
+    ) -> tuple[DataFrame | None, dict | None]:
+        """Incremental maintenance of the sharded J2 sketch so the
+        per-round sketch cost tracks the round DELTA, not the crawl age
+        (a full re-sketch of 10^10 seen keys every round is O(age) and
+        shows up directly as growing round walls in the flatness bench).
+
+        - below the sharded threshold: no sketch (exact/whole-set paths)
+        - first sharded round, capacity overflow, or no delta handle:
+          FULL rebuild sized 4x ahead — amortized O(1)/key since each
+          rebuild quadruples capacity (fpp stays below target between
+          rebuilds because the sketch is sized for 4x the current keys)
+        - otherwise: partials over the round's seen delta, OR-merged
+          into the persisted (shard, bits) table (~n_shards tiny rows)
+        """
+        if seen_total < self.sharded_threshold:
+            return None, None
+        if sketch is None or meta is None or seen_total > meta["capacity"] \
+                or seen_delta is None:
+            capacity = max(seen_total * 4, self.sharded_threshold * 4)
+            n_shards = SEEN.shards_for(capacity)
+            m_bits, k = SEEN.shard_sketch_params(capacity, n_shards)
+            sk = SEEN.build_bloom_shards(
+                seen_cum, "url_hash", capacity=capacity, n_shards=n_shards,
+                m_bits=m_bits, k=k,
+            ).localCheckpoint(eager=True)
+            return sk, {"capacity": capacity, "n_shards": n_shards,
+                        "m_bits": m_bits, "k": k}
+        partials = SEEN.build_bloom_shards(
+            seen_delta, "url_hash", capacity=meta["capacity"],
+            n_shards=meta["n_shards"], m_bits=meta["m_bits"], k=meta["k"],
+        )
+        sk = SEEN.merge_shard_sketches(
+            sketch, partials, meta["m_bits"], meta["k"]
+        ).localCheckpoint(eager=True)
+        return sk, meta
+
     def crawl(
         self,
         seeds: DataFrame | None,
@@ -1654,6 +1708,7 @@ class CrawlEngine:
                     warm_first="results",
                     compact=compact,
                 )
+                prev_sketch, prev_meta = state.seen_sketch, state.sketch_meta
                 state = CrawlState(
                     results=loaded["results"],
                     seen=loaded["seen"],
@@ -1682,6 +1737,20 @@ class CrawlEngine:
                 }
                 rows = out.metrics_df.collect()
                 out.finalize(rows, delta_counts)
+                # incremental J2 sketch: non-compact rounds sketch ONLY
+                # the just-written delta file; compact rounds (cumulative
+                # rewrite, already O(age) by design) do a full rebuild
+                seen_delta_df = (
+                    spark.read.parquet(table_meta["seen"]["paths"][-1])
+                    if not compact and table_meta["seen"].get("paths")
+                    else None
+                )
+                state.seen_sketch, state.sketch_meta = (
+                    self._maintain_seen_sketch(
+                        prev_sketch, prev_meta, state.seen, seen_delta_df,
+                        state.metrics[-1]["seen_total"],
+                    )
+                )
                 catalog.finish_commit(
                     snap_id, table_meta, rnd,
                     {"rounds": state.metrics, "last": state.metrics[-1]},
@@ -1745,6 +1814,7 @@ class CrawlEngine:
                     for name, schema in part_schemas.items():
                         merged = union_parts(name, schema).localCheckpoint(eager=True)
                         parts[name] = [merged]
+                prev_sketch, prev_meta = state.seen_sketch, state.sketch_meta
                 state = CrawlState(
                     results=union_parts("results", RESULT_SCHEMA),
                     seen=union_parts("seen", "url_hash long"),
@@ -1785,6 +1855,14 @@ class CrawlEngine:
                 out.finalize(
                     [r for r in rows if not r["_t"].startswith("count:")],
                     delta_counts,
+                )
+                # incremental J2 sketch over this round's checkpointed
+                # seen delta (cut["seen"]) — O(delta) per round
+                state.seen_sketch, state.sketch_meta = (
+                    self._maintain_seen_sketch(
+                        prev_sketch, prev_meta, state.seen, cut["seen"],
+                        state.metrics[-1]["seen_total"],
+                    )
                 )
                 if _timing:
                     print(f"TIMING r{rnd} metrics {_time.time()-_t0:.2f}",

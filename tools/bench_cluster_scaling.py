@@ -346,12 +346,13 @@ the raw number multiplies it by this host's physical 4x ceiling.
 ### Deep-rounds flatness (6 rounds at 4N, compaction every 3, seen path crossing bloom->sharded)
 
 State is delta-append: per-round cost must track the round's DELTA,
-not the crawl's age. This run seeds only page 0 of every host (the
-synthetic web's sibling ring then yields ~one new page per host per
-round, so all 6 rounds carry real frontier work), forces compaction
-mid-run (compact_every=3), and lowers the seen-path thresholds
-(bloom at {deep.get('bloom_threshold', 0):,} keys, sharded at
-{deep.get('sharded_threshold', 0):,}) so the engine crosses
+not the crawl's age. This run caps the per-host intake at
+host_quota={deep.get('host_quota', 0)} (the N5 politeness-quota
+window), so the frontier drains through the quota-SPILL machinery
+over all 6 rounds — every round carries real fetch work. It also
+forces compaction mid-run (compact_every=3) and lowers the seen-path
+thresholds (bloom at {deep.get('bloom_threshold', 0):,} keys, sharded
+at {deep.get('sharded_threshold', 0):,}) so the engine crosses
 exact -> whole-set-bloom -> sharded-bloom while measured; final seen
 set = {deep.get('seen_total', 0):,} keys.
 

@@ -212,8 +212,7 @@ def run_skew_stress(spark, n_urls: int, parts: int) -> dict:
 
 
 def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
-              rounds: int = 2, engine_kwargs: dict | None = None,
-              seed_ring: bool = False) -> dict:
+              rounds: int = 2, engine_kwargs: dict | None = None) -> dict:
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -230,17 +229,11 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
     from bigweb import BigWeb
 
     web = BigWeb(n_hosts=n_hosts, pages_per_host=pages_max, seed=42)
-    engine = CrawlEngine(spark, web, num_buckets=parts, host_quota=10**9,
-                         **(engine_kwargs or {}))
-    seeds = web.seeds_df(spark)
-    if seed_ring:
-        # deep-rounds mode: seed ONLY page 0 of each host. BigWeb pages
-        # link to sibling (pi+1) % pages, so the frontier advances one
-        # ring hop per round — every round discovers ~n_hosts new pages
-        # (+ their doc urls), giving REAL multi-round flatness data
-        # instead of a 2-round frontier exhaustion.
-        seeds = seeds.filter(F.col("url").endswith("/article/0"))
-    seeds = seeds.repartition(parts).cache()
+    ek = dict(engine_kwargs or {})
+    host_quota = ek.pop("host_quota", 10**9)
+    engine = CrawlEngine(spark, web, num_buckets=parts,
+                         host_quota=host_quota, **ek)
+    seeds = web.seeds_df(spark).repartition(parts).cache()
     seeds.count()
     payloads_src = web.payloads_df(spark).repartition(parts).cache()
     payloads_src.count()
@@ -294,25 +287,34 @@ def main() -> None:
         rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
         ek: dict = {}
         deep = os.environ.get("BENCH_DEEP") == "1"
-        # deep-rounds mode: force compaction AND the bloom->sharded
-        # seen-path transitions inside the run (the scale behaviors the
-        # flatness evidence is about). Threshold defaults scale with the
-        # web (seen grows ~2*n_hosts/round in ring mode) so both
-        # crossings land MID-RUN, not before or after it.
+        # deep-rounds mode. The engine is reference-faithful one-level
+        # crawling (internal links are checked, never re-extracted), so
+        # sustained multi-round work comes from the N5 HOST-QUOTA
+        # window: capping per-host intake makes the frontier drain over
+        # ~`rounds` rounds through the quota-spill machinery — per-round
+        # cost vs crawl age is exactly what flatness must measure.
+        # Compaction is forced mid-run, and the seen-path thresholds are
+        # scaled to the actual per-round seen growth (~1.5 * n_hosts *
+        # quota) so the exact -> whole-set-bloom -> sharded crossings
+        # land MID-RUN, not before or after it.
         if deep:
+            quota = int(os.environ.get(
+                "BENCH_QUOTA", str(max(2, pages_max // (rounds - 1)))
+            ))
             ek = {
                 "compact_every": 3,
+                "host_quota": quota,
                 "bloom_threshold": int(
-                    os.environ.get("BENCH_BLOOM", str(n_hosts * 3))
+                    os.environ.get("BENCH_BLOOM", str(n_hosts * quota))
                 ),
                 "sharded_threshold": int(
-                    os.environ.get("BENCH_SHARDED", str(n_hosts * 8))
+                    os.environ.get("BENCH_SHARDED", str(n_hosts * quota * 3))
                 ),
             }
         out.update(run_crawl(spark, n_hosts, pages_max, parallelism,
-                             rounds=rounds, engine_kwargs=ek,
-                             seed_ring=deep))
+                             rounds=rounds, engine_kwargs=ek))
         if deep:
+            out["host_quota"] = quota
             out["bloom_threshold"] = ek["bloom_threshold"]
             out["sharded_threshold"] = ek["sharded_threshold"]
     if os.environ.get("BENCH_SKEW") == "1":
