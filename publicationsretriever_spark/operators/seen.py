@@ -124,6 +124,24 @@ def shard_sketch_params(capacity: int, n_shards: int, fpp: float = 0.01) -> tupl
     return proto.m_bits, proto.k
 
 
+def _or_merge_fn(m_bits: int, k: int):
+    """applyInPandas closure: OR-merge one shard's (shard, bits) rows
+    into a single row — shared by the full build and the incremental
+    table merge so the encoding stays defined in one place."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = BloomSketch(m_bits, k)
+        for b in pdf["bits"]:
+            out = out.merge(
+                BloomSketch(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy())
+            )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [out.bits.tobytes()]}
+        )
+
+    return merge
+
+
 def build_bloom_shards(
     seen: DataFrame, key_col: str, capacity: int, n_shards: int = 16,
     fpp: float = 0.01, m_bits: int | None = None, k: int | None = None,
@@ -162,18 +180,14 @@ def build_bloom_shards(
             {"shard": list(sketches), "bits": [s.bits.tobytes() for s in sketches.values()]}
         )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = BloomSketch(m_bits, k)
-        for b in pdf["bits"]:
-            out = out.merge(BloomSketch(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy()))
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [out.bits.tobytes()]})
-
     partial_df = (
         seen.select(key_col)
         .withColumn("_shard", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
         .mapInPandas(partials, schema="shard int, bits binary")
     )
-    return partial_df.groupBy("shard").applyInPandas(merge, schema="shard int, bits binary")
+    return partial_df.groupBy("shard").applyInPandas(
+        _or_merge_fn(m_bits, k), schema="shard int, bits binary"
+    )
 
 
 def merge_shard_sketches(
@@ -182,21 +196,10 @@ def merge_shard_sketches(
     """OR-merge two (shard, bits) sketch tables built with identical
     (m_bits, k). Cost ~ n_shards rows — the incremental per-round
     maintenance step for the sharded seen sketch."""
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = BloomSketch(m_bits, k)
-        for b in pdf["bits"]:
-            out = out.merge(
-                BloomSketch(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy())
-            )
-        return pd.DataFrame(
-            {"shard": [int(pdf["shard"].iloc[0])], "bits": [out.bits.tobytes()]}
-        )
-
     return (
         prior.unionByName(delta_partials)
         .groupBy("shard")
-        .applyInPandas(merge, schema="shard int, bits binary")
+        .applyInPandas(_or_merge_fn(m_bits, k), schema="shard int, bits binary")
     )
 
 

@@ -1751,6 +1751,13 @@ class CrawlEngine:
                         state.metrics[-1]["seen_total"],
                     )
                 )
+                # wall_sec must land BEFORE the manifest serializes the
+                # metrics — set afterwards it would never persist for
+                # the crawl's final round (flatness evidence reads it
+                # from lineage on resume)
+                state.metrics[-1]["wall_sec"] = round(
+                    _time.time() - _round_t0, 3
+                )
                 catalog.finish_commit(
                     snap_id, table_meta, rnd,
                     {"rounds": state.metrics, "last": state.metrics[-1]},
@@ -1868,8 +1875,11 @@ class CrawlEngine:
                     print(f"TIMING r{rnd} metrics {_time.time()-_t0:.2f}",
                           flush=True)
             # per-round wall for scaling-flatness evidence (delta state
-            # must keep round cost O(delta), not O(cumulative))
-            state.metrics[-1]["wall_sec"] = round(_time.time() - _round_t0, 3)
+            # must keep round cost O(delta), not O(cumulative)); the
+            # catalog branch already recorded it pre-commit
+            state.metrics[-1].setdefault(
+                "wall_sec", round(_time.time() - _round_t0, 3)
+            )
             pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
         # J4 end-of-crawl flush (handleLogOfRemainingUrls,

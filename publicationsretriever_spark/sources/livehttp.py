@@ -228,23 +228,78 @@ class LiveHttpResolver:
         except (ConnectionError, OSError):
             return self._status_only(-1)
 
-        with resp:
-            h = resp.headers
-            location = h.get("Location")
-            if location:
-                location = urllib.parse.urljoin(url, location)
-            content_type = h.get("Content-Type")
-            content_disposition = h.get("Content-Disposition")
-            clen = h.get("Content-Length")
-            content_length = int(clen) if clen and clen.isdigit() else 0
-            body = b""
-            if method == "GET" and 200 <= status < 300:
-                body = resp.read(self.max_body_bytes + 1)
-                decoded = decompress(body, h.get("Content-Encoding"))
-                body = b"" if decoded is None else decoded
+        try:
+            # HEAD told us it's an HTML page (or gave no type at all):
+            # the page stage needs the BODY for link extraction, so
+            # reconnect with GET — the reference's "downloadable
+            # content" re-request (HttpConnUtils.java:371-395 connects
+            # again with conn.setRequestMethod("GET") when the mime
+            # needs the stream). Doc-like mimes (pdf etc.) stay
+            # HEAD-only: their handling needs headers, not bytes.
+            if method == "HEAD" and 200 <= status < 300:
+                head_mime = (
+                    (resp.headers.get("Content-Type") or "")
+                    .split(";")[0].strip().lower()
+                )
+                if head_mime in ("text/html", "application/xhtml+xml", ""):
+                    resp.close()
+                    method = "GET"
+                    resp = self._request(url, method, domain)
+                    status = resp.status
+        except (TimeoutError, socket.timeout):
+            return self._status_only(-1)
+        except urllib.error.URLError as e:
+            reason = getattr(e, "reason", None)
+            if isinstance(reason, (TimeoutError, socket.timeout)):
+                return self._status_only(-1)
+            if isinstance(reason, (socket.gaierror, ssl.SSLError)):
+                return self._status_only(0)
+            return self._status_only(-1)
+        except (ssl.SSLError, socket.gaierror):
+            return self._status_only(0)
+        except (ConnectionError, OSError):
+            return self._status_only(-1)
+
+        oversize = False
+        try:
+            with resp:
+                h = resp.headers
+                location = h.get("Location")
+                if location:
+                    location = urllib.parse.urljoin(url, location)
+                content_type = h.get("Content-Type")
+                content_disposition = h.get("Content-Disposition")
+                clen = h.get("Content-Length")
+                content_length = int(clen) if clen and clen.isdigit() else 0
+                body = b""
+                if method == "GET" and 200 <= status < 300:
+                    if content_length > self.max_body_bytes:
+                        # N10 size guard BEFORE the read, like the
+                        # reference's getContentSize "unacceptable
+                        # size" abort — headers are kept, body dropped
+                        oversize = True
+                    else:
+                        body = resp.read(self.max_body_bytes + 1)
+                        if len(body) > self.max_body_bytes:
+                            # no/wrong Content-Length: overflow found
+                            # only by reading — do NOT hand a silently
+                            # truncated body to the page stage
+                            oversize, body = True, b""
+                        else:
+                            decoded = decompress(
+                                body, h.get("Content-Encoding")
+                            )
+                            body = b"" if decoded is None else decoded
+        except (TimeoutError, socket.timeout):
+            # mid-body stall: the row must classify conn_timeout, not
+            # crash the task (C6 contract)
+            return self._status_only(-1)
+        except (ConnectionError, OSError, urllib.error.URLError):
+            return self._status_only(-1)
         mime = (content_type or "").split(";")[0].strip().lower()
         is_html = mime in ("text/html", "application/xhtml+xml") or (
-            not mime and body.lstrip()[:6].lower() in (b"<html>", b"<!doct")
+            not mime
+            and body.lstrip()[:15].lower().startswith((b"<html", b"<!doct"))
         )
         html_body = None
         body_kind = "other"
@@ -258,6 +313,10 @@ class LiveHttpResolver:
             body_kind = "error"
         if not content_length and body:
             content_length = len(body)
+        if oversize and content_length <= self.max_body_bytes:
+            # no usable Content-Length: surface the overflow so the
+            # engine's oversize guard (N10) can still fire
+            content_length = self.max_body_bytes + 1
         return {
             "status": status,
             "location": location,

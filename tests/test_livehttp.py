@@ -102,6 +102,26 @@ def test_head_first_then_get_only_when_needed(server):
     assert [m for m, _p, _h in REQUESTS] == ["HEAD"]  # no body needed
 
 
+def test_head_html_escalates_to_get_for_body(server):
+    # an HTML page needs its BODY for link extraction: HEAD classifies,
+    # then the resolver reconnects with GET (HttpConnUtils.java:371-395)
+    r = LiveHttpResolver()
+    REQUESTS.clear()
+    out = r.resolve(f"{server}/plain")
+    assert out["status"] == 200
+    assert out["body_kind"] == "html"
+    assert "plain" in (out["html_body"] or "")
+    assert [m for m, _p, _h in REQUESTS] == ["HEAD", "GET"]
+
+
+def test_oversize_body_is_dropped_not_truncated(server):
+    r = LiveHttpResolver(head_first=False, max_body_bytes=10)
+    out = r.resolve(f"{server}/plain")
+    assert out["status"] == 200
+    assert out["html_body"] is None  # never a silently cut document
+    assert out["content_length"] > 10  # N10 guard can fire
+
+
 def test_405_head_fallback_marks_domain(server):
     r = LiveHttpResolver()
     REQUESTS.clear()

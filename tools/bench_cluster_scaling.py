@@ -213,11 +213,16 @@ def main() -> None:
 
     flatness = None
     if deep and deep.get("round_walls"):
-        # wall per fetched url, rounds 1.. (round 0 is seed-only)
+        # wall per fetched url. Round 0 (seed-only warm round) is
+        # excluded BY INDEX before filtering missing values, so a round
+        # with no wall/fetched can never shift which round is dropped
         per_url = [
-            w / f for w, f in zip(deep["round_walls"], deep["round_fetched"])
-            if w and f
-        ][1:]
+            w / f
+            for i, (w, f) in enumerate(
+                zip(deep["round_walls"], deep["round_fetched"])
+            )
+            if i > 0 and w and f
+        ]
         if per_url:
             flatness = round(max(per_url) / min(per_url) - 1.0, 3)
     report = {
