@@ -134,6 +134,11 @@ def test_sharded_seen_path_matches_oracle(spark, crawl_setup):
     )
     assert engine_rows == oracle_rows
     assert set(r[0] for r in state.seen.collect()) == oracle.seen
+    # the incremental (shard, bits) sketch state materialized and was
+    # fed back into mark_seen on rounds 1+ (O(delta) maintenance)
+    assert state.seen_sketch is not None and state.sketch_meta is not None
+    assert state.seen_sketch.count() >= 1
+    assert state.sketch_meta["capacity"] >= len(oracle.seen)
 
 
 def test_host_quota_spills_to_next_round(spark):
