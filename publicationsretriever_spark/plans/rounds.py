@@ -1758,6 +1758,7 @@ class CrawlEngine:
                 state.metrics[-1]["wall_sec"] = round(
                     _time.time() - _round_t0, 3
                 )
+                state.metrics[-1]["compacted"] = compact
                 catalog.finish_commit(
                     snap_id, table_meta, rnd,
                     {"rounds": state.metrics, "last": state.metrics[-1]},
@@ -1817,7 +1818,8 @@ class CrawlEngine:
                 # compaction: bound the number of union parts (and the
                 # per-round scan fan-in) without ever rewriting state
                 # more often than every compact_every rounds
-                if len(parts["results"]) >= self.compact_every:
+                compacted_now = len(parts["results"]) >= self.compact_every
+                if compacted_now:
                     for name, schema in part_schemas.items():
                         merged = union_parts(name, schema).localCheckpoint(eager=True)
                         parts[name] = [merged]
@@ -1871,6 +1873,11 @@ class CrawlEngine:
                         state.metrics[-1]["seen_total"],
                     )
                 )
+                # flag the round that paid the amortized state rewrite:
+                # flatness evidence must separate the compaction cadence
+                # (O(cumulative) every compact_every rounds BY DESIGN)
+                # from steady-state per-round cost
+                state.metrics[-1]["compacted"] = compacted_now
                 if _timing:
                     print(f"TIMING r{rnd} metrics {_time.time()-_t0:.2f}",
                           flush=True)

@@ -264,6 +264,7 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
         "rounds_per_hour": round(len(state.metrics) / wall * 3600, 1),
         "round_walls": [m.get("wall_sec") for m in state.metrics],
         "round_fetched": [m["fetched"] for m in state.metrics],
+        "round_compacted": [bool(m.get("compacted")) for m in state.metrics],
         "seen_total": state.metrics[-1]["seen_total"] if state.metrics else 0,
     }
 
