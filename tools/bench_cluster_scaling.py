@@ -225,6 +225,14 @@ def main() -> None:
                     env={"BENCH_SKIP_LOAD": "1", "BENCH_DEEP": "1",
                          "BENCH_ROUNDS": "6", "BENCH_SKEW": "1"},
                 )
+            else:
+                # headline-only rerun: keep the saved deep evidence
+                try:
+                    deep = json.loads(
+                        (REPO / "BENCH/scaling.json").read_text()
+                    ).get("deep_rounds")
+                except (OSError, ValueError):
+                    deep = None
         finally:
             stop_cluster()
 
@@ -430,7 +438,7 @@ is gone (incremental delta OR-merge, operators/seen.py).
 ### Zipf hot-host skew stress
 
 The same load job on {deep.get('skew_n_urls', 0):,} urls, uniform vs
-30%% of urls on ONE host: {deep.get('skew_wall_uniform_sec')}s vs
+30% of urls on ONE host: {deep.get('skew_wall_uniform_sec')}s vs
 {deep.get('skew_wall_hot30_sec')}s -> slowdown
 **{deep.get('skew_slowdown')}x**. One host's schedulable rows rank in
 one task BY DESIGN (per-host politeness needs a total order), but the
