@@ -185,7 +185,13 @@ def ivf_topk(
     probed cells. Recall < 1 by construction (raise nprobe to trade
     cost for recall). Ties broken by id for determinism."""
     cent = ivf_centroids(vectors, vec_col, id_col, n_cells)
-    inv = ivf_assign(vectors, cent, vec_col, id_col)
+    # norms once per vector BEFORE the probe join: the higher-order
+    # array expressions run interpreted, so per-(vector x probe)-pair
+    # norm recomputation would triple the hot-path work (same move as
+    # embedding_neardup_pairs)
+    inv = ivf_assign(vectors, cent, vec_col, id_col).withColumn(
+        "_n", l2_norm(F.col(vec_col))
+    )
     qscored = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).crossJoin(F.broadcast(cent)).select(
@@ -200,13 +206,19 @@ def ivf_topk(
     probe = (
         qscored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "_qv", "cell_id")
+        .select(
+            query_id_col, "_qv", "cell_id",
+            l2_norm(F.col("_qv")).alias("_qn"),
+        )
     )
     joined = inv.join(F.broadcast(probe), "cell_id")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
