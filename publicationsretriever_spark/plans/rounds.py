@@ -323,6 +323,16 @@ class CrawlEngine:
                     "image_id": None, "html_links": [],
                 }
 
+                # resolver-side cancel hook (LiveHttpResolver registers
+                # its in-flight response per worker thread): closing the
+                # socket makes the abandoned read error out instead of
+                # holding the host's connection past its politeness slot
+                _cancel = getattr(
+                    getattr(raw_resolve, "__self__", None),
+                    "cancel_inflight", None,
+                )
+                abandoned: list = []  # bounded zombie-thread ledger
+
                 def resolve(url):
                     box: dict = {}
 
@@ -338,7 +348,22 @@ class CrawlEngine:
                     if "err" in box:
                         raise box["err"]
                     if th.is_alive() or "resp" not in box:
-                        return TIMEOUT_RESP  # abandoned; thread is daemon
+                        # abandoned; cut its socket so the thread dies
+                        # instead of lingering (ADVICE r3), and bound the
+                        # number of still-alive zombies per task
+                        if _cancel is not None and th.ident is not None:
+                            try:
+                                _cancel(th.ident)
+                            except Exception:  # noqa: BLE001
+                                pass
+                        abandoned[:] = [t for t in abandoned if t.is_alive()]
+                        abandoned.append(th)
+                        if len(abandoned) > 32:
+                            abandoned[0].join(1.0)  # backpressure
+                            abandoned[:] = [
+                                t for t in abandoned if t.is_alive()
+                            ]
+                        return TIMEOUT_RESP
                     return box["resp"]
 
             # per-host virtual politeness clock: ALL rows of one host are
@@ -1183,7 +1208,16 @@ class CrawlEngine:
         )
         if pool_hashes is not None:
             # J4 pool urls are "not yet checked" (exactly like spill):
-            # they must stay fetchable for a later fallback wave
+            # they must stay fetchable for a later fallback wave.
+            # Shared-url edge (ADVICE r3): this anti-join is global by
+            # url_hash, but it CANNOT evict a fetched url's hash —
+            # `unseen` is the _rn==1 slice (one row per url_hash), so a
+            # url is either some id's picked/fetched row OR some id's
+            # pool row this round, never both; the second occurrence was
+            # already logged as "duplicate url" upstream. The only real
+            # interplay is a REDIRECT landing on a pool url: its hash
+            # then enters seen via final_new below, and the pool id's
+            # later fallback wave is correctly marked duplicate.
             new_staged_hashes = new_staged_hashes.join(
                 pool_hashes, "url_hash", "left_anti"
             )

@@ -83,10 +83,46 @@ def _accept_encoding() -> str:
     return ", ".join(encs)
 
 
-def decompress(body: bytes, encoding: str | None) -> bytes | None:
+class DecompressOverflow(Exception):
+    """Decompressed size exceeded the caller's ``max_out`` cap — the
+    compressed bytes fit the size guard but the inflated stream would
+    not (gzip/deflate/brotli bombs). Callers treat this like the N10
+    oversize case: headers kept, body dropped."""
+
+
+def _zlib_stream(body: bytes, wbits: int, max_out: int | None) -> bytes:
+    """Streaming inflate with an OUTPUT cap: decompressobj + max_length
+    loop, so a bomb never materializes more than max_out+1 bytes."""
+    d = zlib.decompressobj(wbits)
+    out = bytearray()
+    data = body
+    while data:
+        if max_out is None:
+            chunk = d.decompress(data)
+        else:
+            chunk = d.decompress(data, max_out - len(out) + 1)
+        out += chunk
+        if max_out is not None and len(out) > max_out:
+            raise DecompressOverflow(len(out))
+        tail = d.unconsumed_tail
+        if not chunk and tail == data:
+            break  # no progress possible
+        data = tail
+    out += d.flush()
+    if max_out is not None and len(out) > max_out:
+        raise DecompressOverflow(len(out))
+    return bytes(out)
+
+
+def decompress(
+    body: bytes, encoding: str | None, max_out: int | None = None
+) -> bytes | None:
     """ConnSupportUtils.getCompressedInputStream (:742-777): decode the
     Content-Encoding; None for an unsupported/broken encoding (the
-    reference drops those responses)."""
+    reference drops those responses). ``max_out`` caps the DECOMPRESSED
+    size (raises DecompressOverflow) — the transport-level size guard
+    only sees compressed bytes, so without this an 8 MB gzip bomb could
+    inflate to GBs in executor memory."""
     if not encoding:
         return body
     enc = encoding.strip().lower()
@@ -94,18 +130,36 @@ def decompress(body: bytes, encoding: str | None) -> bytes | None:
         if enc in ("identity", ""):
             return body
         if enc == "gzip":
-            return gzip.decompress(body)
+            return _zlib_stream(body, 16 + zlib.MAX_WBITS, max_out)
         if enc == "deflate":
             try:
-                return zlib.decompress(body)
+                return _zlib_stream(body, zlib.MAX_WBITS, max_out)
             except zlib.error:  # raw-deflate servers
-                return zlib.decompress(body, -zlib.MAX_WBITS)
+                return _zlib_stream(body, -zlib.MAX_WBITS, max_out)
         if enc == "br" and _brotli is not None:
-            return _brotli.decompress(body)
+            # brotli has no max_length API: feed fixed chunks and check
+            # the output cap after each — overshoot is bounded by one
+            # compressed chunk's expansion instead of the whole stream
+            d = _brotli.Decompressor()
+            step = getattr(d, "process", None) or getattr(d, "decompress")
+            out = bytearray()
+            for i in range(0, len(body), 1 << 16):
+                out += step(body[i : i + (1 << 16)])
+                if max_out is not None and len(out) > max_out:
+                    raise DecompressOverflow(len(out))
+            return bytes(out)
         if enc == "zstd" and _zstd is not None:
-            return _zstd.ZstdDecompressor().decompress(
-                body, max_output_size=1 << 30
-            )
+            cap = (1 << 30) if max_out is None else max_out
+            try:
+                return _zstd.ZstdDecompressor().decompress(
+                    body, max_output_size=cap
+                )
+            except _zstd.ZstdError as e:
+                if "max" in str(e).lower() or "size" in str(e).lower():
+                    raise DecompressOverflow() from e
+                return None
+    except DecompressOverflow:
+        raise
     except Exception:  # noqa: BLE001 — corrupt stream: drop like the ref
         return None
     return None  # unsupported encoding
@@ -167,10 +221,39 @@ class LiveHttpResolver:
             _NoHttpError,
             urllib.request.HTTPCookieProcessor(self.cookies),
         )
+        # C6 cancel surface: the watchdog (plans/rounds.py) abandons the
+        # daemon thread on budget overrun, but the socket read inside it
+        # would keep running and keep the host's connection busy past
+        # the politeness slot. Each worker thread registers its live
+        # response here so cancel_inflight() can close the socket from
+        # the outside — the blocked read errors out and the thread dies.
+        import threading as _th
+
+        self._inflight: dict[int, object] = {}
+        self._inflight_lock = _th.Lock()
 
     def clear_cookies(self) -> None:
         """Per-batch cookie reset (LoaderAndChecker.java:471-474)."""
         self.cookies.clear()
+
+    def cancel_inflight(self, ident: int | None = None) -> None:
+        """Close the registered response socket(s) — for the C6 watchdog
+        after a budget overrun (``ident`` = the abandoned thread's id),
+        or all of them on task teardown."""
+        with self._inflight_lock:
+            items = (
+                list(self._inflight.items()) if ident is None
+                else [(ident, self._inflight.get(ident))]
+            )
+        for key, resp in items:
+            if resp is None:
+                continue
+            try:
+                resp.close()
+            except Exception:  # noqa: BLE001
+                pass
+            with self._inflight_lock:
+                self._inflight.pop(key, None)
 
     # -- one request, no ladder -------------------------------------------
 
@@ -183,11 +266,27 @@ class LiveHttpResolver:
         timeout = (
             self.head_timeout_s if method == "HEAD" else self.get_timeout_s
         )
-        return self._opener.open(req, timeout=timeout)
+        import threading as _th
+
+        resp = self._opener.open(req, timeout=timeout)
+        with self._inflight_lock:
+            self._inflight[_th.get_ident()] = resp
+        return resp
 
     # -- the ladder ---------------------------------------------------------
 
     def resolve(self, url: str) -> dict:
+        import threading as _th
+
+        try:
+            return self._resolve(url)
+        finally:
+            # normal completion: drop this thread's cancel handle (the
+            # response is already closed by the `with resp:` below)
+            with self._inflight_lock:
+                self._inflight.pop(_th.get_ident(), None)
+
+    def _resolve(self, url: str) -> dict:
         domain = _domain_of(url)
         method = (
             "GET"
@@ -286,15 +385,26 @@ class LiveHttpResolver:
                             # truncated body to the page stage
                             oversize, body = True, b""
                         else:
-                            decoded = decompress(
-                                body, h.get("Content-Encoding")
-                            )
+                            try:
+                                decoded = decompress(
+                                    body, h.get("Content-Encoding"),
+                                    max_out=self.max_body_bytes,
+                                )
+                            except DecompressOverflow:
+                                # compressed bytes fit but the inflated
+                                # stream would not: same contract as the
+                                # pre-read N10 guard
+                                oversize, decoded = True, None
                             body = b"" if decoded is None else decoded
         except (TimeoutError, socket.timeout):
             # mid-body stall: the row must classify conn_timeout, not
             # crash the task (C6 contract)
             return self._status_only(-1)
-        except (ConnectionError, OSError, urllib.error.URLError):
+        except Exception:  # noqa: BLE001
+            # connection errors, IncompleteRead, and the ValueError/
+            # AttributeError races of a response whose socket was closed
+            # by cancel_inflight (C6 watchdog) mid-read — all map to the
+            # retryable class; a body read must never crash the task
             return self._status_only(-1)
         mime = (content_type or "").split(";")[0].strip().lower()
         is_html = mime in ("text/html", "application/xhtml+xml") or (

@@ -73,7 +73,7 @@ def read_id_url_pairs_from_url(
     import json as _json
     import urllib.request as _rq
 
-    from .livehttp import BASE_HEADERS, decompress
+    from .livehttp import BASE_HEADERS, DecompressOverflow, decompress
 
     req = _rq.Request(input_url, headers=dict(BASE_HEADERS), method="GET")
     with _rq.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
@@ -88,7 +88,17 @@ def read_id_url_pairs_from_url(
         body = resp.read(max_bytes + 1)
         if len(body) > max_bytes:
             raise ValueError(f"inputDataUrl body exceeds {max_bytes} bytes")
-        decoded = decompress(body, resp.headers.get("Content-Encoding"))
+        try:
+            # the cap applies to the DECOMPRESSED bytes too — a gzip'd
+            # inputDataUrl must not inflate past max_bytes on the driver
+            decoded = decompress(
+                body, resp.headers.get("Content-Encoding"),
+                max_out=max_bytes,
+            )
+        except DecompressOverflow as e:
+            raise ValueError(
+                f"inputDataUrl decompressed body exceeds {max_bytes} bytes"
+            ) from e
         if decoded is None:
             raise ValueError("could not decode the inputDataUrl body")
     rows = []

@@ -78,6 +78,21 @@ class Handler(BaseHTTPRequestHandler):
             import time
             time.sleep(3)
             self._send(200, {"Content-Type": "text/html"}, b"<html></html>")
+        elif self.path.startswith("/bomb"):
+            # ~64 MB of zeros gzips to ~64 KB: passes the compressed-size
+            # guard, must be stopped by the decompressed-output cap
+            body = gzip.compress(b"\0" * (64 * 1024 * 1024))
+            self._send(200, {"Content-Type": "text/html",
+                             "Content-Encoding": "gzip"}, body)
+        elif self.path.startswith("/hang-body"):
+            # headers sent, body never arrives: resp.read() blocks until
+            # the socket is closed from the outside
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", "100")
+            self.end_headers()
+            import time
+            time.sleep(30)
         else:
             self._send(200, {"Content-Type": "text/html"},
                        b"<html><body>plain</body></html>")
@@ -213,3 +228,63 @@ def test_decompress_edge_cases():
     assert decompress(body, "deflate") == b"y"  # raw-deflate server
     assert decompress(b"garbage", "gzip") is None
     assert decompress(b"abc", "unsupported-enc") is None
+
+
+def test_decompress_output_cap_stops_bombs():
+    # ADVICE r3 (medium): the max_body_bytes cap used to apply to the
+    # COMPRESSED bytes only — an 8 MB gzip bomb could inflate to GBs.
+    # The output cap must stop the inflate without materializing the
+    # whole stream.
+    from publicationsretriever_spark.sources.livehttp import (
+        DecompressOverflow,
+    )
+
+    bomb = gzip.compress(b"\0" * (32 * 1024 * 1024))  # ~32 KB compressed
+    assert len(bomb) < 64 * 1024
+    with pytest.raises(DecompressOverflow):
+        decompress(bomb, "gzip", max_out=1024 * 1024)
+    # same stream fits a big-enough cap
+    assert len(decompress(bomb, "gzip", max_out=64 * 1024 * 1024)) == (
+        32 * 1024 * 1024
+    )
+    # deflate path honors the cap too (both zlib- and raw-deflate)
+    dbomb = zlib.compress(b"\0" * (8 * 1024 * 1024))
+    with pytest.raises(DecompressOverflow):
+        decompress(dbomb, "deflate", max_out=1024)
+    # within-cap behavior unchanged
+    assert decompress(gzip.compress(b"x"), "gzip", max_out=10) == b"x"
+
+
+def test_gzip_bomb_is_classified_oversize(server):
+    # resolver-level contract: bomb body -> headers kept, body dropped,
+    # content_length surfaced above the cap so the N10 guard fires
+    r = LiveHttpResolver(head_first=False, max_body_bytes=1024 * 1024)
+    out = r.resolve(f"{server}/bomb")
+    assert out["status"] == 200
+    assert out["html_body"] is None
+    assert out["content_length"] > 1024 * 1024
+
+
+def test_cancel_inflight_unblocks_hung_read(server):
+    # C6 (ADVICE r3 low): the watchdog abandons the daemon thread, but
+    # the socket read kept running; cancel_inflight closes the socket so
+    # the abandoned thread dies instead of holding the connection.
+    import time
+
+    r = LiveHttpResolver(head_first=False, get_timeout_s=60)
+    box = {}
+
+    def _call():
+        box["out"] = r.resolve(f"{server}/hang-body")
+
+    th = threading.Thread(target=_call, daemon=True)
+    th.start()
+    th.join(1.0)
+    assert th.is_alive()  # genuinely hung mid-body
+    r.cancel_inflight(th.ident)
+    t0 = time.monotonic()
+    th.join(5.0)
+    assert not th.is_alive(), "socket close must unblock the hung read"
+    assert time.monotonic() - t0 < 5.0
+    # the interrupted read classifies as a retryable error, not a crash
+    assert box["out"]["status"] in (-1, 200)

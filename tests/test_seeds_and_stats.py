@@ -87,6 +87,48 @@ def test_read_id_url_pairs_from_url(spark):
         srv.shutdown()
 
 
+def test_read_from_url_caps_decompressed_size(spark):
+    # ADVICE r3: a gzip'd inputDataUrl must not inflate past max_bytes
+    # on the driver — the cap applies to the DECOMPRESSED bytes too
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest
+
+    from publicationsretriever_spark.sources.seeds import (
+        read_id_url_pairs_from_url,
+    )
+
+    bomb = gzip.compress(
+        b'{"id":"a","url":"https://x.org/1"}\n' * 200_000
+    )  # ~7 MB decompressed, ~ tens of KB compressed
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(bomb)))
+            self.end_headers()
+            self.wfile.write(bomb)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(ValueError, match="decompressed body exceeds"):
+            read_id_url_pairs_from_url(
+                spark,
+                f"http://127.0.0.1:{srv.server_port}/seeds.json",
+                max_bytes=1024 * 1024,
+            )
+    finally:
+        srv.shutdown()
+
+
 def test_read_plain_urls(spark, tmp_path):
     p = tmp_path / "urls.csv"
     p.write_text('url\n"https://x.org/1"\nhttps://y.org/2\n\n')
