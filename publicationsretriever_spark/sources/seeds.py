@@ -29,15 +29,59 @@ ID_URL_SCHEMA = T.StructType(
 )
 
 
+def _with_input_order(raw: DataFrame) -> DataFrame:
+    """Attach ``order_in_id`` = global input-line order WITHOUT a
+    single-partition sort (the zipWithIndex pattern).
+
+    The naive ``row_number().over(Window.orderBy(monotonically_increasing_id()))``
+    moves the ENTIRE input into one task to rank it — fine at the
+    reference's 3000-line batches (util/file/FileUtils.java:50), a
+    single-task bottleneck at a 10^10-seed frontier. Instead:
+
+    1. tag each row with its partition id and its partition-LOCAL
+       position (``monotonically_increasing_id`` is consecutive within
+       a partition, so ``mid - min(mid per partition)`` is the local
+       row number — no shuffle);
+    2. one tiny job collects per-partition (count, min-mid) — one row
+       per partition, like RDD.zipWithIndex's count job;
+    3. cumulative offsets are computed on the driver and broadcast-
+       joined back: ``order_in_id = offset[pid] + local_row``.
+
+    The ordering is byte-identical to the old global window (both rank
+    by mid = partition-major input order); the plan contains NO
+    SinglePartition exchange and the big side never shuffles."""
+    spark = raw.sparkSession
+    df = raw.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = (
+        df.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_base"))
+        .collect()
+    )
+    acc = 0
+    off_rows = []
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        off_rows.append((r["_pid"], int(acc), int(r["_base"])))
+        acc += r["_cnt"]
+    off_df = spark.createDataFrame(
+        off_rows, "_pid int, _off long, _base long"
+    )
+    return (
+        df.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "order_in_id", F.col("_off") + (F.col("_mid") - F.col("_base"))
+        )
+        .drop("_mid", "_pid", "_off", "_base")
+    )
+
+
 def _attach_order_and_dups(raw: DataFrame) -> DataFrame:
     """Shared S1/S3 tail: input order + duplicate-pair flag. In-batch
     duplicate (id,url) pairs are KEPT (flagged ``is_duplicate_pair``) —
     the reference logs them as 'duplicate' output rows
     (FileUtils.java:282-285); the round engine does the same."""
-    raw = raw.withColumn(
-        "order_in_id",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
-    )
+    raw = _with_input_order(raw)
     w = Window.partitionBy("id", "url").orderBy("order_in_id")
     return raw.withColumn(
         "is_duplicate_pair", F.row_number().over(w) > 1
@@ -124,10 +168,7 @@ def read_plain_urls(
 ) -> DataFrame:
     """S2: one url per line -> (id=NULL, order_in_id, url); quotes
     stripped, optional header skipped, blank lines dropped."""
-    raw = spark.read.text(path).withColumn(
-        "order_in_id",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
-    )
+    raw = _with_input_order(spark.read.text(path))
     if skip_first_row:
         raw = raw.filter(F.col("order_in_id") > 0)
     url = F.regexp_replace(F.trim(F.col("value")), '^"|"$', "")

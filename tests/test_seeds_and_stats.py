@@ -129,6 +129,58 @@ def test_read_from_url_caps_decompressed_size(spark):
         srv.shutdown()
 
 
+def test_seed_order_multi_partition_no_single_partition_exchange(
+    spark, tmp_path
+):
+    """The order_in_id assignment must (a) match the old global-window
+    semantics exactly on a multi-partition read and (b) contain NO
+    single-partition exchange in the plan (the 10^10-seed scale-killer
+    from VERDICT r3)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "seeds"
+    d.mkdir()
+    n_files, rows_per_file = 4, 50
+    for f in range(n_files):
+        (d / f"part-{f}.json").write_text(
+            "".join(
+                f'{{"id":"id{f}_{i}","url":"https://h{f}.org/p{i}"}}\n'
+                for i in range(rows_per_file)
+            )
+        )
+    from publicationsretriever_spark.sources.seeds import ID_URL_SCHEMA
+
+    # force a genuinely multi-partition scan (tiny files normally get
+    # bin-packed into one task)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        scan = spark.read.schema(ID_URL_SCHEMA).json(str(d))
+        assert scan.rdd.getNumPartitions() > 1
+        df = read_id_url_pairs(spark, str(d))
+        # (a) equivalence with the old global window on the same scan
+        old = scan.withColumn(
+            "order_in_id",
+            F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            )
+            - 1,
+        )
+        got = {r["id"]: r["order_in_id"] for r in df.collect()}
+        want = {r["id"]: r["order_in_id"] for r in old.collect()}
+        assert got == want
+        assert sorted(got.values()) == list(range(n_files * rows_per_file))
+        # (b) no single-partition exchange anywhere in the physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_read_plain_urls(spark, tmp_path):
     p = tmp_path / "urls.csv"
     p.write_text('url\n"https://x.org/1"\nhttps://y.org/2\n\n')
