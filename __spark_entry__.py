@@ -666,6 +666,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _cos6(a: str, b: str) -> str:
+    """DuckDB cosine-similarity expression rounded to 6 decimals —
+    mirrors operators/similarity.cosine + F.round(…, 6)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     urls = URLS_SQL
     dom = "lower(regexp_extract(url, '^https?://([^/:?#]+).*$', 1))"
@@ -984,17 +997,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_vecs
             FROM embeddings GROUP BY 1 ORDER BY bucket
         """,
-        "ann_ivf_topk": """
-            WITH cent AS (
+        "ann_ivf_topk": f"""
+            -- mirrors operators/similarity.ivf_topk with ONE Lloyd
+            -- refinement over the 256 lowest-id sample (ivf_centroids
+            -- refine_iters=1): init = 16 lowest-id vectors, assign the
+            -- sample (cosine @6dp, ties to lowest cell), new centroid =
+            -- per-dimension mean, empty cells keep the init centroid.
+            -- range(1,65): embeddings dim is 64 in the driver tables.
+            WITH cent0 AS (
               SELECT vec_id AS cell_id, embedding AS cv
               FROM embeddings ORDER BY vec_id ASC LIMIT 16
+            ),
+            samp AS (
+              SELECT vec_id, embedding
+              FROM embeddings ORDER BY vec_id ASC LIMIT 256
+            ),
+            sassign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT s.vec_id, s.embedding, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY {_cos6('s.embedding', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM samp s CROSS JOIN cent0 c) t
+              WHERE rn = 1
+            ),
+            cmeans AS (
+              SELECT cell_id, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+              FROM sassign, range(1, 65) t(i)
+              GROUP BY cell_id, i
+            ),
+            cent1 AS (
+              SELECT cell_id, list(mv ORDER BY i) AS cv
+              FROM cmeans GROUP BY cell_id
+            ),
+            cent AS (
+              SELECT c0.cell_id,
+                     COALESCE(c1.cv,
+                              list_transform(c0.cv, x -> CAST(x AS DOUBLE))) AS cv
+              FROM cent0 c0 LEFT JOIN cent1 c1 USING (cell_id)
             ),
             assign AS (
               SELECT vec_id, embedding, cell_id FROM (
                 SELECT v.vec_id, v.embedding, c.cell_id,
                        row_number() OVER (
                          PARTITION BY v.vec_id
-                         ORDER BY round(list_sum(list_transform(list_zip(v.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) DESC,
+                         ORDER BY {_cos6('v.embedding', 'c.cv')} DESC,
                                   c.cell_id ASC) AS rn
                 FROM embeddings v CROSS JOIN cent c) t
               WHERE rn = 1
@@ -1008,14 +1056,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.query_id, q.qv, c.cell_id,
                        row_number() OVER (
                          PARTITION BY q.query_id
-                         ORDER BY round(list_sum(list_transform(list_zip(q.qv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) DESC,
+                         ORDER BY {_cos6('q.qv', 'c.cv')} DESC,
                                   c.cell_id ASC) AS rn
                 FROM q CROSS JOIN cent c) t
               WHERE rn <= 4
             ),
             scored AS (
               SELECT p.query_id, a.vec_id,
-                     round(list_sum(list_transform(list_zip(a.embedding, p.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+                     {_cos6('a.embedding', 'p.qv')} AS cos_sim
               FROM assign a JOIN probe p USING (cell_id)
             ),
             ranked AS (

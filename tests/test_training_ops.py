@@ -269,3 +269,95 @@ def test_embedding_neardup_pairs(spark):
     }
     for r in out:
         assert buckets[r["id_a"]] == buckets[r["id_b"]]
+
+
+def test_choose_signlsh_planes_scales_with_corpus(spark):
+    """VERDICT r4 item 2: a fixed plane count degrades toward n^2 as
+    the corpus grows; the auto-sizing must (a) keep the small-n choice
+    identical to the historical [0,1,2,3] (oracle stability), (b) grow
+    logarithmically with n, and (c) keep the realized max bucket
+    bounded near n/2^bits as n grows 10x."""
+    from publicationsretriever_spark.operators.similarity import (
+        choose_signlsh_planes,
+        embedding_neardup_pairs,
+        signlsh_bucket,
+    )
+
+    # (a) small corpora keep the historical fixed choice
+    assert choose_signlsh_planes(100, 64) == [0, 1, 2, 3]
+    assert choose_signlsh_planes(512, 64) == [0, 1, 2, 3]
+    # (b) logarithmic growth, capped by dim
+    assert len(choose_signlsh_planes(2_000, 64)) == 6
+    assert len(choose_signlsh_planes(20_000, 64)) == 10
+    assert len(choose_signlsh_planes(1 << 40, 64)) == 24  # hard cap
+    assert len(choose_signlsh_planes(1 << 40, 8)) == 8  # dim cap
+    # deterministic pure function
+    assert choose_signlsh_planes(2_000, 64) == choose_signlsh_planes(2_000, 64)
+
+    # (c) realized bucket occupancy stays ~n/2^bits as n grows 10x
+    rng = np.random.default_rng(11)
+    for n in (300, 3000):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=32)]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        planes = choose_signlsh_planes(n, 32)
+        occ = (
+            df.select(signlsh_bucket(F.col("embedding"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .head()["mx"]
+        )
+        expected = n / (1 << len(planes))
+        # gaussian coords: each sign bit ~ fair coin, so max bucket is
+        # within a small constant of the mean occupancy
+        assert occ <= 4 * expected, (n, planes, occ, expected)
+        # chosen planes are emitted on the result for reproducibility
+        pairs = embedding_neardup_pairs(df, threshold=0.99)
+        assert pairs._signlsh_planes == planes
+
+
+def test_ivf_centroid_refinement_balances_skewed_cells(spark):
+    """VERDICT r4 item 3: lowest-id IVF centroids give no balance
+    guarantee — when the lowest-id vectors all sit in one tight mode,
+    the unrefined quantizer concentrates distant modes onto few cells.
+    Lloyd refinement over the deterministic sample must strictly shrink
+    the hottest cell and land max <= 2x mean on this 8-mode set, while
+    staying deterministic (same input -> same centroids)."""
+    from publicationsretriever_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(42)
+    modes = rng.normal(size=(8, 8)) * 5
+    rows = []
+    # degenerate init: ids 0..15 (the lowest-id pool) all in mode 0
+    for i in range(16):
+        rows.append((i, [float(x) for x in modes[0] + rng.normal(size=8) * 0.1]))
+    for i in range(16, 400):
+        m = modes[i % 8]
+        rows.append((i, [float(x) for x in m + rng.normal(size=8) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def max_cell(refine_iters: int) -> int:
+        cent = ivf_centroids(df, n_cells=8, refine_iters=refine_iters)
+        return (
+            ivf_assign(df, cent)
+            .groupBy("cell_id")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .head()["mx"]
+        )
+
+    unrefined = max_cell(0)
+    refined = max_cell(5)
+    mean = 400 / 8
+    assert unrefined > 2.5 * mean  # the skew the refinement must fix
+    assert refined < unrefined
+    assert refined <= 2.0 * mean, (refined, mean)
+    # determinism: re-running yields identical centroid vectors
+    c1 = ivf_centroids(df, n_cells=8, refine_iters=2).orderBy("cell_id").collect()
+    c2 = ivf_centroids(df, n_cells=8, refine_iters=2).orderBy("cell_id").collect()
+    assert [r["_cv"] for r in c1] == [r["_cv"] for r in c2]
