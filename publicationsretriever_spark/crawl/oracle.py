@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..functions.htmlparse import extract_links_one as _extract_links_one
 from ..sources.synthetic_web import SyntheticWeb
 
 MAX_PAGE_REDIRECTS = 7
@@ -419,8 +420,19 @@ def crawl_oracle(
             resp = web.resolve(url)
             # 3XX except 304 redirect; 2XX and 304 succeed
             # (HttpConnUtils.java:284-288,631) — mirrors the fetch UDF
-            while (300 <= resp["status"] <= 399 and resp["status"] != 304) and resp["location"] and hops < max_hops:
+            while (300 <= resp["status"] <= 399 and resp["status"] != 304) and hops < max_hops:
                 loc = resp["location"]
+                if loc is None and resp["status"] == 300:
+                    # HTTP-300 body-link extraction — mirrors the fetch
+                    # UDF (ConnSupportUtils.java:608-627)
+                    body = resp.get("html_body")
+                    if body:
+                        for _c in _extract_links_one(body, url):
+                            if _c.get("link"):
+                                loc = _c["link"]
+                                break
+                if loc is None:
+                    break
                 # P11 learn: protocol-only / slash-only hop -> target domain
                 if (
                     url.startswith("http://") and loc.startswith("https://")

@@ -397,6 +397,20 @@ class CrawlEngine:
                     # domain-kill branch below
                     while 300 <= resp["status"] <= 399 and resp["status"] != 304:
                         loc = resp["location"]
+                        if loc is None and resp["status"] == 300:
+                            # HTTP-300 multiple choices MAY carry the
+                            # proposed link in the html body instead of
+                            # a Location header: extract the first
+                            # acceptable internal link and keep hopping
+                            # (getInternalLinkFromHTTP300Page,
+                            # ConnSupportUtils.java:608-627; dispatched
+                            # from HttpConnUtils.java:574-577)
+                            body = resp.get("html_body")
+                            if body:
+                                for _c in H.extract_links_one(body, url):
+                                    if _c.get("link"):
+                                        loc = _c["link"]
+                                        break
                         if loc is None or hops >= max_hops:
                             break
                         # P11 learning (HttpConnUtils.java:613-623): a

@@ -75,6 +75,27 @@ class SyntheticWeb:
             }
         self.responses[deep[-1]] = self._image_response("chain-end")
         self.seeds.append(("chain::0001", deep[0]))
+        # an HTTP-300 multiple-choices page with NO Location header: the
+        # proposed link sits in the html body and the hop loop must
+        # extract the first acceptable internal link and continue
+        # (ConnSupportUtils.getInternalLinkFromHTTP300Page,
+        # util/http/ConnSupportUtils.java:608-627)
+        mc_url = "https://host0.example0.org/choices/1"
+        mc_doc = "https://host0.example0.org/files/choices1/fulltext.pdf"
+        mc_body = (
+            "<html><body><ul>"
+            f'<li><a href="/files/choices1/fulltext.pdf">variant a</a></li>'
+            f'<li><a href="/files/choices1/fulltext.de.pdf">variant b</a></li>'
+            "</ul></body></html>"
+        )
+        self.responses[mc_url] = {
+            "status": 300, "location": None, "content_type": "text/html",
+            "content_disposition": None, "content_length": len(mc_body),
+            "body_kind": "html", "image_id": None,
+            "html_links": [mc_doc], "html_body": mc_body,
+        }
+        self.responses[mc_doc] = self._image_response("choices-1")
+        self.seeds.append(("choices::0001", mc_url))
 
     def _image_response(self, image_id: str) -> dict:
         if image_id not in self.payloads:
