@@ -54,6 +54,11 @@ def main() -> int:
     ap.add_argument("--sharded-threshold", type=int, default=None,
                     help="seen-keys above which the sharded cogrouped "
                          "probe replaces the whole-set sketch")
+    ap.add_argument("--input-url", default=None,
+                    help="fetch the JSON-lines id/url seed list from "
+                         "this URL instead of the synthetic-web seeds "
+                         "(reference -inputDataUrl, "
+                         "util/args/ArgsUtils.java:103-107)")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.rounds import CrawlEngine
@@ -81,8 +86,18 @@ def main() -> int:
             file=sys.stderr,
         )
         resume = False
+    if args.input_url and not resume:
+        from publicationsretriever_spark.sources.seeds import (
+            read_id_url_pairs_from_url,
+        )
+
+        seeds = read_id_url_pairs_from_url(spark, args.input_url).select(
+            "id", "order_in_id", "url"
+        )
+    else:
+        seeds = web.seeds_df(spark)
     state = engine.crawl(
-        None if resume else web.seeds_df(spark),
+        None if resume else seeds,
         max_rounds=args.rounds,
         catalog=catalog,
         resume=resume,

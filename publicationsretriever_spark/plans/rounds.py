@@ -428,6 +428,19 @@ class CrawlEngine:
                         url = loc
                         resp = resolve(url)
                     status = resp["status"]
+                    # Retry-After honoring (beyond-reference; the
+                    # reference only LOGS the header, TODO at
+                    # ConnSupportUtils.java:675-680): the host's next
+                    # slot waits max(politeness delay, server backoff).
+                    # Attributed to the row's host — all of a host's
+                    # rows sit in this partition (quota-window shuffle),
+                    # so the virtual clock bump covers the whole round.
+                    _ra = resp.get("retry_after_ms")
+                    if _ra:
+                        last_fetch_ms[host] = max(
+                            last_fetch_ms[host],
+                            planned + _ra - POLITENESS_MS,
+                        )
                     # handle.net returns 500 where it means 404
                     # (ConnSupportUtils.java:642-645)
                     if status == 500 and "handle.net" in (host or ""):

@@ -181,6 +181,38 @@ class _NoHttpError(urllib.request.HTTPErrorProcessor):
     https_response = http_response
 
 
+#: hostile/buggy Retry-After values must not stall a host's politeness
+#: clock for days; one hour is far beyond any sane throttle window
+MAX_RETRY_AFTER_MS = 3600 * 1000
+
+
+def _retry_after_ms(value: str | None) -> int | None:
+    """Parse a Retry-After header (RFC 9110 §10.2.3: delta-seconds or
+    HTTP-date) into milliseconds, capped at MAX_RETRY_AFTER_MS. The
+    reference only logs the header (TODO at ConnSupportUtils.java:
+    675-680); honoring it in the politeness schedule is a deliberate
+    beyond-reference improvement. Returns None when absent/unparsable."""
+    if not value:
+        return None
+    value = value.strip()
+    if value.isdigit():
+        ms = int(value) * 1000
+    else:
+        try:
+            from email.utils import parsedate_to_datetime
+
+            dt = parsedate_to_datetime(value)
+            import datetime as _dt
+
+            delta = dt - _dt.datetime.now(_dt.timezone.utc)
+            ms = int(delta.total_seconds() * 1000)
+        except (TypeError, ValueError):
+            return None
+    if ms <= 0:
+        return None
+    return min(ms, MAX_RETRY_AFTER_MS)
+
+
 def _domain_of(url: str) -> str:
     try:
         return (urllib.parse.urlsplit(url).hostname or "").lower()
@@ -437,6 +469,7 @@ class LiveHttpResolver:
             "image_id": None,  # live payloads carry no synthetic id
             "html_links": [],  # extraction happens in the page stage
             "html_body": html_body,
+            "retry_after_ms": _retry_after_ms(h.get("Retry-After")),
         }
 
     @staticmethod

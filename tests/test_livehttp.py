@@ -51,6 +51,14 @@ class Handler(BaseHTTPRequestHandler):
                 self._send(200, {"Content-Type": "application/pdf"})
         elif self.path.startswith("/redir"):
             self._send(302, {"Location": "/pdf"})
+        elif self.path.startswith("/throttle-huge"):
+            self._send(429, {"Retry-After": "99999999"})
+        elif self.path.startswith("/throttle-date"):
+            from email.utils import formatdate
+            import time as _t
+            self._send(429, {"Retry-After": formatdate(_t.time() + 60, usegmt=True)})
+        elif self.path.startswith("/throttle"):
+            self._send(429, {"Retry-After": "2"})
         else:
             self._send(200, {"Content-Type": "text/html"})
 
@@ -288,3 +296,31 @@ def test_cancel_inflight_unblocks_hung_read(server):
     assert time.monotonic() - t0 < 5.0
     # the interrupted read classifies as a retryable error, not a crash
     assert box["out"]["status"] in (-1, 200)
+
+
+def test_retry_after_is_surfaced_and_capped(server):
+    """Retry-After (delta-seconds and HTTP-date forms) is parsed into
+    retry_after_ms on the response record, capped at one hour; absent
+    header -> None. Beyond-reference: the reference only logs it
+    (TODO at ConnSupportUtils.java:675-680)."""
+    from publicationsretriever_spark.sources.livehttp import (
+        MAX_RETRY_AFTER_MS,
+        _retry_after_ms,
+    )
+
+    r = LiveHttpResolver(head_timeout_s=5.0, get_timeout_s=5.0)
+    rec = r.resolve(f"{server}/throttle")
+    assert rec["status"] == 429
+    assert rec["retry_after_ms"] == 2000
+    rec = r.resolve(f"{server}/throttle-huge")
+    assert rec["retry_after_ms"] == MAX_RETRY_AFTER_MS
+    rec = r.resolve(f"{server}/throttle-date")
+    assert rec["retry_after_ms"] is not None
+    assert 30_000 <= rec["retry_after_ms"] <= 61_000
+    rec = r.resolve(f"{server}/pdf")
+    assert rec["retry_after_ms"] is None
+    # parser edge cases
+    assert _retry_after_ms(None) is None
+    assert _retry_after_ms("garbage") is None
+    assert _retry_after_ms("0") is None  # non-positive -> ignore
+    assert _retry_after_ms("Mon, 01 Jan 2001 00:00:00 GMT") is None  # past
