@@ -44,7 +44,16 @@ REPO = Path(__file__).resolve().parent.parent
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER = "spark://127.0.0.1:7077"
 EXEC_CORES = 1
-LEVELS = {"N": 1, "4N": 4}  # executors per level. Both pay the same
+#: second-topology support (VERDICT r4 item 5): BENCH_EXEC_LO/HI pick
+#: the executor counts (e.g. 2 and 8) and BENCH_TAG suffixes the json
+#: (scaling_<tag>.json) without touching the headline report; the
+#: normalized numbers of two topologies are compared by
+#: tools/scaling_agreement.py
+LEVELS = {
+    "N": int(os.environ.get("BENCH_EXEC_LO", "1")),
+    "4N": int(os.environ.get("BENCH_EXEC_HI", "4")),
+}  # executors per level. Both pay the same
+BENCH_TAG = os.environ.get("BENCH_TAG", "")
 # per-executor JVM tax and real BlockManager shuffles. Sized so BOTH
 # levels fit this host WITHOUT saturating it: every 1-core executor
 # drives its own Python UDF worker process (the arrow pipeline overlaps
@@ -306,7 +315,12 @@ def main() -> None:
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "scaling.json").write_text(json.dumps(report, indent=2))
+    out_name = f"scaling_{BENCH_TAG}.json" if BENCH_TAG else "scaling.json"
+    (bench_dir / out_name).write_text(json.dumps(report, indent=2))
+    if BENCH_TAG:
+        # a tagged (second-topology) run never rewrites the headline
+        # BASELINE.md — tools/scaling_agreement.py merges the evidence
+        return
     md = f"""# BENCH/BASELINE — measured numbers
 
 ## Two-cluster-size scaling (N vs 4N executors, standalone cluster)
@@ -339,15 +353,18 @@ thread-parallelism cap), while 16 single-threaded JVM processes scale
 to 16 busy cores — so scaling evidence MUST use a multi-process
 executor topology, and its ceiling is the number above.
 
-### Why N=1 vs 4N=4 (and not 2 vs 8)
+### Why N=1 vs 4N=4 for the headline (and how 2-vs-8 validates it)
 
 Each 1-core executor JVM drives its own Python UDF worker process (the
 arrow pipeline produces batches JVM-side while the previous batch is
 consumed in Python), so a level of E executors consumes ~2E host
 cores. N=1/4N=4 keeps BOTH levels well under this host's ~16 physical
-cores; a 2-vs-8 comparison saturates the host at the big level and
-measures the machine, not the engine (a real cluster's 4N executors
-bring 4x hardware).
+cores; a 2-vs-8 comparison saturates the host at the big level
+(a real cluster's 4N executors bring 4x hardware). The saturation is
+exactly what the measured hardware ceiling captures, so the 2-vs-8
+topology is run as an independent VALIDATION point: its normalized
+efficiency must agree with this headline's within +/-5% (see
+"Topology agreement" below, tools/scaling_agreement.py).
 
 ### Variance ({report['repeats']['n']} interleaved N/4N pairs)
 

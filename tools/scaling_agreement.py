@@ -1,0 +1,94 @@
+"""Topology-stability check for the scaling evidence (VERDICT r4
+item 5): the hardware-ceiling normalization is only credible if the
+NORMALIZED efficiency is a property of the engine, not of the chosen
+executor counts. Two independent topologies (e.g. 1-vs-4 and 2-vs-8
+executors) must agree on it within +/-5%.
+
+Reads BENCH/scaling.json (headline topology) and
+BENCH/scaling_topo2.json (second topology, produced via
+BENCH_TAG=topo2 BENCH_EXEC_LO=2 BENCH_EXEC_HI=8
+tools/bench_cluster_scaling.py), writes the agreement block back into
+BENCH/scaling.json and appends/refreshes the section in
+BENCH/BASELINE.md.
+
+Usage: python tools/scaling_agreement.py
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+MARK = "## Topology agreement"
+
+
+def main() -> None:
+    bench = REPO / "BENCH"
+    t1 = json.loads((bench / "scaling.json").read_text())
+    t2 = json.loads((bench / "scaling_topo2.json").read_text())
+    rows = {}
+    for metric in ("fetched", "checked"):
+        n1 = t1[f"normalized_efficiency_{metric}"]
+        n2 = t2[f"normalized_efficiency_{metric}"]
+        rows[metric] = {
+            "topo1": {
+                "levels": f"{t1['topology']['N']} vs {t1['topology']['4N']}",
+                "raw": t1[f"scaling_efficiency_{metric}"],
+                "hw_ceiling": t1["hardware_ceiling"]["efficiency"],
+                "normalized": n1,
+            },
+            "topo2": {
+                "levels": f"{t2['topology']['N']} vs {t2['topology']['4N']}",
+                "raw": t2[f"scaling_efficiency_{metric}"],
+                "hw_ceiling": t2["hardware_ceiling"]["efficiency"],
+                "normalized": n2,
+            },
+            "abs_delta": round(abs(n1 - n2), 3),
+            "agree_within_5pct": abs(n1 - n2) <= 0.05,
+        }
+    t1["topology_agreement"] = rows
+    (bench / "scaling.json").write_text(json.dumps(t1, indent=2))
+
+    lines = [MARK, ""]
+    lines.append(
+        "The hardware-ceiling normalization is validated by re-running the\n"
+        "whole N-vs-4N comparison at a SECOND topology: if the normalized\n"
+        "number were an artifact of the chosen executor counts (or of the\n"
+        "ceiling burn), two topologies would disagree. Measured:"
+    )
+    lines.append("")
+    lines.append(
+        "| metric | topology | raw eff | hw ceiling | normalized | delta |"
+    )
+    lines.append("|---|---|---|---|---|---|")
+    for metric, r in rows.items():
+        lines.append(
+            f"| {metric} URLs/sec | {r['topo1']['levels']} | "
+            f"{r['topo1']['raw']} | {r['topo1']['hw_ceiling']} | "
+            f"**{r['topo1']['normalized']}** | "
+            f"+/-{r['abs_delta']} "
+            f"({'<=0.05 OK' if r['agree_within_5pct'] else '>0.05 FAIL'}) |"
+        )
+        lines.append(
+            f"| {metric} URLs/sec | {r['topo2']['levels']} | "
+            f"{r['topo2']['raw']} | {r['topo2']['hw_ceiling']} | "
+            f"**{r['topo2']['normalized']}** | |"
+        )
+    section = "\n".join(lines) + "\n"
+
+    md_path = bench / "BASELINE.md"
+    md = md_path.read_text()
+    if MARK in md:
+        head, _, tail = md.partition(MARK)
+        # the section runs to the next H2 or EOF
+        rest = tail.split("\n## ", 1)
+        md = head + section + ("\n## " + rest[1] if len(rest) > 1 else "")
+    else:
+        md = md.rstrip() + "\n\n" + section
+    md_path.write_text(md)
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()
