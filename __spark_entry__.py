@@ -601,6 +601,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
+    # planes auto-size from the corpus (choose_signlsh_planes): at the
+    # driver's sf0.01 (n <= 512) the choice is exactly [0,1,2,3], which
+    # is what the oracle SQL's 4-bit bucket hard-codes; at bench sf0.1
+    # the operator widens to 6 planes on its own (smaller buckets)
     pairs = embedding_neardup_pairs(emb, threshold=0.3)
     # 4 decimals: float32 accumulation order differs between Spark's
     # aggregate() and DuckDB's list_sum at the 6th decimal
