@@ -147,6 +147,18 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def _sample_rank(id_col: Column) -> Column:
+    """Deterministic pseudo-random rank for sampling: a 31-bit LCG
+    (glibc constants) over the id, with the id reduced mod 2^31 FIRST
+    so the product never exceeds 2^62 — the arithmetic stays inside a
+    64-bit integer in both Spark and DuckDB (DuckDB ERRORS on BIGINT
+    overflow where Java wraps, so overflow-free is what keeps the
+    operator oracle-checkable with the same expression on both sides):
+    ``((id % 2^31) * 1103515245 + 12345) % 2^31``."""
+    return ((id_col % F.lit(2147483648)) * F.lit(1103515245)
+            + F.lit(12345)) % F.lit(2147483648)
+
+
 def ivf_centroids(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -154,13 +166,21 @@ def ivf_centroids(
     n_cells: int = 16,
     refine_iters: int = 0,
     sample_n: int = 256,
+    sample_order: str = "id",
 ) -> DataFrame:
     """Coarse quantizer for IVF. Init = the n_cells lowest-id vectors
     (TakeOrdered — deterministic, no full sort), then ``refine_iters``
-    Lloyd iterations over a deterministic sample (the ``sample_n``
-    lowest-id vectors): assign sample to nearest centroid (cosine,
-    6-decimal round, ties to lowest cell), new centroid = per-dimension
-    mean of the assigned members, empty cells keep their old centroid.
+    Lloyd iterations over a deterministic sample: the ``sample_n``
+    lowest-id vectors (``sample_order="id"``, the default the oracle
+    mirrors), or the ``sample_n`` vectors ranked first by an LCG hash
+    of the id (``sample_order="hash"``, see ``_sample_rank``) — on real
+    corpora ids usually encode ingest order, so the id-ordered sample
+    is biased toward the earliest-ingested mode and a deployment should
+    prefer the hash order (still a pure deterministic function of the
+    ids, same expression runs in ANSI SQL). Each iteration: assign
+    sample to nearest centroid (cosine, 6-decimal round, ties to lowest
+    cell), new centroid = per-dimension mean of the assigned members,
+    empty cells keep their old centroid.
 
     The refinement fixes the VERDICT r3 balance gap: lowest-id init
     gives no cell-balance guarantee (one hot cell re-concentrates the
@@ -178,8 +198,14 @@ def ivf_centroids(
     )
     if refine_iters <= 0:
         return init
-    sample = vectors.orderBy(F.col(id_col).asc()).limit(sample_n).select(
-        F.col(id_col), F.col(vec_col)
+    _rank = (
+        _sample_rank(F.col(id_col)) if sample_order == "hash"
+        else F.col(id_col)
+    )
+    sample = (
+        vectors.orderBy(_rank.asc(), F.col(id_col).asc())
+        .limit(sample_n)
+        .select(F.col(id_col), F.col(vec_col))
     )
     # double-precision centroids from here on (means are doubles; the
     # oracle casts identically)
@@ -262,6 +288,7 @@ def ivf_topk(
     nprobe: int = 4,
     refine_iters: int = 1,
     sample_n: int = 256,
+    sample_order: str = "id",
 ) -> DataFrame:
     """IVF approximate nearest neighbours: vectors are bucketed into
     n_cells inverted lists by nearest centroid; each query probes its
@@ -276,11 +303,22 @@ def ivf_topk(
     cent = ivf_centroids(
         vectors, vec_col, id_col, n_cells,
         refine_iters=refine_iters, sample_n=sample_n,
+        sample_order=sample_order,
     )
-    # no cache/checkpoint on cent: the refined-centroid subtree feeds
-    # two broadcasts (inverted-list build + query probe) but AQE's
-    # canonicalized exchange reuse shares the Lloyd stages between
-    # them — measured same-or-faster than an eager localCheckpoint
+    if refine_iters > 0:
+        # the Lloyd subtree feeds TWO broadcasts (inverted-list build +
+        # query probe); execute it exactly once via a bounded driver
+        # collect (n_cells rows — the standard broadcast-dim pattern)
+        # and hand both consumers a literal table. Values are produced
+        # by the same Spark plan, so determinism and oracle parity are
+        # untouched; the final plan also shrinks by the whole Lloyd
+        # subtree per consumer (less analysis + codegen).
+        spark = vectors.sparkSession
+        rows = cent.collect()
+        cent = spark.createDataFrame(
+            [(r["cell_id"], r["_cv"]) for r in rows],
+            "cell_id long, _cv array<double>",
+        )
     # norms once per vector BEFORE the probe join: the higher-order
     # array expressions run interpreted, so per-(vector x probe)-pair
     # norm recomputation would triple the hot-path work (same move as

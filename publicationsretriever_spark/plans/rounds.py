@@ -189,6 +189,10 @@ class RoundOutput:
     next_frontier: DataFrame
     metrics_df: DataFrame          # (_t, host_bucket, n, x) tagged aggregates
     finalize: Callable[[list, dict], None]
+    #: cumulative seconds spent in eager _cut materializations while the
+    #: round plan was built — run_round wall minus this is pure driver-
+    #: side construction (py4j + analysis), the Amdahl fixed cost
+    cut_secs: float = 0.0
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
@@ -579,13 +583,22 @@ class CrawlEngine:
         # serialized storage: the html-carrying frames stored as
         # deserialized JVM strings GC-thrash small executors (measured
         # 40-70%% GC time); serialized blocks live off the hot heap
+        _cut_secs = [0.0]  # cumulative eager-materialization time:
+        # run_round wall minus this = pure driver-side plan
+        # CONSTRUCTION (py4j + Catalyst analysis), the per-round fixed
+        # cost that does not shrink with executors (PR_TIMING surfaces
+        # the split in the crawl loop)
+
         def _cut(df: DataFrame) -> DataFrame:
             # pyspark's MEMORY_AND_DISK is the SERIALIZED level (the
             # deserialized variant is MEMORY_AND_DISK_DESER, the JVM
             # localCheckpoint default)
-            return df.localCheckpoint(
+            _t = _time.time()
+            out = df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
+            _cut_secs[0] += _time.time() - _t
+            return out
 
         # ---- stage + in-round dedup + seen mark -------------------------
         staged = _cut(self.prepare_frontier(frontier, round_no))
@@ -1560,7 +1573,7 @@ class CrawlEngine:
                 F.length(F.col("html_body")).alias("html_size"),
                 F.lit(round_no).alias("round"),
             )
-        return RoundOutput(
+        out = RoundOutput(
             deltas=deltas,
             # blocked_paths is NOT materialized: it is a filter over the
             # checkpointed path_counts, re-derived each round for free
@@ -1577,6 +1590,8 @@ class CrawlEngine:
             metrics_df=metrics_df,
             finalize=finalize,
         )
+        out.cut_secs = _cut_secs[0]
+        return out
 
     # ------------------------------------------------------------------
 
@@ -1751,7 +1766,10 @@ class CrawlEngine:
             _timing = os.environ.get("PR_TIMING") == "1"
             out = self.run_round(state, frontier, rnd)
             if _timing:
-                print(f"TIMING r{rnd} plan_build {_time.time()-_t0:.2f}",
+                _pb = _time.time() - _t0
+                print(f"TIMING r{rnd} plan_build {_pb:.2f} "
+                      f"(construct {_pb - out.cut_secs:.2f}, "
+                      f"cut_exec {out.cut_secs:.2f})",
                       flush=True)
                 _t0 = _time.time()
 

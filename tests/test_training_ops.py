@@ -361,3 +361,41 @@ def test_ivf_centroid_refinement_balances_skewed_cells(spark):
     c1 = ivf_centroids(df, n_cells=8, refine_iters=2).orderBy("cell_id").collect()
     c2 = ivf_centroids(df, n_cells=8, refine_iters=2).orderBy("cell_id").collect()
     assert [r["_cv"] for r in c1] == [r["_cv"] for r in c2]
+
+
+def test_ivf_hash_sample_order_deterministic(spark):
+    """sample_order="hash" ranks the Lloyd sample by an LCG over the id
+    (uniform over the corpus when ids encode ingest order) — must stay a
+    pure deterministic function of the ids and actually change which
+    vectors are sampled vs the id order."""
+    from publicationsretriever_spark.operators.similarity import (
+        _sample_rank,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    # the LCG matches its documented closed form and never overflows
+    ranks = (
+        df.select("vec_id", _sample_rank(F.col("vec_id")).alias("r"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    for row in ranks:
+        assert row["r"] == ((row["vec_id"] % 2**31) * 1103515245 + 12345) % 2**31
+    # hash order picks a different sample than id order (ids 0..99 are
+    # NOT the 100 smallest LCG ranks), and the centroids are reproducible
+    c1 = ivf_centroids(
+        df, n_cells=4, refine_iters=2, sample_n=100, sample_order="hash"
+    ).orderBy("cell_id").collect()
+    c2 = ivf_centroids(
+        df, n_cells=4, refine_iters=2, sample_n=100, sample_order="hash"
+    ).orderBy("cell_id").collect()
+    assert [r["_cv"] for r in c1] == [r["_cv"] for r in c2]
+    cid = ivf_centroids(
+        df, n_cells=4, refine_iters=2, sample_n=100, sample_order="id"
+    ).orderBy("cell_id").collect()
+    assert [r["_cv"] for r in c1] != [r["_cv"] for r in cid]
