@@ -1281,8 +1281,14 @@ class CrawlEngine:
                 "n5xx", "n_timeout", "n_notype", "n_notdocnorpage",
                 "n_nodocurls", "n_nolinks", "good",
             )}
-            return df.groupBy(domain_col.alias("domain")).agg(
-                *[F.sum(v).alias(k) for k, v in named.items()]
+            # NO per-source groupBy: emit row-level contributions and
+            # let merge_domain_counts' single merge groupBy aggregate —
+            # Spark's map-side partial agg combines there anyway, so a
+            # pre-aggregation per source just adds a shuffle each (5 per
+            # round, measured ~10s of the round's fixed cost)
+            return df.select(
+                domain_col.alias("domain"),
+                *[v.cast("long").alias(k) for k, v in named.items()],
             )
 
         is_5xx_countable = (
@@ -1871,6 +1877,7 @@ class CrawlEngine:
                         if _timing:
                             print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
                                   flush=True)
+                _mrows = None
                 if _timing:
                     for name, df in to_cut.items():
                         _tt = _time.time()
@@ -1878,16 +1885,35 @@ class CrawlEngine:
                         print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
                               flush=True)
                 else:
-                    with ThreadPoolExecutor(max_workers=len(to_cut)) as pool:
-                        cut.update(
-                            zip(
-                                to_cut,
-                                pool.map(
-                                    lambda df: df.localCheckpoint(eager=True),
-                                    to_cut.values(),
-                                ),
+                    # the fused metrics job only reads warm caches plus
+                    # the seen/payloads/frontier cuts — run it INSIDE
+                    # the pool, overlapped with the remaining dimension
+                    # cuts, instead of serially after them
+                    with ThreadPoolExecutor(max_workers=len(to_cut) + 1) as pool:
+                        futs = {
+                            name: pool.submit(
+                                lambda df=df: df.localCheckpoint(eager=True)
                             )
-                        )
+                            for name, df in to_cut.items()
+                        }
+
+                        def _metrics_job():
+                            mdf = out.metrics_df
+                            for tag, src in (
+                                ("seen", futs["seen"]),
+                                ("results", cut["results"]),
+                                ("payloads", futs["payloads"]),
+                                ("frontier", futs["frontier"]),
+                            ):
+                                df = src.result() if hasattr(src, "result") else src
+                                mdf = mdf.unionByName(
+                                    _count_row(df, f"count:{tag}")
+                                )
+                            return mdf.collect()
+
+                        _mfut = pool.submit(_metrics_job)
+                        cut.update({n: f.result() for n, f in futs.items()})
+                        _mrows = _mfut.result()
                 if _timing:
                     print(f"TIMING r{rnd} other_ckpt {_time.time()-_t0:.2f}",
                           flush=True)
@@ -1927,15 +1953,20 @@ class CrawlEngine:
                 )
                 frontier = cut["frontier"]
                 # ONE job: lineage aggregates + all delta cardinalities
-                mdf = out.metrics_df
-                for tag, df in (
-                    ("seen", cut["seen"]),
-                    ("results", cut["results"]),
-                    ("payloads", cut["payloads"]),
-                    ("frontier", cut["frontier"]),
-                ):
-                    mdf = mdf.unionByName(_count_row(df, f"count:{tag}"))
-                rows = mdf.collect()
+                # (already collected inside the pool unless PR_TIMING
+                # serialized the cuts)
+                if _mrows is not None:
+                    rows = _mrows
+                else:
+                    mdf = out.metrics_df
+                    for tag, df in (
+                        ("seen", cut["seen"]),
+                        ("results", cut["results"]),
+                        ("payloads", cut["payloads"]),
+                        ("frontier", cut["frontier"]),
+                    ):
+                        mdf = mdf.unionByName(_count_row(df, f"count:{tag}"))
+                    rows = mdf.collect()
                 delta_counts = {
                     r["_t"].split(":", 1)[1]: r["n"]
                     for r in rows if r["_t"].startswith("count:")
