@@ -116,9 +116,13 @@ def embedding_neardup_pairs(
     are attached to the result as ``df._signlsh_planes`` for
     reproducibility. Returns (id_a < id_b, cos_sim >= threshold)."""
     if planes is None:
-        n = vectors.count()
-        first = vectors.select(F.size(F.col(vec_col)).alias("d")).head()
-        dim = int(first["d"]) if first is not None else 4
+        # one job for both sizing inputs (corpus count + vector dim)
+        row = vectors.select(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("d"),
+        ).head()
+        n = int(row["n"])
+        dim = int(row["d"]) if row["d"] is not None else 4
         planes = choose_signlsh_planes(n, dim, target_bucket)
     # norms computed ONCE per vector before the self-join — the
     # higher-order array expressions run interpreted, so per-PAIR norm
