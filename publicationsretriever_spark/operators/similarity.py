@@ -196,6 +196,20 @@ def ivf_centroids(
     a 100 TB deployment would raise sample_n and iters, not change the
     shape (this IS k-means over a fixed seeded sample — the k-means||
     oversampling init can slot into `init` without touching the loop).
+
+    Execution split: the two bounded inputs (init cells + sample) are
+    collected and the Lloyd loop runs ON THE DRIVER in plain Python —
+    a ≤sample_n-row loop is driver work (same call FAISS/MLlib make:
+    quantizer training is not a distributed job), while the corpus-wide
+    assignment stays a distributed broadcast pass (ivf_assign). Running
+    the loop as Spark jobs costs ~20 tiny stages of pure scheduling per
+    iteration for 4096 rows of math; driver-side it is sub-millisecond
+    and the returned centroid table is a LITERAL, so downstream
+    consumers (inverted-list build + query probe) broadcast a value,
+    not a plan subtree. Arithmetic mirrors the SQL spec: cosine with
+    sequential left-fold sums, HALF_UP decimal round at 6dp (Spark's
+    F.round), argmax ties to the lowest cell, per-dimension double
+    mean, empty cells keep their previous centroid.
     """
     init = vectors.orderBy(F.col(id_col).asc()).limit(n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
@@ -206,48 +220,58 @@ def ivf_centroids(
         _sample_rank(F.col(id_col)) if sample_order == "hash"
         else F.col(id_col)
     )
-    sample = (
+    sample_rows = (
         vectors.orderBy(_rank.asc(), F.col(id_col).asc())
         .limit(sample_n)
-        .select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
     )
-    # double-precision centroids from here on (means are doubles; the
-    # oracle casts identically)
-    cent = init.select(
-        "cell_id",
-        F.transform("_cv", lambda x: x.cast("double")).alias("_cv"),
+    cent = {
+        int(r["cell_id"]): [float(x) for x in r["_cv"]]
+        for r in init.collect()
+    }
+    cells = sorted(cent)
+    # members summed in id order — a fixed order (any fixed order) keeps
+    # the mean deterministic; engines sum in their own internal order
+    # and the 6dp round downstream absorbs the last-ulp differences
+    samp = sorted(
+        ((int(r["_id"]), [float(x) for x in r["_v"]]) for r in sample_rows),
+        key=lambda t: t[0],
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        # Spark's round(double, 6): HALF_UP on the shortest decimal
+        # repr of the double (BigDecimal.valueOf == Decimal(repr(x)))
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = {i: _dot(v, v) ** 0.5 for i, v in samp}
     for _ in range(refine_iters):
-        scored = sample.crossJoin(F.broadcast(cent)).select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cell_id"),
-            F.round(cosine(F.col(vec_col), F.col("_cv")), 6).alias("_sim"),
-        )
-        assigned = scored.groupBy(id_col).agg(
-            F.first(vec_col).alias(vec_col),
-            F.max_by(
-                F.col("cell_id"), F.struct(F.col("_sim"), -F.col("cell_id"))
-            ).alias("cell_id"),
-        )
-        means = (
-            assigned.select(
-                "cell_id", F.posexplode(F.col(vec_col)).alias("_i", "_x")
-            )
-            .groupBy("cell_id", "_i")
-            .agg(F.avg(F.col("_x").cast("double")).alias("_mv"))
-            .groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_i", "_mv"))),
-                    lambda s: s["_mv"],
-                ).alias("_cv_new")
-            )
-        )
-        cent = cent.join(F.broadcast(means), "cell_id", "left").select(
-            "cell_id", F.coalesce("_cv_new", "_cv").alias("_cv")
-        )
-    return cent
+        cnorm = {c: _dot(cent[c], cent[c]) ** 0.5 for c in cells}
+        members: dict[int, list[list[float]]] = {}
+        for i, v in samp:
+            best_cell, best_sim = None, None
+            for c in cells:  # ascending + strict '>' = ties to lowest
+                s = _round6(_dot(v, cent[c]) / (norms[i] * cnorm[c]))
+                if best_sim is None or s > best_sim:
+                    best_cell, best_sim = c, s
+            members.setdefault(best_cell, []).append(v)
+        for c, vs in members.items():
+            n = len(vs)
+            cent[c] = [
+                sum(v[i] for v in vs) / n for i in range(len(vs[0]))
+            ]
+    return vectors.sparkSession.createDataFrame(
+        [(c, cent[c]) for c in cells], "cell_id long, _cv array<double>"
+    )
 
 
 def ivf_assign(
@@ -304,25 +328,15 @@ def ivf_topk(
     sample by default (see ivf_centroids) so cell balance tracks the
     data, not the id order. Recall < 1 by construction (raise nprobe to
     trade cost for recall). Ties broken by id for determinism."""
+    # with refine_iters > 0 ivf_centroids trains on the driver and
+    # returns a LITERAL centroid table, so its two consumers here
+    # (inverted-list build + query probe) broadcast a value, not a
+    # plan subtree
     cent = ivf_centroids(
         vectors, vec_col, id_col, n_cells,
         refine_iters=refine_iters, sample_n=sample_n,
         sample_order=sample_order,
     )
-    if refine_iters > 0:
-        # the Lloyd subtree feeds TWO broadcasts (inverted-list build +
-        # query probe); execute it exactly once via a bounded driver
-        # collect (n_cells rows — the standard broadcast-dim pattern)
-        # and hand both consumers a literal table. Values are produced
-        # by the same Spark plan, so determinism and oracle parity are
-        # untouched; the final plan also shrinks by the whole Lloyd
-        # subtree per consumer (less analysis + codegen).
-        spark = vectors.sparkSession
-        rows = cent.collect()
-        cent = spark.createDataFrame(
-            [(r["cell_id"], r["_cv"]) for r in rows],
-            "cell_id long, _cv array<double>",
-        )
     # norms once per vector BEFORE the probe join: the higher-order
     # array expressions run interpreted, so per-(vector x probe)-pair
     # norm recomputation would triple the hot-path work (same move as
