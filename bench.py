@@ -38,6 +38,21 @@ HEADLINE = [
 ]
 
 
+def _calib_mhash_per_sec() -> float:
+    """Single-core sha256 burn (MHash/s) — a machine-speed stamp.
+    This sandbox's effective per-core speed drifts ~40% across hours
+    (shared host), so absolute per-query seconds are only comparable
+    across rounds after dividing by this number; it costs ~1s."""
+    import hashlib
+
+    d = b"x"
+    n = 1_000_000
+    t0 = time.time()
+    for _ in range(n):
+        d = hashlib.sha256(d).digest()
+    return round(n / (time.time() - t0) / 1e6, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from publicationsretriever_spark.session import get_spark
@@ -75,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "calib_mhash_per_sec": _calib_mhash_per_sec(),
             }
         )
     )
