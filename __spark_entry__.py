@@ -500,6 +500,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id").orderBy("doc_id")
 
 
+def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs over an integer fingerprint
+    (operators/dedup.hamming_neardup_pairs): the image-payload phash
+    dedup path (input_hint phash:int64), banded pigeonhole bucket join
+    + bit_count verify. Driven here by the portable 16-bit simhash so
+    DuckDB can mirror the fingerprint."""
+    from publicationsretriever_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        simhash64,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    sims = simhash64(docs, "text", "doc_id")
+    pairs = hamming_neardup_pairs(
+        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("long")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -654,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_phash_hamming": q_dedup_phash_hamming,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -681,6 +704,42 @@ def _cos6(a: str, b: str) -> str:
         f"sqrt(list_sum(list_transform({b}, "
         f"x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
     )
+
+
+#: shared DuckDB CTE: the portable 16-bit simhash per doc, exposed as
+#: sim(doc_id, simhash) — used by both the fingerprint oracle and the
+#: phash-hamming near-dup oracle
+_SIMHASH_SQL_CTE = """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents
+            ),
+            th AS (SELECT doc_id, substr(md5(t), 1, 4) AS th FROM toks),
+            bitsums AS (
+              SELECT doc_id,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b0,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b1,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b2,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b3,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b4,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b5,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b6,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b7,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b8,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b9,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b10,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b11,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b12,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b13,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b14,
+              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b15
+              FROM th GROUP BY doc_id
+            ),
+            sim AS (
+              SELECT doc_id,
+                   CAST(CASE WHEN b0 > 0 THEN 32768 ELSE 0 END + CASE WHEN b1 > 0 THEN 16384 ELSE 0 END + CASE WHEN b2 > 0 THEN 8192 ELSE 0 END + CASE WHEN b3 > 0 THEN 4096 ELSE 0 END + CASE WHEN b4 > 0 THEN 2048 ELSE 0 END + CASE WHEN b5 > 0 THEN 1024 ELSE 0 END + CASE WHEN b6 > 0 THEN 512 ELSE 0 END + CASE WHEN b7 > 0 THEN 256 ELSE 0 END + CASE WHEN b8 > 0 THEN 128 ELSE 0 END + CASE WHEN b9 > 0 THEN 64 ELSE 0 END + CASE WHEN b10 > 0 THEN 32 ELSE 0 END + CASE WHEN b11 > 0 THEN 16 ELSE 0 END + CASE WHEN b12 > 0 THEN 8 ELSE 0 END + CASE WHEN b13 > 0 THEN 4 ELSE 0 END + CASE WHEN b14 > 0 THEN 2 ELSE 0 END + CASE WHEN b15 > 0 THEN 1 ELSE 0 END AS BIGINT) AS simhash
+              FROM bitsums
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -899,35 +958,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
             ORDER BY id_a, id_b
         """,
-        "dedup_simhash": """
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents
-            ),
-            th AS (SELECT doc_id, substr(md5(t), 1, 4) AS th FROM toks),
-            bitsums AS (
-              SELECT doc_id,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b0,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b1,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b2,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 1, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b3,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b4,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b5,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b6,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 2, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b7,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b8,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b9,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b10,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 3, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b11,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 3) % 2) = 1 THEN 1 ELSE -1 END) AS b12,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 2) % 2) = 1 THEN 1 ELSE -1 END) AS b13,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 1) % 2) = 1 THEN 1 ELSE -1 END) AS b14,
-              sum(CASE WHEN ((CAST(('0x' || substr(th, 4, 1)) AS INT) >> 0) % 2) = 1 THEN 1 ELSE -1 END) AS b15
-              FROM th GROUP BY doc_id
-            )
-            SELECT doc_id,
-                   CAST(CASE WHEN b0 > 0 THEN 32768 ELSE 0 END + CASE WHEN b1 > 0 THEN 16384 ELSE 0 END + CASE WHEN b2 > 0 THEN 8192 ELSE 0 END + CASE WHEN b3 > 0 THEN 4096 ELSE 0 END + CASE WHEN b4 > 0 THEN 2048 ELSE 0 END + CASE WHEN b5 > 0 THEN 1024 ELSE 0 END + CASE WHEN b6 > 0 THEN 512 ELSE 0 END + CASE WHEN b7 > 0 THEN 256 ELSE 0 END + CASE WHEN b8 > 0 THEN 128 ELSE 0 END + CASE WHEN b9 > 0 THEN 64 ELSE 0 END + CASE WHEN b10 > 0 THEN 32 ELSE 0 END + CASE WHEN b11 > 0 THEN 16 ELSE 0 END + CASE WHEN b12 > 0 THEN 8 ELSE 0 END + CASE WHEN b13 > 0 THEN 4 ELSE 0 END + CASE WHEN b14 > 0 THEN 2 ELSE 0 END + CASE WHEN b15 > 0 THEN 1 ELSE 0 END AS BIGINT) AS simhash
-            FROM bitsums ORDER BY doc_id
+        "dedup_simhash": _SIMHASH_SQL_CTE + """
+            SELECT doc_id, simhash FROM sim ORDER BY doc_id
         """,
+        # image phash near-dup path: DuckDB verifies the banded bucket
+        # join EXACTLY with the naive quadratic bit_count(xor) join —
+        # pigeonhole (bands=3 >= k+1 for k=2) means the banding loses
+        # no pair, so the two must agree.
+        "dedup_phash_hamming": _SIMHASH_SQL_CTE + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ORDER BY id_a, id_b
+        """,
+        
         "text_quality": """
             WITH d AS (
               SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,

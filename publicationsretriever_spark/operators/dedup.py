@@ -255,3 +255,85 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> Data
     for i in range(bits):
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(2 ** (bits - 1 - i))).otherwise(0)
     return summed.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 2,
+    bands: int | None = None,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over an integer
+    fingerprint column — the image-payload dedup path for the
+    input_hint's ``phash:int64`` (perceptual hash; the reference dedups
+    only EXACT payload hashes, ConnSupportUtils.checkAndHandleDuplicateHash
+    util/http/ConnSupportUtils.java:414-455 — near-identical re-encodes
+    of the same image need a distance match).
+
+    EXACT by pigeonhole banding: the hash is split into ``bands``
+    contiguous bit bands (``bands >= max_hamming + 1``); a pair within
+    ``max_hamming`` differs in at most ``max_hamming`` bands, so at
+    least one band is bit-identical.  Candidates come from a bucket
+    self-join on (band_idx, band_value) — the join key is the band,
+    never the full cross product; at 100 TB the shuffle is
+    rows x bands, and each bucket holds only hashes sharing an exact
+    band value (n / 2^band_width expected) — then verified exactly with
+    bit_count(xor) <= max_hamming.  All JVM-side (shiftrightunsigned /
+    posexplode / bit_count); no Python in the path.
+
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: pigeonhole "
+            "exactness needs at least max_hamming+1 bands"
+        )
+    if bands > hash_bits:
+        raise ValueError(f"bands={bands} > hash_bits={hash_bits}")
+    base, rem = divmod(hash_bits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    starts = [sum(widths[:i]) for i in range(bands)]
+    h = F.col(hash_col).cast("long")
+    # mask with AND, not %: % keeps the dividend's sign, so band 0 of a
+    # negative hash would differ from a positive hash with identical bits.
+    # A 64-bit band (bands=1, i.e. exact match) needs no mask — and its
+    # mask constant would overflow LongType.
+    band_vals = [
+        F.shiftrightunsigned(h, starts[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
+        .cast("long")
+        if widths[i] < 64
+        else h
+        for i in range(bands)
+    ]
+    sides = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        h.alias("_h"),
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("hash_a"),
+        "band_idx", "band_val",
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("hash_b"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()  # a pair can match in several bands; verify once
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

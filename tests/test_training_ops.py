@@ -399,3 +399,76 @@ def test_ivf_hash_sample_order_deterministic(spark):
         df, n_cells=4, refine_iters=2, sample_n=100, sample_order="id"
     ).orderBy("cell_id").collect()
     assert [r["_cv"] for r in c1] != [r["_cv"] for r in cid]
+
+
+def test_hamming_neardup_exact_vs_brute_force(spark):
+    """Banded pigeonhole join == naive quadratic hamming filter, on
+    seeded 64-bit hashes INCLUDING negative (sign-bit-set) values —
+    the band mask must treat the hash as raw bits, not a signed int."""
+    import random
+
+    from publicationsretriever_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    hashes = list(base)
+    for i in range(0, 40, 5):  # plant near-dups: flip <=3 bits
+        h = base[i]
+        for b in rng.sample(range(64), rng.randint(1, 3)):
+            h ^= 1 << b
+        hashes.append(h)
+    signed = [(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in enumerate(hashes)]
+    assert any(h < 0 for _, h in signed)  # sign-bit coverage
+    df = spark.createDataFrame(signed, "vid long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_neardup_pairs(
+            df, "vid", "h", max_hamming=3, bands=4, hash_bits=64
+        ).collect()
+    }
+    want = set()
+    for i, hi_ in signed:
+        for j, hj in signed:
+            if i < j:
+                d = bin((hi_ ^ hj) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want
+    assert len(want) >= 8  # the planted near-dups are actually found
+
+
+def test_hamming_neardup_on_image_phash(spark):
+    """Image-payload path: re-encoded near-identical images share a
+    close phash; the operator pairs them without pairing distinct
+    images (input_hint phash:int64)."""
+    from publicationsretriever_spark.operators.dedup import hamming_neardup_pairs
+    from publicationsretriever_spark.sources.imagecodec import phash64
+
+    rng = np.random.default_rng(11)
+    imgs = {}
+    for k in range(6):
+        imgs[k] = (rng.integers(0, 256, (24, 24, 3))).astype(np.uint8)
+    # 6..8 = near-dups of 0..2 (tiny noise -> phash within a few bits)
+    for k in range(3):
+        noisy = imgs[k].astype(int) + rng.integers(-2, 3, imgs[k].shape)
+        imgs[6 + k] = np.clip(noisy, 0, 255).astype(np.uint8)
+    rows = [(k, phash64(px)) for k, px in imgs.items()]  # already signed int64
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_neardup_pairs(
+            df, "image_id", "phash", max_hamming=6, bands=7, hash_bits=64
+        ).collect()
+    }
+    for k in range(3):
+        assert (k, 6 + k) in pairs, f"near-dup pair {(k, 6 + k)} missed"
+
+
+def test_hamming_neardup_band_validation(spark):
+    from publicationsretriever_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame([(1, 5)], "i long, h long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(df, "i", "h", max_hamming=3, bands=2)
+    with pytest.raises(ValueError, match="hash_bits"):
+        hamming_neardup_pairs(df, "i", "h", max_hamming=3, bands=70, hash_bits=64)
