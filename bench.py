@@ -21,6 +21,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: machine speed (MHash/s, _calib_mhash_per_sec) at which the round-4
+#: reference numbers (BENCH_r04.json) were taken — the fixed anchor
+#: that "calibrated seconds" are expressed against across rounds
+CALIB_ANCHOR = 2.059
+
 #: headline set: crawl load-stage ops + relational core + skew/politeness
 HEADLINE = [
     "reject_stats",
@@ -71,6 +76,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    calib_before = _calib_mhash_per_sec()
     timings: dict[str, float] = {}
     for n in names:
         t0 = time.time()
@@ -80,6 +86,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {n}: {e}", file=sys.stderr)
             timings[n] = -1.0
+    calib_after = _calib_mhash_per_sec()
+    calib = round((calib_before + calib_after) / 2, 3)
+    # calibrated seconds = what this run WOULD have measured at the
+    # anchor machine speed (the round-4 stamp), so per-query numbers
+    # are comparable across rounds despite the host's ~40%/hour
+    # per-core drift: sec_cal = sec_raw * (calib / CALIB_ANCHOR).
+    calibrated = {
+        n: round(v * calib / CALIB_ANCHOR, 3) if v > 0 else v
+        for n, v in timings.items()
+    }
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -89,8 +105,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_calibrated": calibrated,
+                "value_calibrated": round(
+                    sum(v for v in calibrated.values() if v > 0), 3
+                ),
                 "sf": float(sf),
-                "calib_mhash_per_sec": _calib_mhash_per_sec(),
+                "calib_mhash_per_sec": calib,
+                "calib_before": calib_before,
+                "calib_after": calib_after,
+                "calib_anchor": CALIB_ANCHOR,
             }
         )
     )

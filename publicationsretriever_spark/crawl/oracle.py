@@ -447,8 +447,12 @@ def crawl_oracle(
             if xxh(url) is not None:
                 new_seen.add(xxh(url))
             status = resp["status"]
-            # handle.net 500 -> 404 (ConnSupportUtils.java:642-645)
-            if status == 500 and "handle.net" in (r["top3"] or ""):
+            # handle.net 500 -> 404 (ConnSupportUtils.java:642-645),
+            # keyed on the ERRORING CONNECTION's domain (the final
+            # hop's url) — mirrors the fetch UDF (VERDICT r4 item 8)
+            if status == 500 and "handle.net" in (
+                url.split("//", 1)[-1].split("/", 1)[0].lower()
+            ):
                 status = 404
             if 300 <= status <= 399 and status != 304:
                 emit(rnd, r["id"], r["url"], "unreachable", "redirect_limit")

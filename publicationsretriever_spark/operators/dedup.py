@@ -310,8 +310,11 @@ def hamming_neardup_pairs(
         else h
         for i in range(bands)
     ]
+    # id keeps its NATIVE type: '<' and the band join work on strings
+    # too, and casting a string doc-id to long would NULL it and make
+    # the id_a < id_b filter silently drop every pair (ADVICE r4).
     sides = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         h.alias("_h"),
         F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )

@@ -446,8 +446,16 @@ class CrawlEngine:
                             planned + _ra - POLITENESS_MS,
                         )
                     # handle.net returns 500 where it means 404
-                    # (ConnSupportUtils.java:642-645)
-                    if status == 500 and "handle.net" in (host or ""):
+                    # (ConnSupportUtils.java:642-645). Keyed on the
+                    # ERRORING CONNECTION's domain — onErrorStatusCode
+                    # receives the domain of the url it just connected
+                    # to, so a chain that 301s INTO handle.net mid-hop
+                    # remaps, while a handle.net seed that redirects
+                    # OUT to a broken host keeps its real 500
+                    # (VERDICT r4 item 8; was keyed on the seed host).
+                    if status == 500 and "handle.net" in (
+                        url.split("//", 1)[-1].split("/", 1)[0].lower()
+                    ):
                         status = 404
                     if 300 <= status <= 399 and status != 304:
                         error_class = "redirect_limit"

@@ -49,7 +49,17 @@ def _with_input_order(raw: DataFrame) -> DataFrame:
 
     The ordering is byte-identical to the old global window (both rank
     by mid = partition-major input order); the plan contains NO
-    SinglePartition exchange and the big side never shuffles."""
+    SinglePartition exchange and the big side never shuffles.
+
+    PRECONDITION (ADVICE r4): ``raw`` must be a DETERMINISTIC SCAN —
+    a file/driver-local source whose partitioning and row order
+    reproduce exactly across evaluations. The helper runs the plan
+    twice (the offsets job, then the broadcast join), and
+    ``monotonically_increasing_id``/``spark_partition_id`` are only
+    stable when both runs see identical partitions. Every caller in
+    this module feeds it a fresh ``spark.read``/``createDataFrame``
+    frame, which qualifies. Do NOT pass a post-shuffle, sampled, or
+    otherwise nondeterministic frame; localCheckpoint it first."""
     spark = raw.sparkSession
     df = raw.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.spark_partition_id()

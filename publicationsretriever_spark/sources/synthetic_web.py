@@ -96,6 +96,40 @@ class SyntheticWeb:
         }
         self.responses[mc_doc] = self._image_response("choices-1")
         self.seeds.append(("choices::0001", mc_url))
+        # handle.net 500-where-404-is-meant, placement check (VERDICT
+        # r4 item 8; ConnSupportUtils.onErrorStatusCode :642-645 runs
+        # per CONNECTION): (a) a normal-host seed 301s INTO
+        # hdl.handle.net which 500s -> the remap applies (erroring
+        # connection's domain contains handle.net); (b) a chain that
+        # passes THROUGH handle.net (301) and dies 500 on a normal
+        # host -> no remap (the erroring connection is the normal
+        # host; handle.net only ever 3XXed, which never reaches
+        # onErrorStatusCode).
+        _rd = {
+            "status": 301, "content_type": None,
+            "content_disposition": None, "content_length": 0,
+            "body_kind": "redirect", "image_id": None, "html_links": [],
+        }
+        hdl_in_seed = "https://host0.example0.org/hdl-in/1"
+        hdl_in_hop = "https://hdl.handle.net/10655/10123"
+        self.responses[hdl_in_seed] = {**_rd, "location": hdl_in_hop}
+        self.responses[hdl_in_hop] = {
+            "status": 500, "location": None, "content_type": None,
+            "content_disposition": None, "content_length": 0,
+            "body_kind": "error", "image_id": None, "html_links": [],
+        }
+        self.seeds.append(("hdlin::0001", hdl_in_seed))
+        hdl_out_seed = "https://host0.example0.org/hdl-out/1"
+        hdl_out_hop = "https://hdl.handle.net/20/500x"
+        hdl_out_end = "https://host1.example1.org/broken/1"
+        self.responses[hdl_out_seed] = {**_rd, "location": hdl_out_hop}
+        self.responses[hdl_out_hop] = {**_rd, "location": hdl_out_end}
+        self.responses[hdl_out_end] = {
+            "status": 500, "location": None, "content_type": None,
+            "content_disposition": None, "content_length": 0,
+            "body_kind": "error", "image_id": None, "html_links": [],
+        }
+        self.seeds.append(("hdlout::0001", hdl_out_seed))
 
     def _image_response(self, image_id: str) -> dict:
         if image_id not in self.payloads:

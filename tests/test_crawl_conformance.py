@@ -178,3 +178,39 @@ def test_http300_body_link_extraction(crawl_setup):
         if r["id"] == "choices::0001"
     ]
     assert oracle_rows == [(u, e or "null") for u, e in engine_rows]
+
+
+def test_handle_net_500_remap_keyed_on_erroring_connection(crawl_setup):
+    """VERDICT r4 item 8: the 500->404 remap runs per CONNECTION in the
+    reference (ConnSupportUtils.onErrorStatusCode :642-645 receives the
+    domain of the url it just connected to), not per seed row. A chain
+    that 301s INTO hdl.handle.net and 500s there remaps (http_404); a
+    chain that passes THROUGH handle.net and 500s on a normal host does
+    NOT (http_500).
+
+    The output contract surfaces the reference's human error message,
+    not the raw class — the two paths discriminate cleanly because
+    404 is in INVALID_CODES ('invalid ... http-client-error') while an
+    unremapped 500 is neither invalid nor retryable (only 503 is) and
+    falls to the unspecified-error message."""
+    _web, state, oracle = crawl_setup
+    remapped = "http-client-error"
+    unremapped = "unspecified error"
+    rows = {
+        r["id"]: r["error"] or ""
+        for r in state.results.collect()
+        if r["id"] in ("hdlin::0001", "hdlout::0001")
+    }
+    assert remapped in rows["hdlin::0001"]
+    assert remapped not in rows["hdlout::0001"]
+    assert unremapped in rows["hdlout::0001"]
+    # and the sequential oracle agrees (it records the raw error class
+    # BEFORE the human-message mapping the engine's output stage adds:
+    # http_404 -> 'invalid ... http-client-error', http_500 ->
+    # 'unspecified error')
+    orows = {
+        r["id"]: r["error"] or ""
+        for r in oracle.results
+        if r["id"] in ("hdlin::0001", "hdlout::0001")
+    }
+    assert orows == {"hdlin::0001": "http_404", "hdlout::0001": "http_500"}

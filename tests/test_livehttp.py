@@ -324,3 +324,134 @@ def test_retry_after_is_surfaced_and_capped(server):
     assert _retry_after_ms("garbage") is None
     assert _retry_after_ms("0") is None  # non-positive -> ignore
     assert _retry_after_ms("Mon, 01 Jan 2001 00:00:00 GMT") is None  # past
+
+
+def test_gzip_multi_member_decodes_all_members():
+    # ADVICE r4 (low): RFC 1952 allows concatenated gzip members in one
+    # body; gzip.decompress handled them, the first _zlib_stream cut
+    # decoded only member 1. All members must decode, under one
+    # cumulative cap.
+    body = gzip.compress(b"alpha-") + gzip.compress(b"beta-") + gzip.compress(b"gamma")
+    assert decompress(body, "gzip") == b"alpha-beta-gamma"
+    # cumulative output cap spans members
+    from publicationsretriever_spark.sources.livehttp import DecompressOverflow
+
+    bomb2 = gzip.compress(b"\0" * 600_000) + gzip.compress(b"\0" * 600_000)
+    with pytest.raises(DecompressOverflow):
+        decompress(bomb2, "gzip", max_out=1_000_000)
+    assert len(decompress(bomb2, "gzip", max_out=2_000_000)) == 1_200_000
+    # trailing non-member garbage is ignored (browser behavior), and
+    # single-member + deflate behavior is unchanged
+    assert decompress(gzip.compress(b"x") + b"\0\0\0\0", "gzip") == b"x"
+    assert decompress(zlib.compress(b"pq"), "deflate") == b"pq"
+
+
+class _FakeRLEBrotliOld:
+    """brotli<1.1-shaped binding: Decompressor().process(data) with NO
+    output limit. 'Compressed' format: each input byte b expands to
+    bytes([b]) * 1000 — a 1000x bomb. Records the largest single chunk
+    it ever materialized so the test can bound the overshoot."""
+
+    max_chunk = 0
+
+    class Decompressor:
+        def process(self, data):
+            out = b"".join(bytes([b]) * 1000 for b in data)
+            _FakeRLEBrotliOld.max_chunk = max(_FakeRLEBrotliOld.max_chunk, len(out))
+            return out
+
+
+class _FakeRLEBrotliNew:
+    """brotli>=1.1-shaped binding: process(data, output_buffer_limit=n)
+    + can_accept_more_data(); un-emitted output stays buffered."""
+
+    class Decompressor:
+        def __init__(self):
+            self._buf = bytearray()
+
+        def process(self, data, output_buffer_limit=None):
+            self._buf += b"".join(bytes([b]) * 1000 for b in data)
+            if output_buffer_limit is None:
+                out, self._buf = bytes(self._buf), bytearray()
+                return out
+            out = bytes(self._buf[:output_buffer_limit])
+            del self._buf[:output_buffer_limit]
+            return out
+
+        def can_accept_more_data(self):
+            return not self._buf
+
+
+def test_brotli_output_cap_old_binding(monkeypatch):
+    # ADVICE r4 (medium): a binding without an output limit must be fed
+    # tiny chunks so one process() call can't materialize the stream.
+    from publicationsretriever_spark.sources import livehttp
+
+    monkeypatch.setattr(livehttp, "_brotli", _FakeRLEBrotliOld)
+    _FakeRLEBrotliOld.max_chunk = 0
+    bomb = b"\x41" * 100_000  # 100 KB 'compressed' -> 100 MB inflated
+    with pytest.raises(livehttp.DecompressOverflow):
+        livehttp.decompress(bomb, "br", max_out=1_000_000)
+    # overshoot bounded by ONE feed chunk's expansion, not the stream
+    assert _FakeRLEBrotliOld.max_chunk <= livehttp._BR_FEED_CHUNK * 1000
+    # within-cap round trip still works
+    assert livehttp.decompress(b"\x42", "br", max_out=10_000) == b"\x42" * 1000
+
+
+def test_brotli_output_cap_new_binding(monkeypatch):
+    from publicationsretriever_spark.sources import livehttp
+
+    monkeypatch.setattr(livehttp, "_brotli", _FakeRLEBrotliNew)
+    bomb = b"\x41" * 100_000
+    with pytest.raises(livehttp.DecompressOverflow):
+        livehttp.decompress(bomb, "br", max_out=1_000_000)
+    got = livehttp.decompress(b"\x42\x43", "br", max_out=10_000)
+    assert got == b"\x42" * 1000 + b"\x43" * 1000
+    # exact-cap boundary: 2000 bytes out, cap 2000 -> fits
+    assert len(livehttp.decompress(b"\x42\x43", "br", max_out=2000)) == 2000
+    with pytest.raises(livehttp.DecompressOverflow):
+        livehttp.decompress(b"\x42\x43", "br", max_out=1999)
+
+
+class _FakeZstd:
+    """zstandard-shaped binding: stream_reader with RLE x1000 decode;
+    bodies starting with b'CORRUPT' raise ZstdError mid-stream with the
+    frame-header message ADVICE r4 showed being misclassified."""
+
+    class ZstdError(Exception):
+        pass
+
+    class ZstdDecompressor:
+        def stream_reader(self, fobj):
+            return _FakeZstd._Reader(fobj.read())
+
+    class _Reader:
+        def __init__(self, body):
+            self._corrupt = body.startswith(b"CORRUPT")
+            self._buf = b"" if self._corrupt else b"".join(
+                bytes([b]) * 1000 for b in body
+            )
+            self._pos = 0
+
+        def read(self, n):
+            if self._corrupt:
+                raise _FakeZstd.ZstdError(
+                    "zstd decompress error: error determining content size "
+                    "from frame header"
+                )
+            out = self._buf[self._pos : self._pos + n]
+            self._pos += len(out)
+            return out
+
+
+def test_zstd_corrupt_vs_overflow(monkeypatch):
+    # ADVICE r4 (low): overflow is decided by byte count, corrupt
+    # frames (any ZstdError) take the drop path -> None, never
+    # DecompressOverflow.
+    from publicationsretriever_spark.sources import livehttp
+
+    monkeypatch.setattr(livehttp, "_zstd", _FakeZstd)
+    assert livehttp.decompress(b"CORRUPT-frame", "zstd", max_out=1000) is None
+    with pytest.raises(livehttp.DecompressOverflow):
+        livehttp.decompress(b"\x41" * 10_000, "zstd", max_out=1_000_000)
+    assert livehttp.decompress(b"\x41", "zstd", max_out=2000) == b"\x41" * 1000

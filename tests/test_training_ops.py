@@ -472,3 +472,29 @@ def test_hamming_neardup_band_validation(spark):
         hamming_neardup_pairs(df, "i", "h", max_hamming=3, bands=2)
     with pytest.raises(ValueError, match="hash_bits"):
         hamming_neardup_pairs(df, "i", "h", max_hamming=3, bands=70, hash_bits=64)
+
+
+def test_hamming_neardup_string_ids(spark):
+    """ADVICE r4 (low): a string id column used to be cast to long,
+    NULLing every id and silently returning zero pairs. Native-type ids
+    must flow through the band join and the id_a < id_b ordering."""
+    from publicationsretriever_spark.operators.dedup import hamming_neardup_pairs
+
+    rows = [
+        ("doc-a", 0b1010),
+        ("doc-b", 0b1011),          # hamming 1 from doc-a
+        ("doc-c", -(1 << 60)),      # far from both
+        ("doc-d", 0b1010),          # exact dup of doc-a
+    ]
+    df = spark.createDataFrame(rows, "vid string, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_neardup_pairs(
+            df, "vid", "h", max_hamming=2, bands=4, hash_bits=64
+        ).collect()
+    }
+    assert got == {
+        ("doc-a", "doc-b", 1),
+        ("doc-a", "doc-d", 0),
+        ("doc-b", "doc-d", 1),
+    }

@@ -455,8 +455,11 @@ is gone (incremental delta OR-merge, operators/seen.py).
 ### Zipf hot-host skew stress
 
 The same load job on {deep.get('skew_n_urls', 0):,} urls, uniform vs
-30% of urls on ONE host: {deep.get('skew_wall_uniform_sec')}s vs
-{deep.get('skew_wall_hot30_sec')}s -> slowdown
+30% of urls on ONE host, run as three back-to-back (uniform, hot30)
+pairs so shared-host drift hits both arms of each ratio equally
+(walls: {deep.get('skew_walls_uniform_sec')} vs
+{deep.get('skew_walls_hot30_sec')}; per-pair ratios
+{deep.get('skew_pair_ratios')}): median-pair slowdown
 **{deep.get('skew_slowdown')}x**. One host's schedulable rows rank in
 one task BY DESIGN (per-host politeness needs a total order), but the
 quota cap bounds the per-round work a hot host can contribute; the

@@ -196,18 +196,36 @@ def run_skew_stress(spark, n_urls: int, parts: int) -> dict:
         sched = best.withColumn("_slot", F.row_number().over(wq))
         return sched.select(F.count(F.lit(1))).collect()[0][0]
 
-    walls = {}
-    for name, pct in (("uniform", 0), ("hot30", 30)):
-        seeds = synth_urls(spark, n_urls, parts, hot_host_pct=pct)
-        job(seeds.limit(20_000))  # warm
-        t0 = time.time()
-        job(seeds)
-        walls[name] = round(time.time() - t0, 2)
+    # INTERLEAVED arms (VERDICT r4 item 2): the first cut ran uniform
+    # fully, then hot30 minutes later — on a shared host with ~40%/hour
+    # per-core drift the arm order dominated the ratio (hot30 measured
+    # FASTER once). Back-to-back (u,h) pairs make each ratio a same-
+    # minute comparison; the reported slowdown is the MEDIAN of the
+    # per-pair ratios, so a one-off neighbor burst in either arm of one
+    # pair cannot flip the sign.
+    seeds = {
+        "uniform": synth_urls(spark, n_urls, parts, hot_host_pct=0),
+        "hot30": synth_urls(spark, n_urls, parts, hot_host_pct=30),
+    }
+    for s in seeds.values():
+        job(s.limit(20_000))  # warm: codegen + python workers per arm
+    walls: dict[str, list[float]] = {"uniform": [], "hot30": []}
+    for _ in range(3):
+        for name in ("uniform", "hot30"):
+            t0 = time.time()
+            job(seeds[name])
+            walls[name].append(round(time.time() - t0, 2))
+    ratios = sorted(
+        h / u for u, h in zip(walls["uniform"], walls["hot30"])
+    )
     return {
         "skew_n_urls": n_urls,
-        "skew_wall_uniform_sec": walls["uniform"],
-        "skew_wall_hot30_sec": walls["hot30"],
-        "skew_slowdown": round(walls["hot30"] / walls["uniform"], 3),
+        "skew_walls_uniform_sec": walls["uniform"],
+        "skew_walls_hot30_sec": walls["hot30"],
+        "skew_wall_uniform_sec": min(walls["uniform"]),
+        "skew_wall_hot30_sec": min(walls["hot30"]),
+        "skew_pair_ratios": [round(r, 3) for r in ratios],
+        "skew_slowdown": round(ratios[len(ratios) // 2], 3),
     }
 
 
