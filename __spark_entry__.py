@@ -628,11 +628,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is what the oracle SQL's 4-bit bucket hard-codes; at bench sf0.1
     # the operator widens to 6 planes on its own (smaller buckets)
     pairs = embedding_neardup_pairs(emb, threshold=0.3)
-    # 4 decimals: float32 accumulation order differs between Spark's
-    # aggregate() and DuckDB's list_sum at the 6th decimal
-    return pairs.select(
-        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
-    ).orderBy("id_a", "id_b")
+    # 6 decimals straight from the operator: dot() widens to double
+    # BEFORE multiplying, so Spark's fold is bit-identical to DuckDB's
+    # — and a second round() would reintroduce decimal-vs-binary
+    # half-way flips (0.340450 rounds differently at 4 decimals in
+    # Spark's string-HALF_UP vs DuckDB's binary round)
+    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,20 +1125,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "dedup_embedding": """
-            WITH v AS (
-              SELECT vec_id, embedding,
-                     (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-                    + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+            -- plane count DERIVED from the corpus, mirroring
+            -- choose_signlsh_planes(n, dim): bits =
+            -- clamp(max(4, ceil(log2(n/32))), 1, min(dim, 24)) — so the
+            -- oracle checks the auto-sized path at EVERY sf, not just
+            -- the sf0.01 degenerate [0,1,2,3] (VERDICT r4 item 5)
+            WITH p AS (
+              SELECT greatest(1, least(least(
+                       CASE WHEN count(*) > 32
+                            THEN greatest(4, CAST(ceil(log2(count(*) / 32.0)) AS INT))
+                            ELSE 4 END,
+                       min(len(embedding))), 24)) AS bits
               FROM embeddings
+            ),
+            v AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(range(1, p.bits + 1),
+                       i -> CASE WHEN embedding[CAST(i AS INT)] > 0
+                                 THEN CAST(power(2, p.bits - i) AS BIGINT)
+                                 ELSE 0 END)) AS bucket
+              FROM embeddings CROSS JOIN p
             ),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
               FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             )
-            SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM pairs
+            SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
         """,
         "embedding_stats": """

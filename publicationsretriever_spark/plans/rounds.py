@@ -193,6 +193,10 @@ class RoundOutput:
     #: round plan was built — run_round wall minus this is pure driver-
     #: side construction (py4j + analysis), the Amdahl fixed cost
     cut_secs: float = 0.0
+    #: per-cut wall seconds keyed by stage name ({'staged': s, ...}) —
+    #: the split of cut_secs the scaling bench uses to separate the
+    #: scalable fetch/page work from fixed small-job barriers
+    cut_breakdown: dict | None = None
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
@@ -597,7 +601,9 @@ class CrawlEngine:
         # cost that does not shrink with executors (PR_TIMING surfaces
         # the split in the crawl loop)
 
-        def _cut(df: DataFrame) -> DataFrame:
+        _cut_names: dict[str, float] = {}
+
+        def _cut(df: DataFrame, name: str = "?") -> DataFrame:
             # pyspark's MEMORY_AND_DISK is the SERIALIZED level (the
             # deserialized variant is MEMORY_AND_DISK_DESER, the JVM
             # localCheckpoint default)
@@ -605,11 +611,13 @@ class CrawlEngine:
             out = df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
-            _cut_secs[0] += _time.time() - _t
+            _dt = _time.time() - _t
+            _cut_secs[0] += _dt
+            _cut_names[name] = round(_cut_names.get(name, 0.0) + _dt, 3)
             return out
 
         # ---- stage + in-round dedup + seen mark -------------------------
-        staged = _cut(self.prepare_frontier(frontier, round_no))
+        staged = _cut(self.prepare_frontier(frontier, round_no), "staged")
 
         reject_results = staged.filter(F.col("reject_reason").isNotNull()).select(
             *self._result_row(
@@ -637,7 +645,7 @@ class CrawlEngine:
                 if state.seen_sketch is not None and state.sketch_meta
                 else None
             ),
-        ))
+        ), "marked")
 
         dup_results = marked.filter((F.col("_rn") > 1) | F.col("_seen")).select(
             *self._result_row(
@@ -665,7 +673,7 @@ class CrawlEngine:
         # ladder order (the reference iterates set-insertion order) and
         # one wave per ROUND (the reference loops synchronously).
         if round_no == 0:
-            ranked = _cut(pick_best_url_per_id(unseen))
+            ranked = _cut(pick_best_url_per_id(unseen), "ranked")
             picked = ranked.filter(F.col("is_best")).drop("is_best")
             _tie = F.when(
                 F.col("priority") == 0, F.col("order_in_id")
@@ -783,7 +791,7 @@ class CrawlEngine:
             F.col("_orig_id").isNull() & F.col("_pblk").isNull() & ~F.col("_rob"),
         )
         wq = Window.partitionBy("top3", "_fetchable").orderBy("priority", "url_hash")
-        sched = _cut(sched.withColumn("_hq", F.row_number().over(wq)))
+        sched = _cut(sched.withColumn("_hq", F.row_number().over(wq)), "sched")
 
         recross_results = sched.filter(F.col("_orig_id").isNotNull()).select(
             *self._result_row(
@@ -872,7 +880,7 @@ class CrawlEngine:
             .when(M.is_html_mime(F.col("content_type")), "page")
             .otherwise("other"),
         ).join(F.broadcast(self._payload_meta), "image_id", "left")
-        classified = _cut(classified)
+        classified = _cut(classified, "fetch")
 
         # doc/error/other fetch outcomes in ONE pass (a single select with
         # when-chains instead of three branch plans)
@@ -925,7 +933,7 @@ class CrawlEngine:
         # the html served its purpose (meta scan + extraction): drop it
         # before materializing — the pages checkpoint would otherwise
         # store every body a second time
-        pages = _cut(pages.drop("html_body", "mime_res"))
+        pages = _cut(pages.drop("html_body", "mime_res"), "pages")
 
         # dynamic-link pages block their domain (F13,
         # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
@@ -1096,7 +1104,7 @@ class CrawlEngine:
         )
         if mla_hits is not None:
             links = links.unionByName(mla_hits)
-        links = _cut(links)
+        links = _cut(links, "links")
         next_frontier = links.select(
             F.col("id"),
             F.col("pos").cast("long").alias("order_in_id"),
@@ -1605,6 +1613,7 @@ class CrawlEngine:
             finalize=finalize,
         )
         out.cut_secs = _cut_secs[0]
+        out.cut_breakdown = dict(_cut_names)
         return out
 
     # ------------------------------------------------------------------
@@ -1779,8 +1788,18 @@ class CrawlEngine:
             _t0 = _time.time()
             _timing = os.environ.get("PR_TIMING") == "1"
             out = self.run_round(state, frontier, rnd)
+            # always-on driver-phase ledger (cheap time.time() deltas):
+            # the scaling bench reads it from metrics to split the
+            # per-round wall into fixed driver cost vs scalable work
+            _pb = _time.time() - _t0
+            _phases: dict = {
+                "construct": round(_pb - out.cut_secs, 3),
+                "cuts": {
+                    k: round(v, 3)
+                    for k, v in (out.cut_breakdown or {}).items()
+                },
+            }
             if _timing:
-                _pb = _time.time() - _t0
                 print(f"TIMING r{rnd} plan_build {_pb:.2f} "
                       f"(construct {_pb - out.cut_secs:.2f}, "
                       f"cut_exec {out.cut_secs:.2f})",
@@ -1863,7 +1882,9 @@ class CrawlEngine:
                 # results first and alone: its plan reads EVERY fan-out
                 # cache, so this one job materializes them; the
                 # remaining cuts run concurrently against warm caches.
+                _tp = _time.time()
                 cut = {"results": out.deltas["results"].localCheckpoint(eager=True)}
+                _phases["results_ckpt"] = round(_time.time() - _tp, 3)
                 if _timing:
                     print(f"TIMING r{rnd} results_ckpt {_time.time()-_t0:.2f}",
                           flush=True)
@@ -1882,10 +1903,12 @@ class CrawlEngine:
                     if name in to_cut:
                         _tt = _time.time()
                         cut[name] = to_cut.pop(name).localCheckpoint(eager=True)
+                        _phases[f"ckpt_{name}"] = round(_time.time() - _tt, 3)
                         if _timing:
                             print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
                                   flush=True)
                 _mrows = None
+                _tp = _time.time()
                 if _timing:
                     for name, df in to_cut.items():
                         _tt = _time.time()
@@ -1922,6 +1945,7 @@ class CrawlEngine:
                         _mfut = pool.submit(_metrics_job)
                         cut.update({n: f.result() for n, f in futs.items()})
                         _mrows = _mfut.result()
+                _phases["pooled_ckpt"] = round(_time.time() - _tp, 3)
                 if _timing:
                     print(f"TIMING r{rnd} other_ckpt {_time.time()-_t0:.2f}",
                           flush=True)
@@ -1931,11 +1955,13 @@ class CrawlEngine:
                 # compaction: bound the number of union parts (and the
                 # per-round scan fan-in) without ever rewriting state
                 # more often than every compact_every rounds
+                _tp = _time.time()
                 compacted_now = len(parts["results"]) >= self.compact_every
                 if compacted_now:
                     for name, schema in part_schemas.items():
                         merged = union_parts(name, schema).localCheckpoint(eager=True)
                         parts[name] = [merged]
+                _phases["compact"] = round(_time.time() - _tp, 3)
                 prev_sketch, prev_meta = state.seen_sketch, state.sketch_meta
                 state = CrawlState(
                     results=union_parts("results", RESULT_SCHEMA),
@@ -1985,12 +2011,14 @@ class CrawlEngine:
                 )
                 # incremental J2 sketch over this round's checkpointed
                 # seen delta (cut["seen"]) — O(delta) per round
+                _tp = _time.time()
                 state.seen_sketch, state.sketch_meta = (
                     self._maintain_seen_sketch(
                         prev_sketch, prev_meta, state.seen, cut["seen"],
                         state.metrics[-1]["seen_total"],
                     )
                 )
+                _phases["sketch"] = round(_time.time() - _tp, 3)
                 # flag the round that paid the amortized state rewrite:
                 # flatness evidence must separate the compaction cadence
                 # (O(cumulative) every compact_every rounds BY DESIGN)
@@ -2005,6 +2033,7 @@ class CrawlEngine:
             state.metrics[-1].setdefault(
                 "wall_sec", round(_time.time() - _round_t0, 3)
             )
+            state.metrics[-1]["driver_phases"] = _phases
             pending = state.metrics[-1]["frontier_next"]
         state.frontier = frontier
         # J4 end-of-crawl flush (handleLogOfRemainingUrls,

@@ -281,6 +281,9 @@ def run_crawl(spark, n_hosts: int, pages_max: int, parts: int,
         "rounds": len(state.metrics),
         "rounds_per_hour": round(len(state.metrics) / wall * 3600, 1),
         "round_walls": [m.get("wall_sec") for m in state.metrics],
+        # fixed-vs-scalable split (VERDICT r4: the ~59s/round driver
+        # floor): per-round driver-phase ledger from the engine
+        "round_driver_phases": [m.get("driver_phases") for m in state.metrics],
         "round_fetched": [m["fetched"] for m in state.metrics],
         "round_compacted": [bool(m.get("compacted")) for m in state.metrics],
         "seen_total": state.metrics[-1]["seen_total"] if state.metrics else 0,
