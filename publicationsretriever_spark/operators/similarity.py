@@ -394,6 +394,111 @@ def ivf_assign(
     )
 
 
+class IvfIndex:
+    """Resident IVF index: quantizer training + inverted-list build are
+    paid ONCE (build_ivf_index), then every ``topk`` call is just the
+    probe join. The r4 A/B measured Lloyd refinement at ~50% of a
+    one-shot ivf_topk wall (refine_iters=1 3.03s vs =0 2.03s best-of-3
+    back-to-back at sf0.1) — acceptable for a single query, wasteful
+    when the index serves many; this class is the serve-many shape. At
+    100 TB ``inverted`` is written partitioned by cell_id so each probe
+    partition-prunes to nprobe/n_cells of the data; here it is cached
+    (serialized) and reused across calls."""
+
+    def __init__(self, centroids: DataFrame, inverted: DataFrame,
+                 vec_col: str, id_col: str):
+        self.centroids = centroids
+        self.inverted = inverted
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def topk(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        k: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        vec_col, id_col = self.vec_col, self.id_col
+        qscored = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        ).crossJoin(F.broadcast(self.centroids)).select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            F.col("cell_id"),
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("_sim").desc(), F.col("cell_id").asc()
+        )
+        probe = (
+            qscored.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select(
+                query_id_col, "_qv", "cell_id",
+                l2_norm(F.col("_qv")).alias("_qn"),
+            )
+        )
+        joined = self.inverted.join(F.broadcast(probe), "cell_id")
+        scored = joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "cos_sim")
+        )
+
+    def unpersist(self) -> None:
+        self.inverted.unpersist()
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    sample_n: int = 256,
+    sample_order: str = "id",
+    materialize: bool = False,
+) -> IvfIndex:
+    """Train the quantizer (driver-side Lloyd over a bounded sample,
+    see ivf_centroids) and build the inverted list once. The inverted
+    list is persisted SERIALIZED so repeated ``topk`` calls reuse it;
+    ``materialize=True`` forces it eagerly (otherwise the first topk
+    pays the build lazily)."""
+    from pyspark import StorageLevel
+
+    # with refine_iters > 0 ivf_centroids trains on the driver and
+    # returns a LITERAL centroid table, so its two consumers (inverted-
+    # list build + query probe) broadcast a value, not a plan subtree
+    cent = ivf_centroids(
+        vectors, vec_col, id_col, n_cells,
+        refine_iters=refine_iters, sample_n=sample_n,
+        sample_order=sample_order,
+    )
+    # norms once per vector BEFORE the probe join: the higher-order
+    # array expressions run interpreted, so per-(vector x probe)-pair
+    # norm recomputation would triple the hot-path work (same move as
+    # embedding_neardup_pairs)
+    inv = ivf_assign(vectors, cent, vec_col, id_col).withColumn(
+        "_n", l2_norm(F.col(vec_col))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        inv.count()
+    return IvfIndex(cent, inv, vec_col, id_col)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -416,59 +521,22 @@ def ivf_topk(
     probed cells. Centroids are Lloyd-refined over a deterministic
     sample by default (see ivf_centroids) so cell balance tracks the
     data, not the id order. Recall < 1 by construction (raise nprobe to
-    trade cost for recall). Ties broken by id for determinism."""
-    # with refine_iters > 0 ivf_centroids trains on the driver and
-    # returns a LITERAL centroid table, so its two consumers here
-    # (inverted-list build + query probe) broadcast a value, not a
-    # plan subtree
-    cent = ivf_centroids(
+    trade cost for recall). Ties broken by id for determinism.
+
+    One-shot convenience over build_ivf_index(...).topk(...): training
+    + inverted-list build run per call here; a resident deployment
+    keeps the IvfIndex and amortizes them (the Lloyd A/B's ~50%
+    one-shot overhead drops to ~0 across repeated queries)."""
+    ix = build_ivf_index(
         vectors, vec_col, id_col, n_cells,
         refine_iters=refine_iters, sample_n=sample_n,
         sample_order=sample_order,
     )
-    # norms once per vector BEFORE the probe join: the higher-order
-    # array expressions run interpreted, so per-(vector x probe)-pair
-    # norm recomputation would triple the hot-path work (same move as
-    # embedding_neardup_pairs)
-    inv = ivf_assign(vectors, cent, vec_col, id_col).withColumn(
-        "_n", l2_norm(F.col(vec_col))
-    )
-    qscored = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ).crossJoin(F.broadcast(cent)).select(
-        F.col(query_id_col),
-        F.col("_qv"),
-        F.col("cell_id"),
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("_sim").desc(), F.col("cell_id").asc()
-    )
-    probe = (
-        qscored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select(
-            query_id_col, "_qv", "cell_id",
-            l2_norm(F.col("_qv")).alias("_qn"),
-        )
-    )
-    joined = inv.join(F.broadcast(probe), "cell_id")
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cos_sim")
-    )
+    out = ix.topk(queries, query_id_col, k=k, nprobe=nprobe)
+    # one-shot: drop the cache pin once the plan is built — the single
+    # downstream action computes it inline exactly as before
+    ix.inverted.unpersist()
+    return out
 
 
 def lsh_topk(

@@ -160,6 +160,45 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert rank1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_resident_index_amortizes_training(spark, monkeypatch):
+    """VERDICT r4 item 3: the r4 A/B put Lloyd refinement at ~50% of a
+    one-shot ivf_topk wall — so a resident index must pay quantizer
+    training + inverted-list build ONCE and serve repeated topk calls
+    from the cached list. Checks: (a) ivf_centroids runs exactly once
+    across two topk calls, (b) both calls match the one-shot operator
+    row-for-row, (c) the inverted list is actually persisted."""
+    from publicationsretriever_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q1 = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q2 = df.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    calls = {"n": 0}
+    real = S.ivf_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "ivf_centroids", counting)
+    ix = S.build_ivf_index(df, n_cells=8, materialize=True)
+    assert ix.inverted.is_cached
+    key = lambda rows: {(r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+                        for r in rows}
+    out1 = ix.topk(q1, k=3, nprobe=4).collect()
+    out2 = ix.topk(q2, k=3, nprobe=4).collect()
+    assert calls["n"] == 1  # trained once, served twice
+    monkeypatch.setattr(S, "ivf_centroids", real)
+    assert key(out1) == key(S.ivf_topk(df, q1, k=3, n_cells=8, nprobe=4).collect())
+    assert key(out2) == key(S.ivf_topk(df, q2, k=3, n_cells=8, nprobe=4).collect())
+    ix.unpersist()
+
+
 def test_png_roundtrip_and_psnr():
     px = synth_pixels("img-x", 16, 12)
     assert decode_png(encode_png(px)).tolist() == px.tolist()
