@@ -60,7 +60,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import filters as FL
@@ -197,6 +197,9 @@ class RoundOutput:
     #: the split of cut_secs the scaling bench uses to separate the
     #: scalable fetch/page work from fixed small-job barriers
     cut_breakdown: dict | None = None
+    #: partition count of each mid-round cut ({'staged': n, ...}) —
+    #: parallelism-collapse detector for the scaling ledger
+    cut_parts: dict | None = None
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
@@ -603,6 +606,8 @@ class CrawlEngine:
 
         _cut_names: dict[str, float] = {}
 
+        _cut_parts: dict[str, int] = {}
+
         def _cut(df: DataFrame, name: str = "?") -> DataFrame:
             # pyspark's MEMORY_AND_DISK is the SERIALIZED level (the
             # deserialized variant is MEMORY_AND_DISK_DESER, the JVM
@@ -614,10 +619,28 @@ class CrawlEngine:
             _dt = _time.time() - _t
             _cut_secs[0] += _dt
             _cut_names[name] = round(_cut_names.get(name, 0.0) + _dt, 3)
+            # partition count of the materialized cut (no job): the
+            # scaling ledger uses it to spot parallelism collapse —
+            # a cut with < cores partitions caps every consumer stage
+            _cut_parts[name] = out.rdd.getNumPartitions()
             return out
 
         # ---- stage + in-round dedup + seen mark -------------------------
-        staged = _cut(self.prepare_frontier(frontier, round_no), "staged")
+        # REBALANCE before the expensive per-row work: from round 1 on
+        # the frontier's partitioning mirrors the page stage's host
+        # partitioning (links explode per page, hot hosts concentrate),
+        # so the regex battery + canonicalize UDF would run on skewed
+        # partitions and the hottest one bounds the wall (measured:
+        # staged scaled at 0.43 efficiency 2->8 executors). The
+        # round-robin exchange is cheap (shuffle write is a plain copy,
+        # no per-row compute) and runs INSIDE the staged job, so the
+        # battery executes on evenly-sized partitions.
+        staged = _cut(
+            self.prepare_frontier(
+                frontier.repartition(self.num_buckets), round_no
+            ),
+            "staged",
+        )
 
         reject_results = staged.filter(F.col("reject_reason").isNotNull()).select(
             *self._result_row(
@@ -1614,6 +1637,7 @@ class CrawlEngine:
         )
         out.cut_secs = _cut_secs[0]
         out.cut_breakdown = dict(_cut_names)
+        out.cut_parts = dict(_cut_parts)
         return out
 
     # ------------------------------------------------------------------
@@ -1798,6 +1822,7 @@ class CrawlEngine:
                     k: round(v, 3)
                     for k, v in (out.cut_breakdown or {}).items()
                 },
+                "cut_parts": dict(out.cut_parts or {}),
             }
             if _timing:
                 print(f"TIMING r{rnd} plan_build {_pb:.2f} "
@@ -1882,16 +1907,37 @@ class CrawlEngine:
                 # results first and alone: its plan reads EVERY fan-out
                 # cache, so this one job materializes them; the
                 # remaining cuts run concurrently against warm caches.
+                # delta cardinalities ride the checkpoint jobs as
+                # Observations (CollectMetrics): each count is computed
+                # DURING the cut's own materialization — zero extra scan
+                # jobs, and the fused metrics job no longer blocks on the
+                # slowest cut future (measured: the old count-union made
+                # the pool barrier max(cut)+metrics instead of max(...))
+                _obs: dict[str, Observation] = {}
+
+                def _observed(name: str, df: DataFrame) -> DataFrame:
+                    o = Observation()
+                    _obs[name] = o
+                    return df.observe(o, F.count(F.lit(1)).alias("n"))
+
                 _tp = _time.time()
-                cut = {"results": out.deltas["results"].localCheckpoint(eager=True)}
+                cut = {
+                    "results": _observed(
+                        "results", out.deltas["results"]
+                    ).localCheckpoint(eager=True)
+                }
                 _phases["results_ckpt"] = round(_time.time() - _tp, 3)
                 if _timing:
                     print(f"TIMING r{rnd} results_ckpt {_time.time()-_t0:.2f}",
                           flush=True)
                     _t0 = _time.time()
                 to_cut = {
-                    **{n: df for n, df in out.deltas.items() if n != "results"},
-                    "frontier": out.next_frontier,
+                    **{
+                        n: (_observed(n, df) if n in ("seen", "payloads") else df)
+                        for n, df in out.deltas.items()
+                        if n != "results"
+                    },
+                    "frontier": _observed("frontier", out.next_frontier),
                     **out.fulls,
                 }
                 # the two counter dims are the COLD caches every other
@@ -1916,36 +1962,41 @@ class CrawlEngine:
                         print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
                               flush=True)
                 else:
-                    # the fused metrics job only reads warm caches plus
-                    # the seen/payloads/frontier cuts — run it INSIDE
-                    # the pool, overlapped with the remaining dimension
-                    # cuts, instead of serially after them
+                    # the fused metrics job reads only warm caches
+                    # (staged/classified/links) — with the delta counts
+                    # riding the cuts as Observations it has NO dependency
+                    # on the cut futures, so it overlaps them fully and
+                    # the pool barrier is max(member walls), not
+                    # max(cuts)+metrics
+                    _fwalls: dict[str, float] = {}
+
+                    def _timed_ckpt(name, df):
+                        _t = _time.time()
+                        r = df.localCheckpoint(eager=True)
+                        _fwalls[name] = round(_time.time() - _t, 3)
+                        return r
+
                     with ThreadPoolExecutor(max_workers=len(to_cut) + 1) as pool:
                         futs = {
-                            name: pool.submit(
-                                lambda df=df: df.localCheckpoint(eager=True)
-                            )
+                            name: pool.submit(_timed_ckpt, name, df)
                             for name, df in to_cut.items()
                         }
 
                         def _metrics_job():
-                            mdf = out.metrics_df
-                            for tag, src in (
-                                ("seen", futs["seen"]),
-                                ("results", cut["results"]),
-                                ("payloads", futs["payloads"]),
-                                ("frontier", futs["frontier"]),
-                            ):
-                                df = src.result() if hasattr(src, "result") else src
-                                mdf = mdf.unionByName(
-                                    _count_row(df, f"count:{tag}")
-                                )
-                            return mdf.collect()
+                            return out.metrics_df.collect()
 
+                        _t_m = _time.time()
                         _mfut = pool.submit(_metrics_job)
                         cut.update({n: f.result() for n, f in futs.items()})
                         _mrows = _mfut.result()
+                        _fwalls["metrics"] = round(_time.time() - _t_m, 3)
+                    _phases["pooled_members"] = _fwalls
                 _phases["pooled_ckpt"] = round(_time.time() - _tp, 3)
+                _phases["close_parts"] = {
+                    n: cut[n].rdd.getNumPartitions()
+                    for n in ("frontier", "seen", "results")
+                    if n in cut
+                }
                 if _timing:
                     print(f"TIMING r{rnd} other_ckpt {_time.time()-_t0:.2f}",
                           flush=True)
@@ -1986,29 +2037,14 @@ class CrawlEngine:
                     metrics=state.metrics,
                 )
                 frontier = cut["frontier"]
-                # ONE job: lineage aggregates + all delta cardinalities
-                # (already collected inside the pool unless PR_TIMING
-                # serialized the cuts)
-                if _mrows is not None:
-                    rows = _mrows
-                else:
-                    mdf = out.metrics_df
-                    for tag, df in (
-                        ("seen", cut["seen"]),
-                        ("results", cut["results"]),
-                        ("payloads", cut["payloads"]),
-                        ("frontier", cut["frontier"]),
-                    ):
-                        mdf = mdf.unionByName(_count_row(df, f"count:{tag}"))
-                    rows = mdf.collect()
+                # lineage aggregates were collected inside the pool
+                # (unless PR_TIMING serialized the cuts); the delta
+                # cardinalities come free from the cuts' Observations
+                rows = _mrows if _mrows is not None else out.metrics_df.collect()
                 delta_counts = {
-                    r["_t"].split(":", 1)[1]: r["n"]
-                    for r in rows if r["_t"].startswith("count:")
+                    name: int(o.get["n"]) for name, o in _obs.items()
                 }
-                out.finalize(
-                    [r for r in rows if not r["_t"].startswith("count:")],
-                    delta_counts,
-                )
+                out.finalize(rows, delta_counts)
                 # incremental J2 sketch over this round's checkpointed
                 # seen delta (cut["seen"]) — O(delta) per round
                 _tp = _time.time()

@@ -190,7 +190,7 @@ def main() -> None:
     pages_max = int(pos[2]) if len(pos) > 2 else 12
 
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    deep = skew = None
+    deep = skew = weak = None
     los: list[dict] = []
     his: list[dict] = []
     saved_repeats = None
@@ -204,6 +204,7 @@ def main() -> None:
         hw = hardware_ceiling() if rehw else saved["hardware_ceiling"]
         los, his = [saved["N"]], [saved["4N"]]
         deep = saved.get("deep_rounds")
+        weak = saved.get("weak_scaling")
         saved_repeats = saved.get("repeats")
         repeats = saved_repeats["n"] if saved_repeats else 1
         if redeep:
@@ -226,6 +227,33 @@ def main() -> None:
             for _ in range(repeats):
                 los.append(run_level(LEVELS["N"], n_urls, n_hosts, pages_max))
                 his.append(run_level(LEVELS["4N"], n_urls, n_hosts, pages_max))
+            if os.environ.get("BENCH_WEAK") == "1":
+                # WEAK-scaling arm: work sized with the cluster — the big
+                # level crawls 4x the hosts (4x rows per round, same round
+                # count), the 100 TB operating point where per-round fixed
+                # driver cost amortizes over proportionally bigger rounds.
+                # Back-to-back pair so host drift hits both arms equally.
+                wlo = run_level(LEVELS["N"], n_urls, n_hosts, pages_max,
+                                env={"BENCH_SKIP_LOAD": "1"})
+                whi = run_level(LEVELS["4N"], n_urls, n_hosts * 4, pages_max,
+                                env={"BENCH_SKIP_LOAD": "1"})
+                keys = ("n_executors", "crawl_seed_urls", "crawl_wall_sec",
+                        "urls_fetched", "fetched_urls_per_sec",
+                        "round_walls", "round_driver_phases")
+                weak = {
+                    "definition": (
+                        "rounds sized proportionally to executors: the big "
+                        "level crawls 4x the hosts (4x rows per round, same "
+                        "rounds) — weak-scaling efficiency = "
+                        "thr_hi / (4 * thr_lo)"
+                    ),
+                    "lo": {k: wlo.get(k) for k in keys},
+                    "hi": {k: whi.get(k) for k in keys},
+                    "efficiency_fetched_raw": round(
+                        whi["fetched_urls_per_sec"]
+                        / wlo["fetched_urls_per_sec"] / 4, 3
+                    ),
+                }
             if os.environ.get("BENCH_SKIP_DEEP") != "1":
                 # deep-rounds flatness + seen-path transitions +
                 # compaction at the big level, plus the zipf stress
@@ -308,11 +336,16 @@ def main() -> None:
         "normalized_efficiency_fetched": norm(eff_fetch),
         "normalized_efficiency_checked": norm(eff_check),
         "deep_rounds": deep,
+        "weak_scaling": weak,
         "round_wall_flatness_per_url": flatness,
         "round_wall_flatness_steady": flatness_steady,
         "compaction_round_walls": compaction_walls,
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    if weak and "efficiency_fetched_normalized" not in weak:
+        weak["efficiency_fetched_normalized"] = norm(
+            weak["efficiency_fetched_raw"]
+        )
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     out_name = f"scaling_{BENCH_TAG}.json" if BENCH_TAG else "scaling.json"
@@ -409,6 +442,26 @@ stage, state merge + lineage truncation):
 The normalized number is the engine's own scaling behavior (what a
 real cluster with per-machine executors would see), capped at 1.0;
 the raw number multiplies it by this host's physical 4x ceiling.
+"""
+    if weak:
+        md += f"""
+### Weak scaling — rounds sized proportionally to executors
+
+Strong scaling above holds the input fixed, so the per-round fixed
+driver cost (plan construction + round-close barrier — see the
+driver-phase ledger) caps speedup as rounds shrink. The 100 TB
+operating point sizes rounds WITH the cluster: the big level crawls
+4x the hosts (4x rows per round, same round count), run back-to-back
+with its small-level baseline.
+
+| cluster size | hosts | fetched | wall (s) | fetched URLs/sec |
+|---|---|---|---|---|
+| N ({weak['lo']['n_executors']} exec) | {weak['lo']['crawl_seed_urls']:,} seeds | {weak['lo']['urls_fetched']:,} | {weak['lo']['crawl_wall_sec']} | {weak['lo']['fetched_urls_per_sec']:,} |
+| 4N ({weak['hi']['n_executors']} exec, 4x work) | {weak['hi']['crawl_seed_urls']:,} seeds | {weak['hi']['urls_fetched']:,} | {weak['hi']['crawl_wall_sec']} | {weak['hi']['fetched_urls_per_sec']:,} |
+
+**Weak-scaling efficiency (thr_4N / (4 x thr_N)) =
+{weak['efficiency_fetched_raw']} raw /
+{weak.get('efficiency_fetched_normalized')} normalized.**
 """
     if deep:
         walls = deep.get("round_walls") or []

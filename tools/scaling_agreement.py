@@ -47,6 +47,14 @@ def main() -> None:
             "abs_delta": round(abs(n1 - n2), 3),
             "agree_within_5pct": abs(n1 - n2) <= 0.05,
         }
+    weak2 = t2.get("weak_scaling")
+    if weak2:
+        rows["fetched"]["topo2_weak"] = {
+            "efficiency_raw": weak2["efficiency_fetched_raw"],
+            "efficiency_normalized": weak2.get(
+                "efficiency_fetched_normalized"
+            ),
+        }
     t1["topology_agreement"] = rows
     (bench / "scaling.json").write_text(json.dumps(t1, indent=2))
 
@@ -74,6 +82,17 @@ def main() -> None:
             f"| {metric} URLs/sec | {r['topo2']['levels']} | "
             f"{r['topo2']['raw']} | {r['topo2']['hw_ceiling']} | "
             f"**{r['topo2']['normalized']}** | |"
+        )
+    if weak2:
+        lines.append("")
+        lines.append(
+            "Weak-scaling arm at the second topology (rounds sized "
+            "proportionally to executors — the big level crawls 4x the "
+            "hosts, so per-round fixed driver cost amortizes over "
+            "proportionally bigger rounds, the 100 TB operating point): "
+            f"fetched-URLs/sec efficiency "
+            f"**{weak2['efficiency_fetched_raw']} raw / "
+            f"{weak2.get('efficiency_fetched_normalized')} normalized**."
         )
     section = "\n".join(lines) + "\n"
 
