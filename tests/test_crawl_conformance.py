@@ -214,3 +214,28 @@ def test_handle_net_500_remap_keyed_on_erroring_connection(crawl_setup):
         if r["id"] in ("hdlin::0001", "hdlout::0001")
     }
     assert orows == {"hdlin::0001": "http_404", "hdlout::0001": "http_500"}
+
+
+def test_observation_delta_counts_and_phase_ledger(crawl_setup):
+    """Round-5 fixed-cost path: delta cardinalities ride the round-close
+    checkpoints as Observations (CollectMetrics) instead of dedicated
+    count jobs — so the numbers in metrics must equal what a real count
+    of the materialized state says, and every round must carry the
+    always-on driver-phase ledger the scaling bench reads."""
+    _web, state, _oracle = crawl_setup
+    # per-round results deltas (observed during results_ckpt) sum to the
+    # in-crawl result rows; round == -1 is the post-crawl J4 pool flush,
+    # emitted AFTER the last round's observation by design
+    in_crawl = state.results.filter(F.col("round") >= 0).count()
+    assert sum(m["results"] for m in state.metrics) == in_crawl
+    # seen deltas accumulate to the exact seen-set cardinality
+    assert state.metrics[-1]["seen_total"] == state.seen.count()
+    # the frontier observation counted the NEXT frontier as it was cut
+    assert state.metrics[-1]["frontier_next"] == state.frontier.count()
+    for m in state.metrics:
+        phases = m.get("driver_phases")
+        assert phases is not None and "construct" in phases
+        assert phases["construct"] >= 0
+        # close-phase walls exist for the in-memory (non-catalog) path
+        assert "pooled_ckpt" in phases and "sketch" in phases
+        assert isinstance(phases.get("cut_parts"), dict)

@@ -290,6 +290,40 @@ def main() -> None:
         # measurement noise, never engine merit (round-2 advice)
         return round(min(1.0, x / hw["efficiency"]), 3)
 
+    # Per-round FIXED driver cost, two independent estimates:
+    # (a) solved from the two levels' round walls assuming
+    #     wall = F + W/k (k = executor count): the model the r4 verdict
+    #     used to derive the ~59s floor that broke 2->8 fetch scaling;
+    # (b) summed directly from the driver-phase ledger each round
+    #     carries (construct + close-phase walls), the measured
+    #     breakdown of WHERE the floor lives.
+    def _phase_sum(p: dict | None) -> float | None:
+        if not p:
+            return None
+        tot = p.get("construct", 0.0)
+        for k in ("results_ckpt", "ckpt_domain_counts", "ckpt_path_counts",
+                  "pooled_ckpt", "compact", "sketch"):
+            tot += p.get(k) or 0.0
+        return round(tot, 3)
+
+    k_lo, k_hi = LEVELS["N"] * EXEC_CORES, LEVELS["4N"] * EXEC_CORES
+    fixed_solved = []
+    for wl, wh in zip(lo.get("round_walls") or [], hi.get("round_walls") or []):
+        w_var = (wl - wh) / (1.0 / k_lo - 1.0 / k_hi)
+        fixed_solved.append(round(wl - w_var / k_lo, 3))
+    fixed_cost = {
+        "model": f"round wall = F + W/k (k executors; solved from the "
+                 f"{k_lo}-vs-{k_hi} round walls, per round)",
+        "solved_F_sec_per_round": fixed_solved,
+        "ledger_driver_sec_lo": [
+            _phase_sum(p) for p in (lo.get("round_driver_phases") or [])
+        ],
+        "ledger_driver_sec_hi": [
+            _phase_sum(p) for p in (hi.get("round_driver_phases") or [])
+        ],
+        "ledger_phases_hi": hi.get("round_driver_phases"),
+    }
+
     flatness = flatness_steady = None
     compaction_walls = []
     if deep and deep.get("round_walls"):
@@ -335,6 +369,7 @@ def main() -> None:
         "scaling_efficiency_checked": round(eff_check, 3),
         "normalized_efficiency_fetched": norm(eff_fetch),
         "normalized_efficiency_checked": norm(eff_check),
+        "fixed_cost": fixed_cost,
         "deep_rounds": deep,
         "weak_scaling": weak,
         "round_wall_flatness_per_url": flatness,
@@ -442,6 +477,20 @@ stage, state merge + lineage truncation):
 The normalized number is the engine's own scaling behavior (what a
 real cluster with per-machine executors would see), capped at 1.0;
 the raw number multiplies it by this host's physical 4x ceiling.
+"""
+    if fixed_cost["solved_F_sec_per_round"]:
+        md += f"""
+### Per-round fixed driver cost (the 2->8 floor, measured two ways)
+
+Strong scaling is bounded by the per-round cost that does NOT shrink
+with executors (round wall = F + W/k). F solved from this run's
+per-round walls at {k_lo} vs {k_hi} executors:
+**{fixed_cost['solved_F_sec_per_round']} s/round**; the always-on
+driver-phase ledger measures the same floor directly
+(construct + close barriers, at 4N):
+**{fixed_cost['ledger_driver_sec_hi']} s/round**
+(lo level: {fixed_cost['ledger_driver_sec_lo']}). Per-phase split of
+the 4N rounds is in `scaling.json fixed_cost.ledger_phases_hi`.
 """
     if weak:
         md += f"""

@@ -47,6 +47,20 @@ def main() -> None:
             "abs_delta": round(abs(n1 - n2), 3),
             "agree_within_5pct": abs(n1 - n2) <= 0.05,
         }
+    # the per-round fixed driver cost F (round wall = F + W/k) is a
+    # property of the DRIVER, not of the executor counts — the two
+    # topologies solving to the same F is independent evidence the
+    # floor model behind the normalization argument is right
+    f1 = (t1.get("fixed_cost") or {}).get("solved_F_sec_per_round")
+    f2 = (t2.get("fixed_cost") or {}).get("solved_F_sec_per_round")
+    if f1 and f2:
+        rows["fixed_cost_F_sec_per_round"] = {
+            "topo1_solved": f1,
+            "topo2_solved": f2,
+            "topo2_ledger_hi": (t2.get("fixed_cost") or {}).get(
+                "ledger_driver_sec_hi"
+            ),
+        }
     weak2 = t2.get("weak_scaling")
     if weak2:
         rows["fetched"]["topo2_weak"] = {
@@ -71,6 +85,8 @@ def main() -> None:
     )
     lines.append("|---|---|---|---|---|---|")
     for metric, r in rows.items():
+        if "topo1" not in r:
+            continue
         lines.append(
             f"| {metric} URLs/sec | {r['topo1']['levels']} | "
             f"{r['topo1']['raw']} | {r['topo1']['hw_ceiling']} | "
@@ -82,6 +98,17 @@ def main() -> None:
             f"| {metric} URLs/sec | {r['topo2']['levels']} | "
             f"{r['topo2']['raw']} | {r['topo2']['hw_ceiling']} | "
             f"**{r['topo2']['normalized']}** | |"
+        )
+    fc = rows.get("fixed_cost_F_sec_per_round")
+    if fc:
+        lines.append("")
+        lines.append(
+            "Per-round fixed driver cost F (round wall = F + W/k) solved "
+            "independently at both topologies — F is a driver property, so "
+            "agreement here validates the floor model: topo1 "
+            f"{fc['topo1_solved']} s/round, topo2 {fc['topo2_solved']} "
+            f"s/round (topo2 driver-phase ledger at the big level: "
+            f"{fc['topo2_ledger_hi']} s/round)."
         )
     if weak2:
         lines.append("")
