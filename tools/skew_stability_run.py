@@ -1,0 +1,64 @@
+"""Run the interleaved Zipf skew stress TWICE, independently, and
+splice the result into BENCH/scaling.json's deep_rounds block.
+
+VERDICT r4 item 2's done-condition is "a skew number that is stable in
+sign across two consecutive runs": the r4 metric ran the uniform arm
+minutes before the hot arm and, on a shared host with ~40%/hour
+per-core drift, the arm ORDER dominated the ratio (hot30 once measured
+faster). The worker's battery is now three back-to-back (uniform,
+hot30) pairs with a median-of-pair-ratios summary
+(tools/cluster_scaling_worker.py run_skew_stress); this driver runs
+that whole battery twice — two separate spark-submit jobs, two
+SparkSessions — so the second run is an independent draw of the
+measurement, not a re-read of the same walls.
+
+Usage: python tools/skew_stability_run.py [n_urls] [n_executors]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from bench_cluster_scaling import (
+    REPO,
+    run_level,
+    sh,
+    start_cluster,
+    stop_cluster,
+)
+
+SKEW_ENV = {"BENCH_SKIP_LOAD": "1", "BENCH_SKIP_CRAWL": "1", "BENCH_SKEW": "1"}
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_exec = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sh([sys.executable, str(REPO / "tools/make_pyfiles.py")])
+    start_cluster()
+    try:
+        run1 = run_level(n_exec, n_urls, 0, 0, env=SKEW_ENV)
+        run2 = run_level(n_exec, n_urls, 0, 0, env=SKEW_ENV)
+    finally:
+        stop_cluster()
+
+    skew_keys = [k for k in run1 if k.startswith("skew_")]
+    path = REPO / "BENCH/scaling.json"
+    report = json.loads(path.read_text())
+    deep = report.get("deep_rounds") or {}
+    deep.update({k: run1[k] for k in skew_keys})
+    deep["skew_repeat"] = {k: run2[k] for k in skew_keys}
+    deep["skew_n_executors"] = n_exec
+    report["deep_rounds"] = deep
+    path.write_text(json.dumps(report, indent=2))
+
+    s1, s2 = run1["skew_slowdown"], run2["skew_slowdown"]
+    print(json.dumps({
+        "run1_slowdown": s1, "run1_ratios": run1["skew_pair_ratios"],
+        "run2_slowdown": s2, "run2_ratios": run2["skew_pair_ratios"],
+        "sign_stable": (s1 > 1.0) == (s2 > 1.0),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
