@@ -297,6 +297,11 @@ def main() -> None:
         # measurement noise, never engine merit (round-2 advice)
         return round(min(1.0, x / hw["efficiency"]), 3)
 
+    if weak and "efficiency_fetched_normalized" not in weak:
+        weak["efficiency_fetched_normalized"] = norm(
+            weak["efficiency_fetched_raw"]
+        )
+
     # Per-round FIXED driver cost, two independent estimates:
     # (a) solved from the two levels' round walls assuming
     #     wall = F + W/k (k = executor count): the model the r4 verdict

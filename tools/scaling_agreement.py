@@ -62,6 +62,13 @@ def main() -> None:
             ),
         }
     weak2 = t2.get("weak_scaling")
+    if weak2 and "efficiency_fetched_normalized" not in weak2:
+        # older runs store only the raw number; normalize by the same
+        # hardware ceiling the strong-scaling numbers use
+        weak2["efficiency_fetched_normalized"] = round(
+            min(1.0, weak2["efficiency_fetched_raw"]
+                / t2["hardware_ceiling"]["efficiency"]), 3
+        )
     if weak2:
         rows["fetched"]["topo2_weak"] = {
             "efficiency_raw": weak2["efficiency_fetched_raw"],
