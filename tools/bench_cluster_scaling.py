@@ -302,6 +302,28 @@ def main() -> None:
             weak["efficiency_fetched_raw"]
         )
 
+    # STEADY-STATE strong scaling: drop round 1, which pays the
+    # one-time Janino codegen/JIT of the regex towers (~45s per fresh
+    # JVM at its first heavy action) — a per-CRAWL constant, not a
+    # per-round cost. A production crawl runs hundreds of rounds, so
+    # the warm-up round's share tends to zero; scoring it into a
+    # 2-round benchmark charges the engine's scaling for the JIT.
+    # (The per-ROUND fixed cost F is NOT excluded here — it stays in
+    # every steady round's wall and is ledgered in fixed_cost.)
+    steady = None
+    wl, wh = lo.get("round_walls") or [], hi.get("round_walls") or []
+    if len(wl) >= 2 and len(wh) >= 2:
+        raw_steady = (sum(wl[1:]) / sum(wh[1:])) / 4
+        steady = {
+            "definition": (
+                "sum(round_walls[1:]) ratio / 4 — identical "
+                "deterministic per-round work at both levels; round 1 "
+                "excluded as the one-time codegen warm-up"
+            ),
+            "raw": round(raw_steady, 3),
+            "normalized": norm(raw_steady),
+        }
+
     # Per-round FIXED driver cost, two independent estimates:
     # (a) solved from the two levels' round walls assuming
     #     wall = F + W/k (k = executor count): the model the r4 verdict
@@ -381,6 +403,7 @@ def main() -> None:
         "scaling_efficiency_checked": round(eff_check, 3),
         "normalized_efficiency_fetched": norm(eff_fetch),
         "normalized_efficiency_checked": norm(eff_check),
+        "steady_state_scaling_fetched": steady,
         "fixed_cost": fixed_cost,
         "deep_rounds": deep,
         "weak_scaling": weak,
@@ -389,10 +412,6 @@ def main() -> None:
         "compaction_round_walls": compaction_walls,
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    if weak and "efficiency_fetched_normalized" not in weak:
-        weak["efficiency_fetched_normalized"] = norm(
-            weak["efficiency_fetched_raw"]
-        )
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     out_name = f"scaling_{BENCH_TAG}.json" if BENCH_TAG else "scaling.json"
@@ -489,6 +508,15 @@ stage, state merge + lineage truncation):
 The normalized number is the engine's own scaling behavior (what a
 real cluster with per-machine executors would see), capped at 1.0;
 the raw number multiplies it by this host's physical 4x ceiling.
+"""
+    if steady:
+        md += f"""
+Steady-state (round 1 — the one-time codegen warm-up round — dropped;
+per-ROUND fixed cost F stays included): fetch-path efficiency
+**{steady['raw']} raw / {steady['normalized']} normalized**. Round
+walls: N {wl} vs 4N {wh}. A production crawl runs hundreds of rounds,
+so the warm-up round's share tends to zero; the 2-round headline
+number above charges the engine's scaling for the JIT.
 """
     if fixed_cost["solved_F_sec_per_round"]:
         md += f"""
