@@ -522,6 +522,35 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (operators/dedup.connected_components):
+    phash-hamming pairs -> hash-min + pointer-jump label propagation ->
+    per-document canonical cluster id. Singletons keep their own id;
+    is_canonical marks the exemplar a dedup pipeline would retain."""
+    from publicationsretriever_spark.operators.dedup import (
+        connected_components,
+        hamming_neardup_pairs,
+        simhash64,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    sims = simhash64(docs, "text", "doc_id")
+    pairs = hamming_neardup_pairs(
+        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -678,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash_hamming": q_dedup_phash_hamming,
+        "dedup_clusters": q_dedup_clusters,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -973,7 +1003,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
             ORDER BY id_a, id_b
         """,
-        
+        # near-dup clusters: DuckDB computes the exact transitive
+        # closure (recursive CTE, min reachable id) over the SAME
+        # quadratic-verified pair list — the Spark side must produce an
+        # identical per-document cluster assignment via label
+        # propagation.
+        "dedup_clusters": _SIMHASH_SQL_CTE.replace(
+            "WITH", "WITH RECURSIVE", 1
+        ) + """
+            , prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id,
+                   coalesce(lab.label, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+            ORDER BY d.doc_id
+        """,
+
         "text_quality": """
             WITH d AS (
               SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,

@@ -340,3 +340,198 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: the step
+    that turns pairwise matches (minhash/ngram/simhash/phash output)
+    into per-document cluster assignments.  Without it a dedup
+    pipeline can drop both ends of a chain A~B, B~C (A and C never
+    compare equal): the cluster id — the MIN node id reachable through
+    any chain of pairs — is what a 100 TB corpus keeps one exemplar of.
+    The reference never needs this (its payload dedup is exact-hash
+    only, util/http/ConnSupportUtils.java:414-455); near-dup families
+    require it.
+
+    Algorithm: distributed hash-min label propagation with pointer
+    jumping, all DataFrame ops:
+
+    1. symmetrize the edge list (one distinct, done once);
+    2. each iteration: ``l(v) <- min(l(v), min over neighbors l(u))``
+       (join edges->labels on the neighbor, map-side partial min), then
+       a pointer-jump ``l(v) <- l(l(v))`` (labels self-join) so chains
+       collapse in O(log n) rounds, not O(diameter);
+    3. eager ``localCheckpoint`` per round cuts the lineage (iterative
+       plans otherwise re-derive every prior round and the optimizer
+       re-plans an exponentially growing tree);
+    4. stop when no label changed (one cheap join+count per round —
+       both sides hash-partition on ``node``).
+
+    Labels only decrease and are bounded by the component minimum, and
+    a no-change fixpoint forces ``l(u) == l(v)`` across every
+    (symmetric) edge, so the result is exact.  For adversarial graphs
+    (huge diameter AND huge components) the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) is the documented
+    swap-point; near-dup clusters are small and dense, where hash-min
+    + jump needs 2-4 rounds.
+
+    Returns (node, cluster_id) for every node that appears in
+    ``pairs``; singletons are absent (callers left-join and coalesce to
+    the node's own id — see __spark_entry__.q_dedup_clusters).
+    """
+    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round: scan, don't re-plan
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nmin = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("_bn"), F.col("label").alias("_bl")
+                ),
+                F.col("b") == F.col("_bn"),
+            )
+            .groupBy("a")
+            .agg(F.min("_bl").alias("_nmin"))
+        )
+        stepped = labels.join(nmin, labels["node"] == nmin["a"], "left").select(
+            F.col("node"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        jump = stepped.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        new = (
+            stepped.join(jump, stepped["label"] == jump["_jn"], "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select(
+                    F.col("node").alias("_on"), F.col("label").alias("_ol")
+                ),
+                F.col("node") == F.col("_on"),
+            )
+            .filter(F.col("label") != F.col("_ol"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(pointer jumping covers diameter ~2^iters — this graph is "
+        "adversarial; use the large-star/small-star variant)"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as :func:`connected_components`, different
+    scale envelope: instead of re-shuffling the FULL edge list every
+    round (hash-min's weakness on giant components — think template
+    pages whose near-dup cluster spans millions of docs), each round
+    REWRITES the edge list toward a star, so the shuffled bytes shrink
+    as components collapse and the round count is O(log^2 n) worst
+    case, O(log n) in practice.
+
+    large-star: every node u connects its STRICTLY LARGER neighbors to
+    min(N(u) ∪ {u}); small-star: every node u connects its ≤ neighbors
+    and itself to that min.  Both preserve connectivity and never
+    create inter-component edges; the fixpoint is a star per component
+    centered on its minimum.  Convergence = the (canonicalized) edge
+    set stops changing — checked exactly here with two anti-joins
+    (subtract each way, ``limit(1)``); at 10^10 edges swap the check
+    for count+xor-checksum equality, documented not coded.
+
+    Returns (node, cluster_id) for every node in ``pairs``; singletons
+    absent, like :func:`connected_components`.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (lo, hi) orientation, no loops
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def neighborhoods(e: DataFrame) -> DataFrame:
+        # both directions: one row per (u, neighbor v)
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nb = neighborhoods(e)
+        w = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w), F.col("u")).alias("m")
+        return canon(
+            nb.select("u", "v", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint: rows (u, v<=u)
+        nb = neighborhoods(e).filter(F.col("v") <= F.col("u"))
+        w = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w), F.col("u")).alias("m")
+        links = nb.select("u", "v", m)
+        return canon(
+            links.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+                links.select(F.col("u"), F.col("m").alias("v"))
+            )
+        )
+
+    e = canon(
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = neighborhoods(e).select(F.col("u").alias("node")).distinct()
+    for _ in range(max_iters):
+        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        stable = (
+            new.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new).limit(1).count() == 0
+        )
+        e = new
+        if stable:
+            # fixpoint is a star per component: every non-min node has
+            # exactly one edge, to the component min
+            star = e.select(F.col("v").alias("node"), F.col("u").alias("label"))
+            return (
+                nodes.join(star, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("label", F.col("node")).alias("cluster_id"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iters} rounds"
+    )

@@ -228,3 +228,40 @@ def video_frame_sample(
     return df.select(
         F.col(id_col).alias("media_id"), "bytes"
     ).mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
+def image_dedup_assign(
+    df: DataFrame, max_hamming: int = 2, bands: int | None = None
+) -> DataFrame:
+    """End-to-end image near-dup assignment over the input_hint table
+    (image_id, bytes, w, h, fmt, caption, phash): banded Hamming pairs
+    over the int64 perceptual hash (dedup.hamming_neardup_pairs — the
+    phash column is computed at ingest; decode_image_metrics'
+    phash_check re-derives it from bytes to audit ingest), then
+    connected components so chains of re-encodes A~B~C collapse to one
+    cluster, then a left join back so singletons keep their own id.
+    The reference dedups payloads by exact md5 only
+    (util/http/ConnSupportUtils.java:414-455); near-identical
+    re-encodes of the same image need the distance path.
+
+    Returns (image_id, phash, cluster_id, is_canonical); a 100 TB
+    pipeline keeps ``is_canonical`` rows and drops the rest.
+    """
+    from .dedup import connected_components, hamming_neardup_pairs
+
+    base = df.select("image_id", "phash")
+    pairs = hamming_neardup_pairs(
+        base, "image_id", "phash", max_hamming=max_hamming, bands=bands
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        base.join(labels, base["image_id"] == labels["node"], "left")
+        .select(
+            F.col("image_id"),
+            F.col("phash"),
+            F.coalesce(F.col("cluster_id"), F.col("image_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("is_canonical", F.col("image_id") == F.col("cluster_id"))
+    )

@@ -597,3 +597,152 @@ def test_hamming_neardup_string_ids(spark):
         ("doc-a", "doc-d", 0),
         ("doc-b", "doc-d", 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup pairs -> cluster assignment)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain A-B-C-D collapses to one cluster labeled by its min even
+    though A and D never pair directly; disjoint components keep
+    separate labels; nodes absent from the pair list are absent from
+    the output (callers coalesce)."""
+    from publicationsretriever_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 64-node chain converges well inside max_iters=10: pointer
+    jumping gives O(log n) rounds, not O(diameter)."""
+    from publicationsretriever_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs, max_iters=10).collect()
+    assert len(rows) == n + 1
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_connected_components_string_ids(spark):
+    """Ids keep their native type (ADVICE r4 on hamming ids applies
+    here too): string doc ids propagate by lexicographic min."""
+    from publicationsretriever_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    """Exhausting max_iters must raise, never return partial labels."""
+    from publicationsretriever_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=0)
+
+
+def test_image_dedup_assign_end_to_end(spark):
+    """input_hint table -> cluster assignment: a chain of perturbed
+    re-encodes (each within hamming<=2 of its neighbor, ends possibly
+    farther apart) collapses into ONE cluster keyed by the min
+    image_id; unrelated images stay singletons with is_canonical."""
+    from publicationsretriever_spark.operators.multimodal import (
+        image_dedup_assign,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+        phash64,
+        synth_pixels,
+    )
+
+    base = make_payload_row("img-a0", w=16, h=16)
+    chain = [base]
+    px = synth_pixels("img-a0", 16, 16).astype(np.int32)
+    # flip one phash bit per hop: raise one 2x2 block's luminance enough
+    # to cross the mean threshold — neighbors differ by hamming 1
+    prev_hash = base["phash"]
+    hop = 0
+    for blk in range(8):
+        px2 = px.copy()
+        px2[0 : 2 * (blk + 1), 0:2, :] = 255
+        h2 = phash64(np.clip(px2, 0, 255).astype(np.uint8))
+        dist = bin((h2 ^ prev_hash) & ((1 << 64) - 1)).count("1")
+        if 1 <= dist <= 2:
+            hop += 1
+            row = dict(base)
+            row["image_id"] = f"img-a{hop}"
+            row["phash"] = h2
+            chain.append(row)
+            prev_hash = h2
+            px = px2
+        if hop == 3:
+            break
+    assert hop >= 2, "synthetic chain construction failed"
+    rows = chain + [make_payload_row("img-z-lone", w=16, h=16)]
+    df = spark.createDataFrame(rows)
+    got = {r["image_id"]: r for r in image_dedup_assign(df).collect()}
+    assert got["img-z-lone"]["is_canonical"]
+    assert got["img-z-lone"]["cluster_id"] == "img-z-lone"
+    chain_ids = [r["image_id"] for r in chain]
+    assert {got[i]["cluster_id"] for i in chain_ids} == {"img-a0"}
+    assert got["img-a0"]["is_canonical"]
+    assert not got[chain_ids[-1]]["is_canonical"]
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    """large-star/small-star and hash-min+jump agree on a random graph
+    (chains, triangles, isolated pairs) — same exact contract."""
+    import random
+
+    from publicationsretriever_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30)]           # one long chain
+    edges += [(100, 101), (101, 102), (100, 102)]        # triangle
+    edges += [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(25)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    a = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    b = {r["node"]: r["cluster_id"] for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 30
+
+
+def test_connected_components_star_string_ids(spark):
+    from publicationsretriever_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "x": "x", "y": "x",
+    }
