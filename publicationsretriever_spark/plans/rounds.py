@@ -1904,9 +1904,9 @@ class CrawlEngine:
                 # LINEAGE TRUNCATION at the round boundary: without it
                 # each round's plan nests the whole previous round's DAG
                 # and analysis/codegen time grows super-linearly.
-                # results first and alone: its plan reads EVERY fan-out
-                # cache, so this one job materializes them; the
-                # remaining cuts run concurrently against warm caches.
+                # warm-up cuts (results + counter dims) run first in a
+                # small pool of mutually-independent jobs; the remaining
+                # cuts then run concurrently against warm caches.
                 # delta cardinalities ride the checkpoint jobs as
                 # Observations (CollectMetrics): each count is computed
                 # DURING the cut's own materialization — zero extra scan
@@ -1921,38 +1921,80 @@ class CrawlEngine:
                     return df.observe(o, F.count(F.lit(1)).alias("n"))
 
                 _tp = _time.time()
-                cut = {
+                # Narrow-coalesce the union deltas before the cut: the
+                # results and frontier deltas are unions of MANY
+                # per-branch frames, each carrying its own
+                # parallelism-sized partition slice (measured 384 and
+                # 194 partitions per round), so the checkpoint job AND
+                # every next-round scan pay hundreds of near-empty task
+                # dispatches — pure per-round fixed cost on a small
+                # executor count. coalesce is shuffle-free (one output
+                # task concatenates ~n_branches warm cached blocks) and
+                # the target is num_buckets, which scales with the
+                # configured cluster parallelism — a proportional cap,
+                # not a constant.
+                nb = self.num_buckets
+                # warm-up cuts: results + the two counter dims. The
+                # counter caches must be warm BEFORE the member pool
+                # below starts (members like blocked_domains/domain_flags
+                # read them; concurrent cold jobs would race to compute
+                # the same cached partitions and multiply the work —
+                # measured 5x slower on a multi-executor cluster). But
+                # the three warm-up frames share NO lazy subtree with
+                # each other (results is a union of selects over eager
+                # cuts; each counter is its own merge aggregation over
+                # cuts), so they overlap in a small pool instead of
+                # running serially (measured 4.3s serial at 8 executors
+                # -> max of the three).
+                _pre = {
                     "results": _observed(
-                        "results", out.deltas["results"]
-                    ).localCheckpoint(eager=True)
+                        "results", out.deltas["results"].coalesce(nb)
+                    ),
                 }
-                _phases["results_ckpt"] = round(_time.time() - _tp, 3)
-                if _timing:
-                    print(f"TIMING r{rnd} results_ckpt {_time.time()-_t0:.2f}",
-                          flush=True)
-                    _t0 = _time.time()
                 to_cut = {
                     **{
                         n: (_observed(n, df) if n in ("seen", "payloads") else df)
                         for n, df in out.deltas.items()
                         if n != "results"
                     },
-                    "frontier": _observed("frontier", out.next_frontier),
+                    "frontier": _observed(
+                        "frontier", out.next_frontier.coalesce(nb)
+                    ),
                     **out.fulls,
                 }
-                # the two counter dims are the COLD caches every other
-                # dimension plan reads — materialize them alone first;
-                # concurrent jobs would race to compute the same cold
-                # partitions and multiply the work (measured 5x slower
-                # on a multi-executor cluster)
                 for name in ("domain_counts", "path_counts"):
                     if name in to_cut:
+                        _pre[name] = to_cut.pop(name)
+                cut = {}
+                if _timing:
+                    for name, df in _pre.items():
                         _tt = _time.time()
-                        cut[name] = to_cut.pop(name).localCheckpoint(eager=True)
-                        _phases[f"ckpt_{name}"] = round(_time.time() - _tt, 3)
-                        if _timing:
-                            print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
-                                  flush=True)
+                        cut[name] = df.localCheckpoint(eager=True)
+                        _k = "results_ckpt" if name == "results" else f"ckpt_{name}"
+                        _phases[_k] = round(_time.time() - _tt, 3)
+                        print(f"TIMING r{rnd} ckpt:{name} {_time.time()-_tt:.2f}",
+                              flush=True)
+                    _t0 = _time.time()
+                else:
+                    _pwalls: dict[str, float] = {}
+
+                    def _pre_ckpt(name, df):
+                        _t = _time.time()
+                        r = df.localCheckpoint(eager=True)
+                        _pwalls[name] = round(_time.time() - _t, 3)
+                        return r
+
+                    with ThreadPoolExecutor(max_workers=len(_pre)) as prepool:
+                        _pfuts = {
+                            name: prepool.submit(_pre_ckpt, name, df)
+                            for name, df in _pre.items()
+                        }
+                        cut.update({n: f.result() for n, f in _pfuts.items()})
+                    _phases["results_ckpt"] = _pwalls.get("results", 0.0)
+                    for name in ("domain_counts", "path_counts"):
+                        if name in _pwalls:
+                            _phases[f"ckpt_{name}"] = _pwalls[name]
+                    _phases["warmup_pool"] = round(_time.time() - _tp, 3)
                 _mrows = None
                 _tp = _time.time()
                 if _timing:
