@@ -54,6 +54,9 @@ LEVELS = {
     "4N": int(os.environ.get("BENCH_EXEC_HI", "4")),
 }  # executors per level. Both pay the same
 BENCH_TAG = os.environ.get("BENCH_TAG", "")
+#: the agreement section is owned by tools/scaling_agreement.py — a
+#: bench rewrite drops it (the tool re-appends from fresh json)
+MARK_AGREEMENT = "## Topology agreement"
 # per-executor JVM tax and real BlockManager shuffles. Sized so BOTH
 # levels fit this host WITHOUT saturating it: every 1-core executor
 # drives its own Python UDF worker process (the arrow pipeline overlaps
@@ -335,8 +338,15 @@ def main() -> None:
         if not p:
             return None
         tot = p.get("construct", 0.0)
-        for k in ("results_ckpt", "ckpt_domain_counts", "ckpt_path_counts",
-                  "pooled_ckpt", "compact", "sketch"):
+        if "warmup_pool" in p:
+            # the results/domain_counts/path_counts cuts overlap in a
+            # pool — their per-member walls would double-count; the
+            # pool wall is the driver-time actually spent
+            keys = ("warmup_pool", "pooled_ckpt", "compact", "sketch")
+        else:
+            keys = ("results_ckpt", "ckpt_domain_counts",
+                    "ckpt_path_counts", "pooled_ckpt", "compact", "sketch")
+        for k in keys:
             tot += p.get(k) or 0.0
         return round(tot, 3)
 
@@ -619,6 +629,20 @@ r4 metric whose sign flipped with arm order is retired.
     md += f"""
 Reproduce: `python tools/bench_cluster_scaling.py {n_urls} {n_hosts} {pages_max}`
 """
+    # carry over hand-maintained H2 sections from the previous report
+    # (topology agreement is re-generated by tools/scaling_agreement.py;
+    # anything else — e.g. the IVF Lloyd A/B — must survive a rerun)
+    old_path = bench_dir / "BASELINE.md"
+    if old_path.exists():
+        old = old_path.read_text()
+        own_heads = {
+            l for l in md.splitlines() if l.startswith("## ")
+        } | {MARK_AGREEMENT}
+        chunks = old.split("\n## ")
+        for chunk in chunks[1:]:
+            head = "## " + chunk.split("\n", 1)[0]
+            if head not in own_heads:
+                md += "\n## " + chunk.rstrip() + "\n"
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps(report))
 
