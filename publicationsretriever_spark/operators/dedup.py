@@ -14,7 +14,7 @@ here has an exact DuckDB-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -369,8 +369,10 @@ def connected_components(
     3. eager ``localCheckpoint`` per round cuts the lineage (iterative
        plans otherwise re-derive every prior round and the optimizer
        re-plans an exponentially growing tree);
-    4. stop when no label changed (one cheap join+count per round —
-       both sides hash-partition on ``node``).
+    4. stop when no label changed — the changed-count rides the
+       checkpoint's own materialization as an ``Observation`` (the
+       previous label travels as a column), so convergence costs zero
+       extra jobs per round instead of a join + count.
 
     Labels only decrease and are bounded by the component minimum, and
     a no-change fixpoint forces ``l(u) == l(v)`` across every
@@ -410,6 +412,7 @@ def connected_components(
         )
         stepped = labels.join(nmin, labels["node"] == nmin["a"], "left").select(
             F.col("node"),
+            F.col("label").alias("_prev"),
             F.least(
                 F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
             ).alias("label"),
@@ -417,25 +420,29 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("_jn"), F.col("label").alias("_jl")
         )
+        # the convergence count rides the checkpoint job: _prev is this
+        # node's label from the previous round (already in the row —
+        # no join needed), and the Observation is aggregated while the
+        # checkpoint materializes, so detecting the fixpoint costs no
+        # extra scan
+        obs = Observation()
         new = (
             stepped.join(jump, stepped["label"] == jump["_jn"], "left")
             .select(
                 F.col("node"),
                 F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+                F.col("_prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("_prev")).cast("long")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(
-                labels.select(
-                    F.col("node").alias("_on"), F.col("label").alias("_ol")
-                ),
-                F.col("node") == F.col("_on"),
-            )
-            .filter(F.col("label") != F.col("_ol"))
-            .count()
-        )
-        labels = new
+        changed = obs.get["changed"] or 0
+        labels = new.drop("_prev")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
     raise RuntimeError(
