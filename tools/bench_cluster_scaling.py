@@ -388,12 +388,16 @@ def main() -> None:
             if i > 0 and w and f
         ]
         per_url = [w / f for _i, w, f, _c in rows]
-        steady = [w / f for _i, w, f, c in rows if not c]
+        # NOTE: distinct name — `steady` above holds the steady-state
+        # strong-scaling dict and reaches the report verbatim
+        per_url_steady = [w / f for _i, w, f, c in rows if not c]
         compaction_walls = [(i, w) for i, w, _f, c in rows if c]
         if per_url:
             flatness = round(max(per_url) / min(per_url) - 1.0, 3)
-        if steady:
-            flatness_steady = round(max(steady) / min(steady) - 1.0, 3)
+        if per_url_steady:
+            flatness_steady = round(
+                max(per_url_steady) / min(per_url_steady) - 1.0, 3
+            )
     report = {
         "topology": {
             "N": f"{LEVELS['N']} executors x {EXEC_CORES} cores",
