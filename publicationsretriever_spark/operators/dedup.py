@@ -363,9 +363,16 @@ def connected_components(
 
     1. symmetrize the edge list (one distinct, done once);
     2. each iteration: ``l(v) <- min(l(v), min over neighbors l(u))``
-       (join edges->labels on the neighbor, map-side partial min), then
-       a pointer-jump ``l(v) <- l(l(v))`` (labels self-join) so chains
-       collapse in O(log n) rounds, not O(diameter);
+       in ONE aggregation — neighbor candidates (edges joined to
+       labels on the neighbor end) are unioned with each node's own
+       label row and reduced by a single ``groupBy(node).min`` with
+       map-side partial aggregation; the previous label rides the
+       same aggregate (``max`` over a column that is null on neighbor
+       rows and l(v) on the unique self row), so no second join is
+       needed to either apply the self-min or recover the prior
+       label.  Then a pointer-jump ``l(v) <- l(l(v))`` (labels
+       self-join) so chains collapse in O(log n) rounds, not
+       O(diameter) — three shuffles per round total;
     3. eager ``localCheckpoint`` per round cuts the lineage (iterative
        plans otherwise re-derive every prior round and the optimizer
        re-plans an exponentially growing tree);
@@ -399,23 +406,34 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    label_type = labels.schema["label"].dataType
     for _ in range(max_iters):
-        nmin = (
-            e.join(
-                labels.select(
-                    F.col("node").alias("_bn"), F.col("label").alias("_bl")
-                ),
-                F.col("b") == F.col("_bn"),
-            )
-            .groupBy("a")
-            .agg(F.min("_bl").alias("_nmin"))
+        nbr = e.join(
+            labels.select(
+                F.col("node").alias("_bn"), F.col("label").alias("_bl")
+            ),
+            F.col("b") == F.col("_bn"),
+        ).select(
+            F.col("a").alias("node"),
+            F.col("_bl").alias("_cand"),
+            F.lit(None).cast(label_type).alias("_self"),
         )
-        stepped = labels.join(nmin, labels["node"] == nmin["a"], "left").select(
+        own = labels.select(
             F.col("node"),
-            F.col("label").alias("_prev"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-            ).alias("label"),
+            F.col("label").alias("_cand"),
+            F.col("label").alias("_self"),
+        )
+        # one shuffle applies BOTH the neighbor-min and the self-min
+        # and carries the previous label out of the same aggregate:
+        # every node has exactly one non-null _self row, so max(_self)
+        # IS l(v) from the prior round
+        stepped = (
+            nbr.union(own)
+            .groupBy("node")
+            .agg(
+                F.min("_cand").alias("label"),
+                F.max("_self").alias("_prev"),
+            )
         )
         jump = stepped.select(
             F.col("node").alias("_jn"), F.col("label").alias("_jl")
