@@ -96,7 +96,12 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    df_mode: str = "collect",
 ) -> DataFrame:
     """EXACT n-gram Jaccard >= threshold via PREFIX FILTERING (the
     All-Pairs/PPJoin technique): order every document's shingles by
@@ -135,11 +140,32 @@ def ngram_jaccard_pairs(
     byte-identical output; a 64-bit collision (P ~ n^2/2^64 — ~1e-8
     even at 10^10 distinct shingles... per pair of shingles, union
     bound ~ n^2/2^65 overall) could merge two shingles and perturb one
-    count. The skew note still applies: the doc-frequency aggregation
-    collects the id list per shingle (~8 bytes x M for a shingle shared
-    by M documents) — fine through M ~ 10^7; hotter corpora should use
-    minhash_lsh_pairs for the candidate stage.
+    count.
+
+    ``df_mode`` picks the doc-frequency formulation:
+
+    - ``"collect"`` (default): one groupBy collects (count, id-list)
+      per shingle then re-explodes — two shuffles, measured fastest at
+      test scale, but the per-shingle id list is a SINGLE in-memory
+      aggregation buffer (~8 bytes x M for a shingle shared by M
+      documents) that cannot spill — fine through M ~ 10^7.
+    - ``"join"``: the scale path. The shingle table is materialized
+      once (eager localCheckpoint), doc-frequency is a plain
+      groupBy().count() — map-side partial aggregation makes a hot
+      shingle combine LOCALLY on every partition, so no task ever
+      sees more than (#partitions) partial counts — and the counts
+      join back onto the checkpointed table (AQE skew-join splits a
+      hot shingle's probe rows; the counts side is one row per
+      DISTINCT shingle and often broadcasts). No unbounded buffer
+      anywhere; the checkpoint costs one linear materialization of
+      the shingle table, which is why it is not the default at test
+      scale.
+
+    Both modes produce byte-identical output (the df values are equal;
+    everything downstream is deterministic in them).
     """
+    if df_mode not in ("collect", "join"):
+        raise ValueError(f"df_mode must be 'collect' or 'join', got {df_mode!r}")
     sh = df.select(
         F.col(id_col),
         F.explode(
@@ -149,15 +175,24 @@ def ngram_jaccard_pairs(
             )
         ).alias("sh"),
     )
-    # doc-frequency WITHOUT a join back to the shingle table: one
-    # groupBy collects (count, ids) per shingle, then re-explodes the
-    # id list — the shingling expression runs ONCE and the plan costs
-    # two shuffles instead of three (the join formulation re-evaluated
-    # the whole shingle subtree on the probe side; measured 2x slower).
-    fw = sh.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("df_sh"), F.collect_list(id_col).alias("_ids")
-    )
-    shdf = fw.select("sh", "df_sh", F.explode("_ids").alias(id_col))
+    if df_mode == "join":
+        # scale path: checkpoint kills the probe-side re-evaluation
+        # that made the naive join formulation 2x slower; the count
+        # aggregate partial-combines map-side, so hot shingles never
+        # concentrate rows in one task the way collect_list does
+        sh = sh.localCheckpoint(eager=True)
+        counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+        shdf = sh.join(counts, "sh")
+    else:
+        # doc-frequency WITHOUT a join back to the shingle table: one
+        # groupBy collects (count, ids) per shingle, then re-explodes
+        # the id list — the shingling expression runs ONCE and the plan
+        # costs two shuffles instead of three
+        fw = sh.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("df_sh"),
+            F.collect_list(id_col).alias("_ids"),
+        )
+        shdf = fw.select("sh", "df_sh", F.explode("_ids").alias(id_col))
     # per-doc shingle array in canonical (rarity, shingle) order. The
     # sets feed three consumers (prefix explode + both join sides) but
     # need NO cache/checkpoint: AQE reuses the sets-build shuffle

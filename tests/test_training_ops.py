@@ -74,6 +74,25 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_df_modes_identical(spark, docs):
+    """The skew-immune df_mode='join' scale path must emit exactly the
+    rows of the default collect_list formulation — including on a
+    corpus with a HOT shingle (one trigram shared by every doc), the
+    case whose id-list buffer motivates the join mode."""
+    hot = [(i, f"common shared boilerplate prefix doc {i} body {i * 7}")
+           for i in range(12)]
+    hot_df = spark.createDataFrame(hot, ["doc_id", "text"])
+    for frame in (docs, hot_df):
+        rows = lambda mode: sorted(
+            tuple(r) for r in ngram_jaccard_pairs(
+                frame, "text", "doc_id", k=3, threshold=0.1, df_mode=mode
+            ).collect()
+        )
+        assert rows("collect") == rows("join")
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, "text", "doc_id", df_mode="bogus")
+
+
 def test_simhash_similarity_structure(docs):
     sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
     assert sims[0] == sims[1]  # identical text -> identical simhash
