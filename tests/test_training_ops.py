@@ -748,6 +748,55 @@ def test_connected_components_star_matches_hashmin(spark):
     assert a == b and len(a) > 30
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """Both distributed variants agree with a pure-Python union-find
+    on random graphs of varying density — the exactness claim checked
+    against an independent reference implementation, not just against
+    each other."""
+    import random
+
+    from publicationsretriever_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def uf_clusters(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed, n_edges in ((3, 15), (11, 45), (42, 90)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(0, 40), rng.randrange(0, 40))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = uf_clusters(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        got_star = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"hash-min diverges at seed={seed}"
+        assert got_star == want, f"star diverges at seed={seed}"
+
+
 def test_connected_components_star_string_ids(spark):
     from publicationsretriever_spark.operators.dedup import (
         connected_components_star,
