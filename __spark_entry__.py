@@ -551,6 +551,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster metadata resolution (operators/dedup.
+    canonicalize_clusters — the caption-vote step of
+    multimodal.image_caption_canonicalize, exercised here on the
+    documents table where the DuckDB oracle can verify it): near-dup
+    clusters by simhash-hamming, then majority-vote canonical source
+    and lang per cluster with deterministic ties, conflict flags for
+    the labeling-QA sample."""
+    from publicationsretriever_spark.operators.dedup import (
+        canonicalize_clusters,
+        connected_components,
+        hamming_neardup_pairs,
+        simhash64,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text", "source", "lang")
+    sims = simhash64(docs, "text", "doc_id")
+    pairs = hamming_neardup_pairs(
+        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    assigned = docs.join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return canonicalize_clusters(
+        assigned, "cluster_id", "doc_id", ["source", "lang"]
+    ).orderBy("cluster_id")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -708,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash_hamming": q_dedup_phash_hamming,
         "dedup_clusters": q_dedup_clusters,
+        "caption_canonical": q_caption_canonical,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1032,6 +1068,82 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(lab.label, d.doc_id) = d.doc_id AS is_canonical
             FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
             ORDER BY d.doc_id
+        """,
+        # per-cluster metadata vote: same exact transitive closure,
+        # then majority value per attribute — DuckDB mirrors the Spark
+        # reduce's tie-break (highest count, then LARGEST value:
+        # max_by(a, struct(cnt, a))) with row_number ORDER BY cnt DESC,
+        # value DESC; n_<a> is count(DISTINCT a) (non-null).
+        "caption_canonical": _SIMHASH_SQL_CTE.replace(
+            "WITH", "WITH RECURSIVE", 1
+        ) + """
+            , prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+            asg AS (
+              SELECT d.doc_id, d.source, d.lang,
+                     CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+            ),
+            base AS (
+              SELECT cluster_id, count(*) AS cluster_size,
+                     min(doc_id) AS canonical_doc_id
+              FROM asg GROUP BY cluster_id
+            ),
+            sc AS (
+              SELECT cluster_id, source, count(*) AS cnt FROM asg
+              WHERE source IS NOT NULL GROUP BY 1, 2
+            ),
+            ssel AS (
+              SELECT cluster_id, source AS canonical_source FROM (
+                SELECT cluster_id, source,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY cnt DESC, source DESC) AS rn
+                FROM sc) WHERE rn = 1
+            ),
+            sn AS (
+              SELECT cluster_id, count(DISTINCT source) AS n_source
+              FROM asg GROUP BY cluster_id
+            ),
+            lc AS (
+              SELECT cluster_id, lang, count(*) AS cnt FROM asg
+              WHERE lang IS NOT NULL GROUP BY 1, 2
+            ),
+            lsel AS (
+              SELECT cluster_id, lang AS canonical_lang FROM (
+                SELECT cluster_id, lang,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY cnt DESC, lang DESC) AS rn
+                FROM lc) WHERE rn = 1
+            ),
+            ln AS (
+              SELECT cluster_id, count(DISTINCT lang) AS n_lang
+              FROM asg GROUP BY cluster_id
+            )
+            SELECT b.cluster_id, b.cluster_size, b.canonical_doc_id,
+                   ssel.canonical_source, sn.n_source,
+                   sn.n_source > 1 AS source_conflict,
+                   lsel.canonical_lang, ln.n_lang,
+                   ln.n_lang > 1 AS lang_conflict
+            FROM base b
+            LEFT JOIN ssel USING (cluster_id)
+            JOIN sn USING (cluster_id)
+            LEFT JOIN lsel USING (cluster_id)
+            JOIN ln USING (cluster_id)
+            ORDER BY b.cluster_id
         """,
 
         "text_quality": """

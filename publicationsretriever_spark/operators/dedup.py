@@ -595,3 +595,67 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iters} rounds"
     )
+
+
+def canonicalize_clusters(
+    assigned: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Per-cluster attribute resolution — the step AFTER
+    connected_components in an image+caption dedup pipeline: once
+    near-dup rows share a ``cluster_col``, a 100 TB pipeline keeps one
+    exemplar per cluster and must decide which caption / source /
+    license the survivor carries.  The reference never merges records
+    (its payload dedup is exact-md5 drop, ConnSupportUtils.java:414-455)
+    so conflicting metadata between near-identical re-encodes is
+    invisible to it; at training-data scale the conflicts ARE the
+    signal (mislabeled duplicates poison both arms of a contrastive
+    pair).
+
+    For each cluster emits one row:
+
+    - ``cluster_size``           rows in the cluster,
+    - ``canonical_<id_col>``     min id (the exemplar dedup keeps),
+    - per attr ``a`` in ``attr_cols``:
+        ``canonical_<a>``  majority value, ties broken by the LARGEST
+                           value (deterministic: the reduce is
+                           ``max_by(a, struct(cnt, a))`` so equal
+                           counts order by the value itself),
+        ``n_<a>``          distinct values in the cluster,
+        ``<a>_conflict``   n_<a> > 1.
+
+    Shuffle shape: one ``groupBy(cluster, a).count`` per attr (map-side
+    partial aggregation collapses duplicate values before the
+    exchange — captions repeat heavily inside a near-dup cluster) then
+    a ``groupBy(cluster)`` reduce; no windows, no explode, never a
+    per-cluster collect.  All joins are on the cluster key, so AQE
+    plans them as co-partitioned sort-merge at scale and broadcasts at
+    test scale.  NULLs match SQL aggregate semantics: ``n_<a>`` counts
+    distinct NON-NULL values (``count(distinct a)``), and the canonical
+    value is the majority non-null one (the ordering struct is nulled
+    for NULL attrs so ``max_by`` skips them); an all-NULL cluster gets
+    ``canonical_<a>`` NULL, ``n_<a>`` 0, no conflict.
+    """
+    base = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(id_col).alias(f"canonical_{id_col}"),
+    )
+    out = base
+    for a in attr_cols:
+        counts = assigned.groupBy(cluster_col, a).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        resolved = counts.groupBy(cluster_col).agg(
+            F.max_by(
+                a,
+                F.when(
+                    F.col(a).isNotNull(),
+                    F.struct(F.col("_cnt"), F.col(a)),
+                ),
+            ).alias(f"canonical_{a}"),
+            F.count(a).alias(f"n_{a}"),
+        ).withColumn(f"{a}_conflict", F.col(f"n_{a}") > 1)
+        out = out.join(resolved, cluster_col)
+    return out

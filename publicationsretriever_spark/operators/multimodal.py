@@ -265,3 +265,37 @@ def image_dedup_assign(
         )
         .withColumn("is_canonical", F.col("image_id") == F.col("cluster_id"))
     )
+
+
+def image_caption_canonicalize(
+    df: DataFrame,
+    max_hamming: int = 2,
+    bands: int | None = None,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Caption conflict resolution over the input_hint table: cluster
+    near-dup images (``image_dedup_assign``: banded phash-Hamming pairs
+    -> connected components), then resolve each cluster's caption by
+    majority vote (``dedup.canonicalize_clusters``). Re-encodes of one
+    image crawled from different pages carry different captions; a
+    contrastive-training pipeline must keep ONE (image, caption) pair
+    per cluster and knows which clusters carried conflicting text
+    (``caption_conflict`` — those are the rows a labeling-QA pass
+    samples). The reference has no analogue (exact-md5 payload drop,
+    util/http/ConnSupportUtils.java:414-455, keeps the first caption
+    it happened to fetch — nondeterministic under its thread pool;
+    this operator's majority-with-deterministic-ties vote is
+    reproducible run-to-run by construction).
+
+    Returns one row per cluster: (cluster_id, cluster_size,
+    canonical_image_id, canonical_caption, n_caption,
+    caption_conflict).
+    """
+    from .dedup import canonicalize_clusters
+
+    attr_cols = attr_cols or ["caption"]
+    assign = image_dedup_assign(df, max_hamming=max_hamming, bands=bands)
+    joined = df.select("image_id", *attr_cols).join(
+        assign.select("image_id", "cluster_id"), "image_id"
+    )
+    return canonicalize_clusters(joined, "cluster_id", "image_id", attr_cols)

@@ -814,3 +814,92 @@ def test_connected_components_star_string_ids(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "x": "x", "y": "x",
     }
+
+
+def test_canonicalize_clusters_majority_ties_and_nulls(spark):
+    """Per-cluster vote: majority wins; equal counts break to the
+    LARGEST value (max_by(a, struct(cnt, a))); NULL attrs are skipped
+    for the canonical value and excluded from n_<a> (SQL count(distinct)
+    semantics); an all-NULL cluster yields (NULL, 0, no conflict)."""
+    from publicationsretriever_spark.operators.dedup import (
+        canonicalize_clusters,
+    )
+
+    rows = [
+        # cluster 1: majority caption "cat" (2 vs 1), one NULL skipped
+        (10, 1, "cat"), (11, 1, "cat"), (12, 1, "dog"), (13, 1, None),
+        # cluster 2: tie 1-1 -> larger string "b" wins
+        (20, 2, "a"), (21, 2, "b"),
+        # cluster 3: all NULL
+        (30, 3, None), (31, 3, None),
+        # cluster 4: singleton
+        (40, 4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cluster_id long, caption string")
+    got = {
+        r["cluster_id"]: r
+        for r in canonicalize_clusters(
+            df, "cluster_id", "id", ["caption"]
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    c1 = got[1]
+    assert (c1["cluster_size"], c1["canonical_id"]) == (4, 10)
+    assert (c1["canonical_caption"], c1["n_caption"]) == ("cat", 2)
+    assert c1["caption_conflict"]
+    assert got[2]["canonical_caption"] == "b" and got[2]["caption_conflict"]
+    c3 = got[3]
+    assert c3["canonical_caption"] is None
+    assert c3["n_caption"] == 0 and not c3["caption_conflict"]
+    c4 = got[4]
+    assert (c4["canonical_caption"], c4["n_caption"]) == ("solo", 1)
+    assert not c4["caption_conflict"]
+
+
+def test_image_caption_canonicalize_end_to_end(spark):
+    """input_hint table -> near-dup clusters -> caption vote: a pair of
+    re-encodes with conflicting captions resolves to the majority (or
+    tie-max) caption with the conflict flagged; the lone image keeps
+    its caption unflagged."""
+    from publicationsretriever_spark.operators.multimodal import (
+        image_caption_canonicalize,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+        phash64,
+        synth_pixels,
+    )
+
+    base = make_payload_row("img-a0", w=16, h=16)
+    base["caption"] = "a cat on a mat"
+    px = synth_pixels("img-a0", 16, 16).astype(np.int32)
+    twin = None
+    for blk in range(8):
+        px2 = px.copy()
+        px2[0 : 2 * (blk + 1), 0:2, :] = 255
+        h2 = phash64(np.clip(px2, 0, 255).astype(np.uint8))
+        dist = bin((h2 ^ base["phash"]) & ((1 << 64) - 1)).count("1")
+        if 1 <= dist <= 2:
+            twin = dict(base)
+            twin["image_id"] = "img-a1"
+            twin["phash"] = h2
+            twin["caption"] = "un chat"
+            break
+    assert twin is not None, "synthetic twin construction failed"
+    lone = make_payload_row("img-z-lone", w=16, h=16)
+    lone["caption"] = "a dog"
+    df = spark.createDataFrame([base, twin, lone])
+    got = {
+        r["cluster_id"]: r
+        for r in image_caption_canonicalize(df).collect()
+    }
+    assert set(got) == {"img-a0", "img-z-lone"}
+    pair = got["img-a0"]
+    assert pair["cluster_size"] == 2
+    assert pair["canonical_image_id"] == "img-a0"
+    # 1-1 tie -> lexicographically larger caption, deterministic
+    assert pair["canonical_caption"] == "un chat"
+    assert pair["n_caption"] == 2 and pair["caption_conflict"]
+    solo = got["img-z-lone"]
+    assert (solo["canonical_caption"], solo["n_caption"]) == ("a dog", 1)
+    assert not solo["caption_conflict"]
