@@ -547,16 +547,42 @@ def lsh_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     planes: list[int] | None = None,
+    plane_kind: str = "axis",
+    plane_seed: int = 0xC0FFEE,
+    center: bool = True,
 ) -> DataFrame:
     """ANN: join only within matching sign-LSH buckets, then exact
     cosine + top-k. Recall < 1 by construction; the bucket join replaces
-    the cross product (candidate set ~ n / 2^bits per query)."""
+    the cross product (candidate set ~ n / 2^bits per query).
+
+    ``plane_kind``: "axis" (default — coordinate-sign bits, the
+    oracle-portable form) or "gaussian" (dense seeded planes,
+    mean-centered when ``center`` — the production form for real
+    correlated/biased-mean embeddings where axis bits collapse into a
+    few giant buckets; same plane family as embedding_neardup_pairs,
+    both sides bucketed with the identical literal matrix so the join
+    stays bucket-exact)."""
     planes = planes or [0, 1, 2, 3]
-    v = vectors.withColumn("_bucket", signlsh_bucket(F.col(vec_col), planes))
+    if plane_kind == "gaussian":
+        row = vectors.select(
+            F.first(F.size(F.col(vec_col))).alias("d")
+        ).head()
+        dim = int(row["d"]) if row["d"] is not None else 4
+        mat = gaussian_planes(dim, bits=len(planes), seed=plane_seed)
+        thresholds = None
+        if center:
+            mu = corpus_mean(vectors, vec_col, dim)
+            thresholds = [
+                sum(wi * mi for wi, mi in zip(w, mu)) for w in mat
+            ]
+        bucket_expr = signlsh_bucket_dense(F.col(vec_col), mat, thresholds)
+    else:
+        bucket_expr = signlsh_bucket(F.col(vec_col), planes)
+    v = vectors.withColumn("_bucket", bucket_expr)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        signlsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        bucket_expr.alias("_bucket"),
     )
     joined = v.join(F.broadcast(q), "_bucket")
     scored = joined.select(

@@ -903,3 +903,42 @@ def test_image_caption_canonicalize_end_to_end(spark):
     solo = got["img-z-lone"]
     assert (solo["canonical_caption"], solo["n_caption"]) == ("a dog", 1)
     assert not solo["caption_conflict"]
+
+
+def test_lsh_topk_gaussian_planes_on_correlated_corpus(spark):
+    """lsh_topk plane_kind='gaussian': on the same biased-mean corpus
+    where axis bits collapse to ONE bucket (the n^2 failure mode), the
+    dense-plane path must keep serving correct neighbors — each query
+    vector drawn from the corpus finds ITSELF at rank 1 (cos 1.0) and
+    its planted scaled twin at rank 2, deterministically across calls.
+    Corpus and queries are bucketed with the identical literal matrix,
+    so a query always lands in its own vector's bucket (exact-match
+    recall is 1 by construction, not by luck)."""
+    from publicationsretriever_spark.operators.similarity import lsh_topk
+
+    n, dim = 1000, 8
+    rng = np.random.default_rng(31)
+    base = np.concatenate(
+        [rng.normal(1.0, 0.05, size=(n, 4)), rng.normal(0.0, 0.3, size=(n, 4))],
+        axis=1,
+    )
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows.append((n, [v * 1.0005 for v in rows[7][1]]))  # twin of 7
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(100, rows[7][1]), (101, rows[42][1])],
+        "query_id long, embedding array<double>",
+    )
+    got = lsh_topk(
+        vecs, qs, k=2, planes=list(range(6)), plane_kind="gaussian"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r
+    assert by_q[100][1]["vec_id"] == 7 and by_q[100][1]["cos_sim"] == 1.0
+    assert by_q[100][2]["vec_id"] == n  # the scaled twin
+    assert by_q[101][1]["vec_id"] == 42 and by_q[101][1]["cos_sim"] == 1.0
+    got2 = lsh_topk(
+        vecs, qs, k=2, planes=list(range(6)), plane_kind="gaussian"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
