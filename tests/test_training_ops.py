@@ -942,3 +942,56 @@ def test_lsh_topk_gaussian_planes_on_correlated_corpus(spark):
         vecs, qs, k=2, planes=list(range(6)), plane_kind="gaussian"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_canonicalize_clusters_randomized_crosscheck(spark):
+    """Randomized cross-check against a plain-Python reference vote
+    (same style as the union-find check for connected_components):
+    random cluster assignments with skewed value distributions and
+    NULLs, the DataFrame reduce must reproduce the reference's
+    (size, min-id, majority-with-max-tie, distinct-non-null) exactly."""
+    import random
+    from collections import Counter
+
+    from publicationsretriever_spark.operators.dedup import (
+        canonicalize_clusters,
+    )
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = rng.randint(40, 120)
+        rows = []
+        for i in range(n):
+            cl = rng.randint(0, 9)
+            cap = rng.choice(
+                [None, "a", "b", "bb", "c", "z", f"v{rng.randint(0, 3)}"]
+            )
+            rows.append((i, cl, cap))
+        df = spark.createDataFrame(
+            rows, "id long, cluster_id long, caption string"
+        )
+        got = {
+            r["cluster_id"]: r
+            for r in canonicalize_clusters(
+                df, "cluster_id", "id", ["caption"]
+            ).collect()
+        }
+        # reference
+        by_cl = {}
+        for i, cl, cap in rows:
+            by_cl.setdefault(cl, []).append((i, cap))
+        assert set(got) == set(by_cl)
+        for cl, members in by_cl.items():
+            ids = [i for i, _ in members]
+            vals = [c for _, c in members if c is not None]
+            r = got[cl]
+            assert r["cluster_size"] == len(members)
+            assert r["canonical_id"] == min(ids)
+            assert r["n_caption"] == len(set(vals))
+            assert r["caption_conflict"] == (len(set(vals)) > 1)
+            if vals:
+                cnt = Counter(vals)
+                best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
+                assert r["canonical_caption"] == best, (trial, cl, cnt, r)
+            else:
+                assert r["canonical_caption"] is None
