@@ -586,6 +586,38 @@ def q_caption_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/dedup.
+    cluster_safe_split): near-dup clusters by simhash-hamming, split
+    decided by an md5 bucket of the CLUSTER id so no near-dup pair
+    ever straddles train/test."""
+    from publicationsretriever_spark.operators.dedup import (
+        cluster_safe_split,
+        connected_components,
+        hamming_neardup_pairs,
+        simhash64,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    sims = simhash64(docs, "text", "doc_id")
+    pairs = hamming_neardup_pairs(
+        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    assigned = docs.join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return (
+        cluster_safe_split(assigned, "cluster_id", test_frac=0.2)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -744,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_hamming": q_dedup_phash_hamming,
         "dedup_clusters": q_dedup_clusters,
         "caption_canonical": q_caption_canonical,
+        "leakage_safe_split": q_leakage_safe_split,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1144,6 +1177,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lsel USING (cluster_id)
             JOIN ln USING (cluster_id)
             ORDER BY b.cluster_id
+        """,
+        # leakage-safe split: same transitive closure; the split is a
+        # pure md5 bucket of the cluster id (first 8 hex chars mod 1e4
+        # < frac*1e4) — DuckDB's hex-literal cast mirrors Spark's
+        # conv(substr(md5, 1, 8), 16, 10).
+        "leakage_safe_split": _SIMHASH_SQL_CTE.replace(
+            "WITH", "WITH RECURSIVE", 1
+        ) + """
+            , prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+            asg AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5('split-v1:' || CAST(cluster_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) % 10000 < 2000
+                        THEN 'test' ELSE 'train' END AS split
+            FROM asg
+            ORDER BY doc_id
         """,
 
         "text_quality": """

@@ -659,3 +659,55 @@ def canonicalize_clusters(
         ).withColumn(f"{a}_conflict", F.col(f"n_{a}") > 1)
         out = out.join(resolved, cluster_col)
     return out
+
+
+def cluster_safe_split(
+    assigned: DataFrame,
+    cluster_col: str = "cluster_id",
+    test_frac: float = 0.1,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/test split: hash the CLUSTER id, not the row
+    id, so every member of a near-dup cluster lands on the same side.
+    Splitting rows independently after dedup-clustering leaks — a
+    near-duplicate of a test image sitting in train inflates eval
+    (the exact failure near-dup detection exists to prevent); hashing
+    the cluster key makes the split closed over the \"is a near-dup
+    of\" relation by construction.
+
+    Deterministic and engine-portable: bucket =
+    first 8 hex chars of md5(seed || ':' || cluster_id) mod 10^4,
+    test iff bucket < test_frac * 10^4 (md5 keeps the exact DuckDB
+    oracle, same trick as the simhash CTE). Pure per-row projection —
+    no shuffle, no RNG state; re-running with the same seed on a GROWN
+    corpus keeps every previously-assigned cluster on its original
+    side (stable splits across dataset versions, the property random
+    splits lack).
+
+    Adds a ``split`` column ('test'/'train') to ``assigned``.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)),
+                        F.lit(":"),
+                        F.col(cluster_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10000
+    )
+    return assigned.withColumn(
+        "split",
+        F.when(bucket < int(round(test_frac * 10000)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -995,3 +995,34 @@ def test_canonicalize_clusters_randomized_crosscheck(spark):
                 assert r["canonical_caption"] == best, (trial, cl, cnt, r)
             else:
                 assert r["canonical_caption"] is None
+
+
+def test_cluster_safe_split_no_straddle_and_stable(spark):
+    """Leakage-safe split: (1) every cluster's members land on ONE side
+    — the closure property that row-level random splits lack; (2) the
+    realized test fraction is within a few points of the target on a
+    1000-cluster corpus; (3) growing the corpus never flips a
+    previously-assigned cluster's side (the split is a pure function
+    of cluster id + seed, no RNG state)."""
+    from publicationsretriever_spark.operators.dedup import (
+        cluster_safe_split,
+    )
+
+    rows = [(i, i // 3) for i in range(3000)]  # 1000 clusters of 3
+    df = spark.createDataFrame(rows, "id long, cluster_id long")
+    out = cluster_safe_split(df, "cluster_id", test_frac=0.2).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())  # no straddle
+    frac = sum(1 for s in sides.values() if s == {"test"}) / len(sides)
+    assert 0.15 < frac < 0.25, frac
+    # growth stability: same clusters + new ones -> old sides unchanged
+    grown = spark.createDataFrame(
+        rows + [(i, i // 3) for i in range(3000, 3600)],
+        "id long, cluster_id long",
+    )
+    out2 = cluster_safe_split(grown, "cluster_id", test_frac=0.2).collect()
+    sides2 = {r["cluster_id"]: r["split"] for r in out2}
+    for cl, s in sides.items():
+        assert sides2[cl] == next(iter(s))
