@@ -1,0 +1,108 @@
+"""spark-submit entry point for training-dataset assembly: crawl
+payloads (input_hint table) -> decode audit -> phash near-dup
+clusters -> caption vote -> leakage-safe split -> committed snapshot.
+
+Runs after (or downstream of) jobs/crawl_job.py, against the same
+snapshot-catalog machinery, so the dataset is itself an atomic,
+resumable, lineage-carrying commit:
+
+    spark-submit --py-files build/publicationsretriever_spark.zip \
+        jobs/dataset_job.py --out /shared/dataset-catalog \
+        --payloads /shared/payloads.parquet --test-frac 0.1
+
+Sandbox (no external data): omit --payloads and the deterministic
+synthetic web's payload store is used; --from-crawl CATALOG restricts
+it to the image_ids a committed crawl actually fetched (the exact
+production flow: the crawl's payloads table is the dataset's input).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="training-dataset job")
+    ap.add_argument("--out", required=True, help="dataset catalog dir")
+    ap.add_argument("--payloads", default=None,
+                    help="input_hint parquet path (production input)")
+    ap.add_argument("--from-crawl", default=None,
+                    help="crawl catalog dir: restrict to its fetched "
+                         "image_ids (latest committed snapshot)")
+    ap.add_argument("--hosts", type=int, default=50)
+    ap.add_argument("--pages-max", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--test-frac", type=float, default=0.1)
+    ap.add_argument("--max-hamming", type=int, default=2)
+    ap.add_argument("--no-audit", action="store_true",
+                    help="skip the decode audit pass")
+    args = ap.parse_args()
+
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.session import get_spark
+    from publicationsretriever_spark.sources.catalog import SnapshotCatalog
+
+    spark = get_spark(app_name="publicationsretriever-dataset")
+    if args.payloads:
+        payloads = spark.read.parquet(args.payloads)
+    else:
+        from publicationsretriever_spark.sources.synthetic_web import (
+            SyntheticWeb,
+        )
+
+        web = SyntheticWeb(
+            seed=args.seed,
+            n_hosts=args.hosts,
+            pages_per_host_max=args.pages_max,
+        )
+        payloads = web.payloads_df(spark)
+    if args.from_crawl:
+        crawl = SnapshotCatalog(args.from_crawl)
+        if crawl.latest() is None:
+            print(f"no committed snapshot under {args.from_crawl}",
+                  file=sys.stderr)
+            return 2
+        _, crawl_tables = crawl.load(spark)
+        payloads = payloads.join(
+            crawl_tables["payloads"].select("image_id").distinct(),
+            "image_id",
+            "semi",
+        )
+
+    tables = build_training_dataset(
+        spark,
+        payloads,
+        test_frac=args.test_frac,
+        max_hamming=args.max_hamming,
+        audit=not args.no_audit,
+    )
+    catalog = SnapshotCatalog(args.out)
+    snap_id, meta, _ = catalog.write_tables(spark, tables)
+    catalog.finish_commit(
+        snap_id,
+        meta,
+        round_no=0,
+        lineage={
+            "source": args.payloads or "synthetic-web",
+            "from_crawl": args.from_crawl,
+            "test_frac": args.test_frac,
+            "max_hamming": args.max_hamming,
+            "audit": not args.no_audit,
+        },
+    )
+    print(json.dumps({
+        "snapshot": snap_id,
+        "tables": {n: m["rows"] for n, m in meta.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

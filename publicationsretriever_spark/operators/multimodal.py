@@ -57,8 +57,14 @@ def decode_image_metrics(df: DataFrame, ref_pixels: dict[str, bytes] | None = No
                             ref_pixels[r.image_id], dtype=np.uint8
                         ).reshape(px.shape)
                         rec["psnr_vs_ref"] = float(min(psnr(px, ref), 1e9))
-                except NotImplementedError:
-                    rec["decode_ok"] = False  # stubbed codec (e.g. JPEG)
+                except Exception:
+                    # stubbed codec (NotImplementedError: JPEG), corrupt
+                    # or truncated bytes, wrong magic, bad zlib stream —
+                    # an AUDIT pass classifies bad payloads as
+                    # decode_ok=False; it must never kill the stage
+                    # (at crawl scale corrupt fetches are a certainty,
+                    # and one poison row would fail the whole job).
+                    rec["decode_ok"] = False
                 rows.append(rec)
             yield pd.DataFrame(rows)
 

@@ -1,0 +1,152 @@
+"""Training-dataset assembly over the crawl's image+caption payloads.
+
+The crawl engine ends with an input_hint-shaped payload table
+(image_id, bytes, w, h, fmt, caption, phash); a training pipeline
+needs four more steps before the rows are usable as (image, caption)
+pairs, and each one exists as an operator in this repo — this module
+is the composition, in the order a 100 TB deployment runs it:
+
+1. **decode audit** (operators/multimodal.decode_image_metrics):
+   Arrow-batched decode of every payload; rows that fail to decode or
+   whose recomputed phash disagrees with the ingest phash are dropped
+   (corrupt fetches, truncated bodies, ingest bugs) and reported.
+2. **near-dup clustering** (multimodal.image_dedup_assign): banded
+   phash-Hamming pairs -> connected components -> cluster ids. The
+   reference dedups exact md5 only (ConnSupportUtils.java:414-455);
+   re-encodes of one image survive it and poison contrastive training.
+3. **caption vote** (dedup.canonicalize_clusters): one caption per
+   cluster (majority, deterministic ties), conflicts flagged for QA.
+4. **leakage-safe split** (dedup.cluster_safe_split): train/test by a
+   hash of the CLUSTER id, so no near-dup pair straddles the split.
+
+Every step is a DataFrame plan: the audit is one mapInPandas pass, the
+clustering is banded (never all-pairs), the vote and split are keyed
+aggregations/projections — nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import canonicalize_clusters, cluster_safe_split
+from ..operators.multimodal import decode_image_metrics, image_dedup_assign
+
+#: input_hint schema (BASELINE.json): the contract for `payloads`
+PAYLOAD_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def build_training_dataset(
+    spark: SparkSession,
+    payloads: DataFrame,
+    test_frac: float = 0.1,
+    max_hamming: int = 2,
+    split_seed: str = "split-v1",
+    audit: bool = True,
+) -> dict[str, DataFrame]:
+    """Compose audit -> cluster -> caption vote -> split over an
+    input_hint payload table. Returns the dataset tables:
+
+    - ``pairs``: one (image, caption) row per near-dup CLUSTER — the
+      min-id exemplar's payload carrying the cluster's canonical
+      caption, plus (cluster_id, cluster_size, caption_conflict,
+      split). This is the table a trainer reads.
+    - ``audit_rejects``: payload rows dropped by the decode audit,
+      with a ``reject_reason`` (decode_failed / phash_mismatch).
+    - ``conflicts``: clusters whose members carried more than one
+      caption — the labeling-QA sample.
+
+    Scale notes: the audit joins back on image_id (both sides keyed);
+    the vote output is one row per cluster — at web scale most
+    clusters are singletons, so it is NOT broadcastable and the joins
+    stay keyed sort-merge under AQE. ``audit=False`` skips the decode
+    pass (when a separate ingest audit already ran).
+    """
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    payloads = payloads.select(*cols)
+
+    if audit:
+        metrics = decode_image_metrics(payloads).select(
+            "image_id",
+            F.col("decode_ok"),
+            F.col("phash_check"),
+        )
+        checked = payloads.join(metrics, "image_id")
+        clean = checked.filter(
+            F.col("decode_ok") & (F.col("phash_check") == F.col("phash"))
+        ).select(*cols)
+        audit_rejects = checked.filter(
+            ~(F.col("decode_ok") & (F.col("phash_check") == F.col("phash")))
+        ).select(
+            "image_id",
+            "fmt",
+            "phash",
+            "phash_check",
+            F.when(~F.col("decode_ok"), F.lit("decode_failed"))
+            .otherwise(F.lit("phash_mismatch"))
+            .alias("reject_reason"),
+        )
+    else:
+        clean = payloads
+        audit_rejects = spark.createDataFrame(
+            [],
+            "image_id string, fmt string, phash long, phash_check long, "
+            "reject_reason string",
+        )
+
+    assign = image_dedup_assign(clean, max_hamming=max_hamming).select(
+        "image_id", "cluster_id"
+    )
+    with_cluster = clean.join(assign, "image_id")
+
+    vote = canonicalize_clusters(
+        with_cluster.select("image_id", "cluster_id", "caption"),
+        "cluster_id",
+        "image_id",
+        ["caption"],
+    )
+    vote = cluster_safe_split(
+        vote, "cluster_id", test_frac=test_frac, seed=split_seed
+    )
+
+    # rename the payload side: vote and the exemplar scan share the
+    # `clean` lineage, and Spark rejects the ambiguous self-join
+    exemplar = with_cluster.select(
+        F.col("image_id").alias("_ex_id"),
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        "phash",
+    )
+    pairs = (
+        vote.join(exemplar, vote["canonical_image_id"] == F.col("_ex_id"))
+        .select(
+            F.col("_ex_id").alias("image_id"),
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            F.col("canonical_caption").alias("caption"),
+            "phash",
+            "cluster_id",
+            "cluster_size",
+            "caption_conflict",
+            "split",
+        )
+    )
+    conflicts = vote.filter(F.col("caption_conflict")).select(
+        "cluster_id",
+        "cluster_size",
+        "canonical_image_id",
+        "canonical_caption",
+        "n_caption",
+    )
+    return {
+        "pairs": pairs,
+        "audit_rejects": audit_rejects,
+        "conflicts": conflicts,
+    }

@@ -1,0 +1,131 @@
+"""End-to-end training-dataset assembly (plans/dataset.py +
+jobs/dataset_job.py): decode audit -> phash near-dup clusters ->
+caption vote -> leakage-safe split, committed as a snapshot."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+from publicationsretriever_spark.sources.imagecodec import (
+    encode_png,
+    make_payload_row,
+    phash64,
+    synth_pixels,
+)
+
+
+def _twin(base: dict, image_id: str, caption: str) -> dict:
+    """A re-encode of ``base`` within hamming<=2 of its phash."""
+    px = synth_pixels(base["image_id"], base["w"], base["h"]).astype(np.int32)
+    for blk in range(8):
+        px2 = px.copy()
+        px2[0 : 2 * (blk + 1), 0:2, :] = 255
+        h2 = phash64(np.clip(px2, 0, 255).astype(np.uint8))
+        dist = bin((h2 ^ base["phash"]) & ((1 << 64) - 1)).count("1")
+        if 1 <= dist <= 2:
+            px8 = np.clip(px2, 0, 255).astype(np.uint8)
+            row = dict(base)
+            row["image_id"] = image_id
+            row["bytes"] = encode_png(px8)  # re-encode: audit recomputes
+            row["phash"] = h2
+            row["caption"] = caption
+            return row
+    raise AssertionError("twin construction failed")
+
+
+def test_build_training_dataset_pipeline(spark):
+    """Planted near-dup twins with conflicting captions collapse to one
+    pairs row carrying the majority caption; corrupt bytes and
+    phash-mismatched ingests land in audit_rejects with the right
+    reason; the split never straddles a cluster."""
+    from publicationsretriever_spark.plans.dataset import (
+        PAYLOAD_SCHEMA,
+        build_training_dataset,
+    )
+
+    base = make_payload_row("img-a0", w=16, h=16)
+    base["caption"] = "a cat"
+    t1 = _twin(base, "img-a1", "a cat")
+    t2 = _twin(base, "img-a2", "le chat")
+    lone = make_payload_row("img-lone", w=16, h=16)
+    lone["caption"] = "a dog"
+    corrupt = make_payload_row("img-corrupt", w=16, h=16)
+    corrupt["bytes"] = b"\x89PNG but not really"
+    lying = make_payload_row("img-lying", w=16, h=16)
+    lying["phash"] = lying["phash"] ^ 0xFFFF  # ingest phash is wrong
+    rows = [base, t1, t2, lone, corrupt, lying]
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in (
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )) for r in rows],
+        PAYLOAD_SCHEMA,
+    )
+
+    tables = build_training_dataset(spark, df, test_frac=0.3)
+    rejects = {
+        r["image_id"]: r["reject_reason"]
+        for r in tables["audit_rejects"].collect()
+    }
+    assert rejects == {
+        "img-corrupt": "decode_failed",
+        "img-lying": "phash_mismatch",
+    }
+
+    pairs = {r["cluster_id"]: r for r in tables["pairs"].collect()}
+    assert set(pairs) == {"img-a0", "img-lone"}
+    fam = pairs["img-a0"]
+    assert fam["cluster_size"] == 3
+    assert fam["image_id"] == "img-a0"  # min-id exemplar's payload
+    assert fam["caption"] == "a cat"    # majority 2-1 over "le chat"
+    assert fam["caption_conflict"]
+    assert fam["split"] in ("train", "test")
+    solo = pairs["img-lone"]
+    assert solo["cluster_size"] == 1 and not solo["caption_conflict"]
+
+    conflicts = tables["conflicts"].collect()
+    assert len(conflicts) == 1 and conflicts[0]["cluster_id"] == "img-a0"
+    assert conflicts[0]["n_caption"] == 2
+
+
+def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
+    """The production flow end-to-end: crawl_job commits a crawl
+    snapshot, dataset_job reads its fetched payload ids, assembles the
+    dataset, and commits an atomic snapshot of pairs/audit_rejects/
+    conflicts. Every fetched payload decodes (the synthetic store is
+    clean), every pair's caption is non-null, and train+test cover all
+    clusters."""
+    import jobs.crawl_job as crawl_job
+    import jobs.dataset_job as dataset_job
+
+    crawl_dir = str(tmp_path / "crawl")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py", "--catalog", crawl_dir,
+        "--rounds", "1", "--hosts", "3", "--pages-max", "6",
+    ])
+    assert crawl_job.main() == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "dataset")
+    monkeypatch.setattr(sys, "argv", [
+        "dataset_job.py", "--out", out_dir,
+        "--from-crawl", crawl_dir,
+        "--hosts", "3", "--pages-max", "6",
+        "--test-frac", "0.25",
+    ])
+    assert dataset_job.main() == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["tables"]["audit_rejects"] == 0
+    assert summary["tables"]["pairs"] > 0
+
+    from publicationsretriever_spark.sources.catalog import SnapshotCatalog
+
+    _, tables = SnapshotCatalog(out_dir).load(spark)
+    pairs = tables["pairs"]
+    assert pairs.filter(pairs["caption"].isNull()).count() == 0
+    assert pairs.filter(~pairs["split"].isin("train", "test")).count() == 0
+    # one row per cluster
+    n = pairs.count()
+    assert pairs.select("cluster_id").distinct().count() == n
