@@ -69,10 +69,25 @@ def build_training_dataset(
     payloads = payloads.select(*cols)
 
     if audit:
-        metrics = decode_image_metrics(payloads).select(
-            "image_id",
-            F.col("decode_ok"),
-            F.col("phash_check"),
+        # one decode pass TOTAL: the metrics frame (per-image scalars,
+        # tiny next to the payload bytes) is eagerly materialized, so
+        # the audit's mapInPandas decode never re-runs — downstream
+        # consumers (clean feeds the clustering, the vote, the exemplar
+        # scan, and the job writes its three output tables
+        # CONCURRENTLY) all join against the checkpointed scalars and
+        # re-scan `payloads` for bytes, which is a cheap source scan
+        # when payloads is a table. Callers passing a payloads frame
+        # that is itself an expensive derived plan should materialize
+        # it first (repo convention: every fan-out point is eager —
+        # racing consumers otherwise duplicate the Python decode work).
+        metrics = (
+            decode_image_metrics(payloads)
+            .select(
+                "image_id",
+                F.col("decode_ok"),
+                F.col("phash_check"),
+            )
+            .localCheckpoint(eager=True)
         )
         checked = payloads.join(metrics, "image_id")
         clean = checked.filter(
