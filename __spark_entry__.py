@@ -618,6 +618,27 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: reviewed rebalancing plan for the stratified-sample contract query:
+#: cap the over-represented 'en', keep rare strata whole
+_SAMPLE_FRACS = {"en": 0.3, "de": 1.0, "es": 0.6, "fr": 1.0, "zh": 0.5}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (operators/textstats.
+    stratified_sample): md5-bucket of the doc id vs a per-language
+    keep fraction — reproducible, partition-independent, stable under
+    corpus growth."""
+    from publicationsretriever_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", "doc_id", _SAMPLE_FRACS
+    ).orderBy("doc_id")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -777,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "caption_canonical": q_caption_canonical,
         "leakage_safe_split": q_leakage_safe_split,
+        "stratified_sample": q_stratified_sample,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1212,6 +1234,23 @@ def oracle_sql() -> dict[str, str]:
                             1, 8)) AS BIGINT) % 10000 < 2000
                         THEN 'test' ELSE 'train' END AS split
             FROM asg
+            ORDER BY doc_id
+        """,
+
+        # deterministic stratified sample: md5 hex-bucket parity with
+        # Spark's conv(substr(md5, 1, 8), 16, 10) % 1e6 per-row filter
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(
+                    md5('sample-v1:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 1000000
+                < CASE lang
+                    WHEN 'en' THEN 300000
+                    WHEN 'de' THEN 1000000
+                    WHEN 'es' THEN 600000
+                    WHEN 'fr' THEN 1000000
+                    WHEN 'zh' THEN 500000
+                    ELSE 0 END
             ORDER BY doc_id
         """,
 

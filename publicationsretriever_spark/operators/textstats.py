@@ -5,7 +5,7 @@ DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny marker-word lists for the n-gram/stopword language heuristic.
@@ -84,3 +84,61 @@ def fingerprint(text: Column, n_prefix: int = 64) -> Column:
     the cheap rolling-hash-style near-exact key."""
     norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.md5(F.substring(norm, 1, n_prefix))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the rebalancing step of
+    a training-data pipeline (cap the over-represented language/source,
+    keep the rare ones whole). A row survives iff its md5 bucket
+    (first 8 hex chars of md5(seed || ':' || id) mod 10^6) falls below
+    frac(stratum) * 10^6.
+
+    Properties a plain ``df.sample``/``sampleBy`` lacks:
+
+    - **reproducible across runs, engines and partitionings** — the
+      decision is a pure function of (seed, id), not of RNG state or
+      row order (Spark's sampleBy draws per-partition, so a
+      repartition changes the sample); md5 keeps the exact DuckDB
+      oracle, same trick as cluster_safe_split.
+    - **stable under corpus growth**: re-running on a grown corpus
+      keeps every previously-sampled id's fate, so downstream caches /
+      dataset versions stay consistent.
+    - **no shuffle**: a WHERE over a hash projection; Catalyst pushes
+      it into the scan pipeline (the strata map is a literal when-chain
+      — ``fracs`` is a small reviewed dict, never data-derived).
+
+    Strata absent from ``fracs`` get ``default_frac`` (0.0 = drop —
+    explicit allowlist semantics; pass 1.0 to pass-through unknowns).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 1_000_000
+    )
+    thresh = F.lit(int(round(default_frac * 1_000_000)))
+    for k, v in sorted(fracs.items()):
+        thresh = F.when(
+            F.col(stratum_col) == k, F.lit(int(round(v * 1_000_000)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

@@ -1026,3 +1026,51 @@ def test_cluster_safe_split_no_straddle_and_stable(spark):
     sides2 = {r["cluster_id"]: r["split"] for r in out2}
     for cl, s in sides.items():
         assert sides2[cl] == next(iter(s))
+
+
+def test_stratified_sample_deterministic_and_balanced(spark):
+    """stratified_sample: (1) the decision is a pure function of
+    (seed, id) — repartitioning changes NOTHING (Spark's own sampleBy
+    fails this); (2) per-stratum realized fractions track the targets;
+    (3) growth stability: every previously-kept id stays kept;
+    (4) strata missing from the plan follow default_frac."""
+    from publicationsretriever_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    fracs = {"en": 0.2, "de": 0.8}
+    kept = stratified_sample(df, "lang", "id", fracs).collect()
+    kept_ids = {r["id"] for r in kept}
+    # (4) zh has no plan entry and default_frac=0 -> dropped entirely
+    assert all(r["lang"] != "zh" for r in kept)
+    # (2) realized fractions within a few points of target (1000/stratum)
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert 0.15 < by_lang["en"] / 1000 < 0.25, by_lang
+    assert 0.75 < by_lang["de"] / 1000 < 0.85, by_lang
+    # (1) partition independence
+    kept2 = {
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(7), "lang", "id", fracs
+        ).collect()
+    }
+    assert kept2 == kept_ids
+    # (3) growth stability
+    grown = spark.createDataFrame(
+        rows + [(i, "en") for i in range(3000, 3500)],
+        "id long, lang string",
+    )
+    kept3 = {
+        r["id"]
+        for r in stratified_sample(grown, "lang", "id", fracs).collect()
+    }
+    assert kept_ids <= kept3
+    # (4b) pass-through default keeps unknown strata whole
+    kept4 = stratified_sample(
+        df, "lang", "id", fracs, default_frac=1.0
+    ).collect()
+    assert sum(1 for r in kept4 if r["lang"] == "zh") == 1000
