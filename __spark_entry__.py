@@ -639,6 +639,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/textstats.
+    repetition_signals): duplicate-word / duplicate-2-gram fractions
+    (pure array expressions) + top-word share (explode + two keyed
+    map-side aggregations)."""
+    from publicationsretriever_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return repetition_signals(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword heuristics
     (operators/textstats.quality_score)."""
@@ -799,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_canonical": q_caption_canonical,
         "leakage_safe_split": q_leakage_safe_split,
         "stratified_sample": q_stratified_sample,
+        "repetition_quality": q_repetition_quality,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1252,6 +1267,42 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'zh' THEN 500000
                     ELSE 0 END
             ORDER BY doc_id
+        """,
+
+        # Gopher repetition signals: DuckDB list functions mirror the
+        # array expressions; top-word share via unnest + two group-bys
+        "repetition_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                round(1 - CAST(len(list_distinct(w)) AS DOUBLE)
+                      / greatest(len(w), 1), 6) AS dup_word_frac,
+                CASE WHEN len(w) >= 2 THEN
+                  round(1 - CAST(len(list_distinct(list_transform(
+                          generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+                        / (len(w) - 1), 6)
+                ELSE 0.0 END AS dup_2gram_frac
+              FROM d
+            ),
+            t AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_word_frac
+              FROM (
+                SELECT doc_id, t, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS t FROM d)
+                GROUP BY 1, 2)
+              GROUP BY doc_id
+            )
+            SELECT f.doc_id, dup_word_frac, dup_2gram_frac,
+                   coalesce(top_word_frac, 0.0) AS top_word_frac
+            FROM f LEFT JOIN t USING (doc_id)
+            ORDER BY f.doc_id
         """,
 
         "text_quality": """

@@ -142,3 +142,69 @@ def stratified_sample(
             F.col(stratum_col) == k, F.lit(int(round(v * 1_000_000)))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, 'Scaling Language Models: ... Gopher', table A1: fraction of
+    duplicated n-grams / top-n-gram share — the rules that catch
+    keyword-stuffed and boilerplate pages a perplexity filter misses):
+
+    - ``dup_word_frac``   1 - distinct words / words,
+    - ``dup_2gram_frac``  1 - distinct 2-grams / 2-grams,
+    - ``top_word_frac``   occurrences of the most frequent word / words.
+
+    The two fractions are pure array expressions (split /
+    array_distinct / size — whole-stage codegen, no shuffle, no
+    Python). ``top_word_frac`` needs a per-(doc, word) count: one
+    explode + two keyed aggregations, both with map-side partial
+    aggregation — the shuffle key is (doc, word) then doc, so the
+    reduce stays balanced however hot a single word is globally (a
+    word is only ever counted WITHIN a document).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    n2 = n - 1
+    grams2 = F.when(
+        n2 > 0,
+        F.transform(
+            F.sequence(F.lit(0), n2 - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.round(
+            1 - F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        F.when(
+            F.size(grams2) > 0,
+            F.round(
+                1 - F.size(F.array_distinct(grams2)) / F.size(grams2),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))  # <2 words: no 2-grams, no repetition
+        .alias("dup_2gram_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("_w").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("_c") / F.sum("_c"), 6).alias("top_word_frac")
+        )
+    )
+    return base.drop("_w").join(top, id_col, "left").select(
+        id_col,
+        "dup_word_frac",
+        "dup_2gram_frac",
+        F.coalesce(F.col("top_word_frac"), F.lit(0.0)).alias(
+            "top_word_frac"
+        ),
+    )

@@ -1074,3 +1074,40 @@ def test_stratified_sample_deterministic_and_balanced(spark):
         df, "lang", "id", fracs, default_frac=1.0
     ).collect()
     assert sum(1 for r in kept4 if r["lang"] == "zh") == 1000
+
+
+def test_repetition_signals_golden(spark):
+    """Gopher repetition signals on hand-computed cases: a fully
+    repeated doc, an all-unique doc, and a single-word doc (no
+    2-grams -> 0.0, not 1.0)."""
+    from publicationsretriever_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here differ"),
+            (3, "single"),
+            (4, "a b a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+    # 4x "spam": 1 distinct of 4 words; 1 distinct of 3 2-grams; top 4/4
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["dup_2gram_frac"] == 0.0  # no 2-grams
+    assert got[3]["top_word_frac"] == 1.0
+    # "a b a b a": 5 words 2 distinct; 4 2-grams 2 distinct; top a=3/5
+    assert got[4]["dup_word_frac"] == 0.6
+    assert got[4]["dup_2gram_frac"] == 0.5
+    assert got[4]["top_word_frac"] == 0.6
