@@ -743,6 +743,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces x 16 codes (one Lloyd
+    refinement over the 256 lowest-id sample), corpus encoded to 4
+    code ids, asymmetric cosine vs the reconstructed codewords
+    (operators/similarity.pq_topk) — the compressed-scan scale path
+    (the search reads m bytes/vector, not 4*dim) next to IVF's
+    partition-pruning one."""
+    from publicationsretriever_spark.operators.similarity import pq_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(
+        emb, queries, k=5, m=4, n_codes=16, refine_iters=1
+    ).orderBy("query_id", "rank")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
     exact cosine verify (operators/similarity.embedding_neardup_pairs).
@@ -820,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "dedup_embedding": q_dedup_embedding,
         "embedding_stats": q_embedding_stats,
         "q1_pricing_summary": q1_pricing_summary,
@@ -840,6 +860,15 @@ def _cos6(a: str, b: str) -> str:
         f"x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
         f"sqrt(list_sum(list_transform({b}, "
         f"x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+def _l2sq6(a: str, b: str) -> str:
+    """DuckDB squared-L2 distance rounded to 6 decimals — mirrors the
+    pq_encode assignment metric (both operands already DOUBLE lists)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
     )
 
 
@@ -1453,6 +1482,104 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_pq_topk": f"""
+            -- mirrors operators/similarity.pq_topk: m=4 subspaces of
+            -- 16 dims (embeddings dim is 64), n_codes=16 per subspace,
+            -- ONE Lloyd refinement per subspace over the 256 lowest-id
+            -- sample slices (squared-L2 @6dp, ties to lowest code,
+            -- mean update, empty codes keep init), corpus encoded by
+            -- the same argmin, score = cosine(query, reconstructed
+            -- codeword concatenation) @6dp.
+            WITH subs AS (SELECT CAST(i AS INT) AS sub_id FROM range(0, 4) t(i)),
+            base AS (
+              SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 16
+            ),
+            cb0 AS (
+              SELECT s.sub_id, b.vec_id AS code_id,
+                     list_transform(
+                       b.embedding[s.sub_id*16 + 1 : s.sub_id*16 + 16],
+                       x -> CAST(x AS DOUBLE)) AS cw
+              FROM base b CROSS JOIN subs s
+            ),
+            samp AS (
+              SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 256
+            ),
+            sslice AS (
+              SELECT s.vec_id, b.sub_id,
+                     list_transform(
+                       s.embedding[b.sub_id*16 + 1 : b.sub_id*16 + 16],
+                       x -> CAST(x AS DOUBLE)) AS sv
+              FROM samp s CROSS JOIN subs b
+            ),
+            sassign AS (
+              SELECT sub_id, vec_id, sv, code_id FROM (
+                SELECT t.sub_id, t.vec_id, t.sv, c.code_id,
+                       row_number() OVER (
+                         PARTITION BY t.sub_id, t.vec_id
+                         ORDER BY {_l2sq6('t.sv', 'c.cw')} ASC,
+                                  c.code_id ASC) AS rn
+                FROM sslice t JOIN cb0 c USING (sub_id)) z
+              WHERE rn = 1
+            ),
+            cmeans AS (
+              SELECT sub_id, code_id, i, avg(sv[i]) AS mv
+              FROM sassign, range(1, 17) t(i)
+              GROUP BY sub_id, code_id, i
+            ),
+            cb1 AS (
+              SELECT sub_id, code_id, list(mv ORDER BY i) AS cw
+              FROM cmeans GROUP BY sub_id, code_id
+            ),
+            cb AS (
+              SELECT c0.sub_id, c0.code_id, COALESCE(c1.cw, c0.cw) AS cw
+              FROM cb0 c0 LEFT JOIN cb1 c1 USING (sub_id, code_id)
+            ),
+            vslice AS (
+              SELECT v.vec_id, b.sub_id,
+                     list_transform(
+                       v.embedding[b.sub_id*16 + 1 : b.sub_id*16 + 16],
+                       x -> CAST(x AS DOUBLE)) AS sv
+              FROM embeddings v CROSS JOIN subs b
+            ),
+            assign AS (
+              SELECT vec_id, sub_id, cw FROM (
+                SELECT t.vec_id, t.sub_id, c.cw,
+                       row_number() OVER (
+                         PARTITION BY t.vec_id, t.sub_id
+                         ORDER BY {_l2sq6('t.sv', 'c.cw')} ASC,
+                                  c.code_id ASC) AS rn
+                FROM vslice t JOIN cb c USING (sub_id)) z
+              WHERE rn = 1
+            ),
+            recon AS (
+              SELECT vec_id, flatten(list(cw ORDER BY sub_id)) AS rv
+              FROM assign GROUP BY vec_id
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            scored AS (
+              SELECT q.query_id, r.vec_id,
+                     round(list_sum(list_transform(list_zip(r.rv, q.qv),
+                             x -> x[1] * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(r.rv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(q.qv,
+                            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                       6) AS adc_sim
+              FROM recon r CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, adc_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_sim
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "dedup_embedding": """

@@ -1,0 +1,185 @@
+"""Product-quantization ANN (operators/similarity.pq_*).
+
+Covers: codebook shape/determinism, exact reconstruction of vectors
+that coincide with codewords, Lloyd refinement reducing quantization
+error on a clustered corpus, encode argmin tie-breaking, and top-k
+recall vs the brute-force baseline on well-separated clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from publicationsretriever_spark.operators.similarity import (
+    brute_force_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_reconstruct,
+    pq_topk,
+)
+
+
+def _clustered_vectors(spark, n_per=8, dim=8):
+    """Deterministic clustered corpus: 4 well-separated axis centers,
+    cluster of vec v = v % 4 (INTERLEAVED, so the lowest-id vectors —
+    PQ's codebook init — span all clusters), members = center + small
+    offset on one trailing coordinate."""
+    centers = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 10.0, 0, 0, 0, 0],
+    ]
+    rows = []
+    for vid in range(n_per * 4):
+        v = list(centers[vid % 4])
+        v[4 + (vid // 4) % 4] += 0.01 * (vid // 4 + 1)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_codebook_shape_and_determinism(spark):
+    vecs = _clustered_vectors(spark)
+    cb1 = pq_codebooks(vecs, m=2, n_codes=4, refine_iters=1).collect()
+    cb2 = pq_codebooks(vecs, m=2, n_codes=4, refine_iters=1).collect()
+    assert len(cb1) == 2 * 4
+    subs = {r["sub_id"] for r in cb1}
+    assert subs == {0, 1}
+    for r in cb1:
+        assert len(r["cw"]) == 4  # dim 8 / m 2
+    key = lambda r: (r["sub_id"], r["code_id"])  # noqa: E731
+    assert sorted(((r["sub_id"], r["code_id"], r["cw"]) for r in cb1)) == \
+        sorted(((r["sub_id"], r["code_id"], r["cw"]) for r in cb2))
+
+
+def test_codebook_rejects_indivisible_dim(spark):
+    vecs = _clustered_vectors(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_codebooks(vecs, m=3, n_codes=4)
+
+
+def test_reconstruction_exact_for_codeword_vectors(spark):
+    """With refine_iters=0 the codewords ARE the lowest-id vectors'
+    slices, so those vectors reconstruct exactly."""
+    vecs = _clustered_vectors(spark)
+    cbs = pq_codebooks(vecs, m=2, n_codes=4, refine_iters=0)
+    recon = pq_reconstruct(pq_encode(vecs, cbs)).filter(
+        F.col("vec_id") < 4
+    )
+    orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for r in recon.collect():
+        got = [round(float(x), 5) for x in r["recon"]]
+        want = [round(float(x), 5) for x in orig[r["vec_id"]]]
+        assert got == want, r["vec_id"]
+
+
+def _block_ordered_vectors(spark, n_per=8):
+    """Cluster-BLOCK-ordered ids (0-7 cluster 0, 8-15 cluster 1, ...):
+    the adversarial layout for lowest-id codebook init — all init
+    codewords land in cluster 0, so only Lloyd refinement can reach
+    the other clusters."""
+    centers = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 10.0, 0, 0, 0, 0],
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        for i in range(n_per):
+            v = list(c)
+            v[4 + vid % 4] += 0.01 * (i + 1)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_refinement_reduces_quantization_error(spark):
+    """With block-ordered ids the lowest-id init puts all 4 codes in
+    cluster 0; Lloyd passes over the sample must pull codewords toward
+    the other clusters and cut the mean squared reconstruction error."""
+    vecs = _block_ordered_vectors(spark)
+
+    def mse(refine_iters: int) -> float:
+        cbs = pq_codebooks(
+            vecs, m=2, n_codes=4, refine_iters=refine_iters
+        )
+        recon = pq_reconstruct(pq_encode(vecs, cbs))
+        joined = vecs.join(recon, "vec_id").select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "recon",
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("err")
+        )
+        return joined.agg(F.avg("err")).head()[0]
+
+    assert mse(2) < mse(0) * 0.8
+
+
+def test_encode_one_code_per_subspace(spark):
+    vecs = _clustered_vectors(spark)
+    cbs = pq_codebooks(vecs, m=4, n_codes=4, refine_iters=1)
+    codes = pq_encode(vecs, cbs)
+    n = vecs.count()
+    assert codes.count() == n * 4
+    per = codes.groupBy("vec_id").count().select(
+        F.min("count"), F.max("count")
+    ).head()
+    assert per[0] == per[1] == 4
+    # codes come from the codebook's id domain
+    dom = {r["code_id"] for r in cbs.select("code_id").collect()}
+    assert {r["code_id"] for r in codes.collect()} <= dom
+
+
+def test_topk_recall_vs_brute_force(spark):
+    """On well-separated clusters PQ preserves CLUSTER membership:
+    every brute-force top-5 neighbour and every PQ top-5 neighbour of
+    a query comes from the query's own cluster (v % 4; 8 members), and
+    PQ ranks the query itself first. Within-cluster ORDER may differ —
+    members perturb different coordinates, so quantization legitimately
+    reorders them; cluster-level recall is the PQ guarantee."""
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(vecs, queries, k=5)
+    approx = pq_topk(vecs, queries, k=5, m=2, n_codes=4, refine_iters=2)
+    for r in exact.collect():
+        assert r["vec_id"] % 4 == r["query_id"] % 4, ("exact", r)
+    top1 = {}
+    for r in approx.collect():
+        assert r["vec_id"] % 4 == r["query_id"] % 4, ("pq", r)
+        if r["rank"] == 1:
+            top1[r["query_id"]] = r["vec_id"]
+    # the query itself quantizes to its own cell and ties break by id,
+    # so it must rank first
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_pq_contract_query_runs(spark):
+    """The driver-contract query at sf0.001: stable schema, k rows per
+    query, adc_sim within [-1, 1]."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ann_pq_topk"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert df.columns == ["query_id", "rank", "vec_id", "adc_sim"]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert -1.0001 <= r["adc_sim"] <= 1.0001
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], qid
