@@ -169,6 +169,27 @@ def test_topk_recall_vs_brute_force(spark):
     assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_fused_reconstruct_equals_two_step(spark):
+    """pq_reconstruct_fused (one corpus shuffle) must be row-identical
+    to pq_encode -> pq_reconstruct (two shuffles) — same argmin, same
+    subspace concat order."""
+    from publicationsretriever_spark.operators.similarity import (
+        pq_reconstruct_fused,
+    )
+
+    vecs = _clustered_vectors(spark)
+    cbs = pq_codebooks(vecs, m=4, n_codes=4, refine_iters=1)
+    two = {
+        r["vec_id"]: list(r["recon"])
+        for r in pq_reconstruct(pq_encode(vecs, cbs)).collect()
+    }
+    one = {
+        r["vec_id"]: list(r["recon"])
+        for r in pq_reconstruct_fused(vecs, cbs, m=4).collect()
+    }
+    assert one == two
+
+
 def test_pq_contract_query_runs(spark):
     """The driver-contract query at sf0.001: stable schema, k rows per
     query, adc_sim within [-1, 1]."""
