@@ -827,6 +827,149 @@ def pq_topk(
     )
 
 
+class IvfPqIndex:
+    """Resident IVF-PQ index: IVF's partition pruning (each query
+    scores only its nprobe probed cells) combined with PQ's compressed
+    scan (the inverted list stores the quantized reconstruction, not
+    the raw vector — at 100 TB the list is written partitioned by
+    cell_id with m code ids per row, so a probe reads
+    nprobe/n_cells of the rows AND m bytes per row). Scores are
+    asymmetric cosine (``adc_sim``), same contract as pq_topk."""
+
+    def __init__(self, centroids: DataFrame, inverted: DataFrame,
+                 id_col: str):
+        self.centroids = centroids
+        self.inverted = inverted  # (cell_id, id, recon, _n)
+        self.id_col = id_col
+
+    def topk(
+        self,
+        queries: DataFrame,
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        k: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        id_col = self.id_col
+        qscored = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        ).crossJoin(F.broadcast(self.centroids)).select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            F.col("cell_id"),
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("_sim").desc(), F.col("cell_id").asc()
+        )
+        probe = (
+            qscored.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select(
+                query_id_col, "_qv", "cell_id",
+                l2_norm(F.col("_qv")).alias("_qn"),
+            )
+        )
+        joined = self.inverted.join(F.broadcast(probe), "cell_id")
+        scored = joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col("recon"), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("adc_sim"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("adc_sim").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "adc_sim")
+        )
+
+    def unpersist(self) -> None:
+        self.inverted.unpersist()
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe_refine_iters: int = 1,
+    m: int = 4,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    sample_n: int = 256,
+    materialize: bool = False,
+) -> IvfPqIndex:
+    """Train the IVF coarse quantizer and the PQ codebooks (both
+    driver-side Lloyd over the same bounded deterministic sample
+    recipe), then build the compressed inverted list in one pass: cell
+    assignment uses the RAW vector (full precision where it matters —
+    routing), the stored payload is the PQ reconstruction + its norm.
+    This is the flat-quantizer IVF-PQ variant (codewords trained on
+    raw slices, not per-cell residuals): residual training couples the
+    codebook to the cell and needs per-cell codebooks at this n_cells —
+    the flat form keeps ONE broadcastable codebook table and stays
+    ANSI-SQL-expressible for the oracle."""
+    from pyspark import StorageLevel
+
+    cent = ivf_centroids(
+        vectors, vec_col, id_col, n_cells,
+        refine_iters=nprobe_refine_iters, sample_n=sample_n,
+    )
+    cbs = pq_codebooks(
+        vectors, vec_col, id_col, m=m, n_codes=n_codes,
+        refine_iters=refine_iters, sample_n=sample_n,
+    )
+    recon = pq_reconstruct_fused(vectors, cbs, m, vec_col, id_col)
+    inv = (
+        ivf_assign(vectors, cent, vec_col, id_col)
+        .select(id_col, "cell_id")
+        .join(recon, id_col)
+        .withColumn("_n", l2_norm(F.col("recon")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if materialize:
+        inv.count()
+    return IvfPqIndex(cent, inv, id_col)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    sample_n: int = 256,
+) -> DataFrame:
+    """One-shot IVF-PQ ANN (build_ivfpq_index + topk): candidates are
+    pruned to the query's nprobe nearest cells AND scored against the
+    PQ-compressed representation — the two 100 TB levers composed
+    (read fewer rows, read fewer bytes per row). With
+    nprobe == n_cells the pruning is a no-op and the result is
+    row-identical to pq_topk (equivalence-tested); recall < 1 twice
+    over otherwise (probe misses + quantization), traded via nprobe
+    and m/n_codes. Ties broken by id."""
+    ix = build_ivfpq_index(
+        vectors, vec_col, id_col, n_cells,
+        nprobe_refine_iters=refine_iters, m=m, n_codes=n_codes,
+        refine_iters=refine_iters, sample_n=sample_n,
+    )
+    out = ix.topk(queries, vec_col, query_id_col, k=k, nprobe=nprobe)
+    ix.inverted.unpersist()
+    return out
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -190,6 +190,78 @@ def test_fused_reconstruct_equals_two_step(spark):
     assert one == two
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe == n_cells the IVF pruning is a no-op, so ivfpq_topk
+    must be row-identical to pq_topk (same codebooks, same @6dp
+    scores) — the composition adds pruning, never changes scoring."""
+    from publicationsretriever_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = sorted(
+        tuple(r) for r in pq_topk(
+            vecs, queries, k=5, m=2, n_codes=4, refine_iters=1
+        ).collect()
+    )
+    ivfpq = sorted(
+        tuple(r) for r in ivfpq_topk(
+            vecs, queries, k=5, n_cells=4, nprobe=4, m=2, n_codes=4,
+            refine_iters=1,
+        ).collect()
+    )
+    assert ivfpq == pq
+
+
+def test_ivfpq_pruned_probe_preserves_clusters(spark):
+    """With nprobe=1 each query scores only its own cell; on the
+    well-separated corpus the results stay within the query's cluster
+    and the query itself ranks first."""
+    from publicationsretriever_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        vecs, queries, k=5, n_cells=4, nprobe=1, m=2, n_codes=4,
+        refine_iters=2,
+    ).collect()
+    top1 = {}
+    for r in out:
+        assert r["vec_id"] % 4 == r["query_id"] % 4, r
+        if r["rank"] == 1:
+            top1[r["query_id"]] = r["vec_id"]
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivfpq_index_reuse(spark):
+    """The resident index serves repeated topk calls from the same
+    persisted inverted list; two calls return identical rows."""
+    from publicationsretriever_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ix = build_ivfpq_index(
+        vecs, n_cells=4, m=2, n_codes=4, materialize=True
+    )
+    try:
+        a = sorted(tuple(r) for r in ix.topk(queries, k=3).collect())
+        b = sorted(tuple(r) for r in ix.topk(queries, k=3).collect())
+        assert a == b and len(a) == 6
+    finally:
+        ix.unpersist()
+
+
 def test_pq_contract_query_runs(spark):
     """The driver-contract query at sf0.001: stable schema, k rows per
     query, adc_sim within [-1, 1]."""
