@@ -699,6 +699,78 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII into the synthetic documents (the
+    sf tables contain none): a doc-id-derived email + IPv4 for every
+    doc, a phone number for every third. Both the Spark query and the
+    DuckDB oracle build the SAME augmented text, so the oracle pins
+    the redaction logic on text that actually matches."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel +1 (555) 010-"),
+                    (F.col("doc_id") % 10000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/textstats.pii_redact): emails,
+    IPv4s and +-prefixed phone numbers replaced by typed placeholders,
+    per-doc match counts; pure regexp projection — no shuffle."""
+    from publicationsretriever_spark.operators.textstats import pii_redact
+
+    _load(spark, sf_dir, "documents")
+    docs = _with_pii(spark.table("documents"))
+    return pii_redact(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (operators/packing.
+    token_shard_assign): distributed two-pass prefix sum over the
+    id-ordered corpus; capacity 2000 tokens, 64-id buckets so sf0.01
+    already exercises the multi-bucket offset path."""
+    from publicationsretriever_spark.operators.packing import (
+        token_shard_assign,
+    )
+    from publicationsretriever_spark.operators import textstats as TS
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_shard_assign(
+        docs, "n_tokens", "doc_id", capacity=2000, bucket_size=64
+    ).orderBy("doc_id")
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span stats (operators/dedup.dup_span_stats,
+    the Lee-et-al ExactSubstr pass as Spark aggregations): 8-token
+    windows at stride 4, a span is dup when its exact text occurs in
+    >=2 distinct docs. hash_keys=False here because DuckDB lacks
+    xxhash64; the production int64-key path is equivalence-tested in
+    pytest."""
+    from publicationsretriever_spark.operators.dedup import dup_span_stats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return dup_span_stats(
+        docs, "text", "doc_id", w=8, stride=4, hash_keys=False
+    ).orderBy("doc_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (operators/similarity);
     queries = first 4 vectors."""
@@ -855,6 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "token_shards": q_token_shards,
+        "dup_spans": q_dup_spans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1403,6 +1478,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, count(*) AS n_docs FROM fp
             GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "pii_scrub": """
+            -- mirrors operators/textstats.pii_redact over the same
+            -- deterministically PII-augmented text (_with_pii): fixed
+            -- order email -> ipv4 -> phone, each count taken on the
+            -- intermediate its replace sees. Patterns are the
+            -- Java/RE2-shared subset, identical strings both engines.
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.org ip 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' tel +1 (555) 010-'
+                                  || CAST(doc_id % 10000 AS VARCHAR)
+                             ELSE '' END AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, t0,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\\+[0-9][0-9 ()-]{7,}[0-9]',
+                                  '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                     AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\+[0-9][0-9 ()-]{7,}[0-9]')) AS INT) AS n_phones
+            FROM s2 ORDER BY doc_id
+        """,
+        "token_shards": """
+            -- mirrors operators/packing.token_shard_assign: the
+            -- distributed two-pass prefix sum collapses to ONE window
+            -- cumsum at oracle scale — shard = floor(start/capacity)
+            -- with start = running token count before the doc in
+            -- doc_id order (capacity 2000).
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(lower(trim(text)),
+                       '\\s+')) AS BIGINT) AS tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tokens,
+                     sum(tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - tokens AS start
+              FROM tok
+            )
+            SELECT doc_id, tokens,
+                   CAST(floor(start / 2000.0) AS BIGINT) AS shard
+            FROM c ORDER BY doc_id
+        """,
+        "dup_spans": """
+            -- mirrors operators/dedup.dup_span_stats (w=8, stride=4,
+            -- text keys): spans of 8 tokens at stride 4; a span
+            -- position is dup when its exact text occurs in >=2
+            -- distinct docs.
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            sp AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(0, CAST(floor((len(w) - 8) / 4.0)
+                                          AS BIGINT)),
+                       p -> array_to_string(w[p*4+1:p*4+8], ' ')
+                     )) AS key
+              FROM d
+            ),
+            kd AS (
+              SELECT key, doc_id, count(*) AS pos
+              FROM sp GROUP BY 1, 2
+            ),
+            ks AS (SELECT key, count(*) AS nd FROM kd GROUP BY 1),
+            pd AS (
+              SELECT doc_id, sum(pos) AS n,
+                     sum(CASE WHEN nd >= 2 THEN pos ELSE 0 END) AS dup
+              FROM kd JOIN ks USING (key) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(dup, 0) AS BIGINT) AS dup_spans,
+                   round(CAST(coalesce(dup, 0) AS DOUBLE)
+                         / greatest(coalesce(n, 0), 1), 6) AS dup_frac
+            FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),

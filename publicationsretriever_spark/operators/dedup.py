@@ -711,3 +711,99 @@ def cluster_safe_split(
             F.lit("train")
         ),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    stride: int = 4,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": the
+    suffix-array ExactSubstr pass, re-expressed as Spark aggregations):
+    slide a ``w``-token window at ``stride`` tokens over every
+    document and flag each span whose exact text also occurs in at
+    least one OTHER document. Catches templated boilerplate and
+    quoted passages that document-level MinHash/SimHash miss (the
+    documents disagree globally but share long verbatim runs).
+
+    Returns (id, n_spans, dup_spans, dup_frac): dup_spans = number of
+    this document's span positions whose text is cross-document
+    duplicated; dup_frac = dup_spans / n_spans @6dp (0.0 for docs
+    shorter than ``w`` tokens — nothing to match, not "clean by
+    definition"; filter on n_spans > 0 to distinguish).
+
+    Scale shape — never pairwise: spans explode to ~n/stride rows per
+    doc; per-(key, doc) presence is map-side combined BEFORE the
+    global per-key doc count, so a boilerplate span shared by millions
+    of docs reduces to one row per (key, doc) in flight and one
+    aggregated stats row per key; the flag join is then
+    (spans x 1-row-per-key) on the span key — no all-pairs path
+    anywhere. With ``hash_keys`` (production default) the span text is
+    collapsed to xxhash64 IMMEDIATELY at the explode, so every
+    shuffle/join key is 8 bytes instead of a w-token string (the
+    int64-shingle trick from ngram_jaccard_pairs); the contract query
+    passes hash_keys=False because DuckDB lacks xxhash64 — pytest
+    pins hash/text equivalence instead.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_spans_expr = F.floor(
+        (F.size(words) - F.lit(w)) / F.lit(stride)
+    ) + 1
+    span_text = lambda p: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, p * stride + 1, w)
+    )
+    key_of = (
+        (lambda p: F.xxhash64(span_text(p)))
+        if hash_keys
+        else span_text
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n_spans_expr > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_spans_expr.cast("int") - 1),
+                    lambda p: key_of(p),
+                ),
+            ).otherwise(F.array().cast(
+                "array<bigint>" if hash_keys else "array<string>"
+            ))
+        ).alias("_key"),
+    )
+    key_docs = spans.groupBy("_key", id_col).agg(
+        F.count(F.lit(1)).alias("_pos")
+    )
+    key_stats = key_docs.groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    per_doc = (
+        key_docs.join(key_stats, "_key")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_pos").alias("_n"),
+            F.sum(
+                F.when(F.col("_nd") >= 2, F.col("_pos")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_dup"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("_dup"), F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce(F.col("_dup"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("_n"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

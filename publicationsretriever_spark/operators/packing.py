@@ -1,0 +1,86 @@
+"""Token-budget sharding for training-batch assembly: assign each
+document to a fixed-token-capacity shard by its position in the
+corpus-wide running token count — the step that turns a filtered
+corpus into equal-work training shards (each shard feeds one data
+loader; capacity = tokens per shard file).
+
+Semantics (deterministic, engine-portable): documents are laid out in
+``id_col`` order; doc d starts at offset(d) = sum of token counts of
+all ids < d; shard(d) = floor(offset(d) / capacity). A document is
+never split — shards overflow by at most one document, the standard
+"pack by starting offset" contract (greedy concat-and-chunk used by
+LLM data loaders, minus intra-doc splitting).
+
+Scale shape: the naive form is ONE global window cumsum — a single
+task at 100 TB. This implementation is the classic two-pass
+distributed prefix sum instead:
+
+1. bucket = floor(id / bucket_size): an embarrassingly-parallel
+   projection (no shuffle) that respects id order across buckets;
+2. per-bucket token totals (map-side-combined groupBy, n_buckets
+   rows) -> running bucket offsets via a window over the TINY totals
+   frame (n_buckets rows ~ corpus/bucket_size — driver-safe by
+   construction, e.g. 10^10 docs / 10^6 = 10^4 rows);
+3. broadcast-join the offsets back and cumsum WITHIN each bucket —
+   a window partitioned by bucket, so every partition sorts only its
+   own bucket's rows; no task ever sees the whole corpus.
+
+The only corpus-wide movement is the one shuffle that co-locates each
+bucket; the window inside it is bounded by bucket_size rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_shard_assign(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    capacity: int,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Returns (id, tokens, shard) with shard = floor(start/capacity)
+    under the corpus-wide id-ordered layout. ``id_col`` must be
+    numeric (the bucket split is floor(id/bucket_size)); ids need not
+    be dense — gaps only make buckets uneven, never wrong, because
+    offsets are summed from actual rows."""
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_tok"),
+        (F.col(id_col).cast("long") / F.lit(int(bucket_size)))
+        .cast("long")
+        .alias("_b"),
+    )
+    totals = base.groupBy("_b").agg(F.sum("_tok").alias("_bt"))
+    w_off = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_b", (F.sum("_bt").over(w_off) - F.col("_bt")).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_b")
+        .select(
+            F.col(id_col),
+            F.col("_tok").alias("tokens"),
+            (
+                (
+                    F.col("_boff")
+                    + F.sum("_tok").over(w_in)
+                    - F.col("_tok")
+                )
+                / F.lit(int(capacity))
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+    )

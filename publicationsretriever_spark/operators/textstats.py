@@ -144,6 +144,51 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+#: PII patterns — deliberately restricted to the Java/RE2 shared
+#: regex subset (no lookaround, no backrefs) so the Spark expression
+#: and the DuckDB oracle compile the SAME automaton. Applied in a
+#: fixed order (email -> ipv4 -> phone) on the progressively-redacted
+#: text, so the later patterns can never re-match inside an earlier
+#: replacement and the output is order-deterministic on every engine.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4
+    addresses and international-format phone numbers with typed
+    placeholder tokens (``<EMAIL>``/``<IP>``/``<PHONE>``) and report
+    per-document match counts — the standard pre-training redaction
+    pass (the reference stores contact-bearing pages verbatim; a
+    dataset built FROM a crawl must not).
+
+    Pure ``regexp_replace``/``regexp_count`` column expressions:
+    whole-stage codegen, no shuffle, no Python — Catalyst pipelines
+    the three passes into one projection over the scan, so at 100 TB
+    this costs exactly one read of the text column. Counts are taken
+    on the same intermediate each replace sees (emails on raw text,
+    IPs on the email-redacted text, phones on the IP-redacted text),
+    which makes count == number of substitutions, engine-portable.
+    Phone matching requires the leading ``+`` on purpose: an
+    unanchored digit-run pattern would swallow order ids and ISBNs —
+    precision over recall, the production knob is the pattern list.
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("redacted"),
+        F.regexp_count(t0, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).alias("n_phones"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

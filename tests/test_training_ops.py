@@ -1111,3 +1111,121 @@ def test_repetition_signals_golden(spark):
     assert got[4]["dup_word_frac"] == 0.6
     assert got[4]["dup_2gram_frac"] == 0.5
     assert got[4]["top_word_frac"] == 0.6
+
+
+def test_pii_redact_patterns(spark):
+    from publicationsretriever_spark.operators.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@sub.example.co or x9@y.io thanks"),
+            (1, "server 192.168.1.200 and 10.0.0.7 up"),
+            (2, "call +49 (0)30 1234-5678 now"),
+            (3, "no pii here, order 12345 isbn 978-3-16-148410-0"),
+            (4, "mix bob@x.org from 8.8.8.8 tel +1 555 010 9999 end"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pii_redact(df, "text", "doc_id").collect()
+    }
+    assert rows[0]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert rows[0]["n_emails"] == 2
+    assert rows[1]["redacted"] == "server <IP> and <IP> up"
+    assert rows[1]["n_ips"] == 2
+    assert rows[2]["redacted"] == "call <PHONE> now"
+    assert rows[2]["n_phones"] == 1
+    # precision over recall: bare digit runs (order ids, ISBNs) survive
+    assert rows[3]["redacted"] == rows[3]["redacted"]
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) == (
+        0, 0, 0,
+    )
+    assert rows[4]["redacted"] == "mix <EMAIL> from <IP> tel <PHONE> end"
+
+
+def test_token_shard_assign_matches_global_cumsum(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    window cumsum — computed here driver-side over the same rows."""
+    from publicationsretriever_spark.operators.packing import (
+        token_shard_assign,
+    )
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tokens"], r["shard"])
+        for r in token_shard_assign(
+            df, "n_tokens", "doc_id", capacity=300, bucket_size=16
+        ).collect()
+    }
+    start = 0
+    for i, tok in rows:
+        assert got[i] == (tok, start // 300), (i, got[i], start)
+        start += tok
+    # docs never split: each shard's starts span < capacity + max doc
+    assert len(got) == 200
+
+
+def test_token_shard_assign_sparse_ids(spark):
+    """Id gaps skew bucket sizes but never the assignment."""
+    from publicationsretriever_spark.operators.packing import (
+        token_shard_assign,
+    )
+
+    rows = [(i * 37 + 5, 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = token_shard_assign(
+        df, "n_tokens", "doc_id", capacity=120, bucket_size=8
+    ).orderBy("doc_id").collect()
+    start = 0
+    for r, (i, tok) in zip(out, rows):
+        assert (r["doc_id"], r["shard"]) == (i, start // 120)
+        start += tok
+
+
+def test_dup_span_stats_cross_doc_only(spark):
+    from publicationsretriever_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero one two three four"),
+            (1, "lead in words here " + shared),  # 4 + 8 tokens
+            (2, "totally different content with no overlap at all ok"),
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(
+            df, "text", "doc_id", w=8, stride=4, hash_keys=False
+        ).collect()
+    }
+    # doc0 span at pos 0 == doc1 span at pos 4 (stride-aligned on
+    # both sides) -> both flagged; doc2 clean; doc3 too short
+    assert out[0]["dup_spans"] >= 1 and out[1]["dup_spans"] >= 1
+    assert out[2]["dup_spans"] == 0 and out[2]["n_spans"] > 0
+    assert out[3]["n_spans"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_dup_span_stats_hash_equals_text_keys(spark):
+    """The production int64-key path (xxhash64 at the explode) must
+    produce identical stats to the oracle-facing text-key path."""
+    from publicationsretriever_spark.operators.dedup import dup_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        tuple(r)
+        for r in dup_span_stats(
+            docs, "text", "doc_id", w=8, stride=4, hash_keys=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dup_span_stats(
+            docs, "text", "doc_id", w=8, stride=4, hash_keys=False
+        ).collect()
+    )
+    assert a == b
