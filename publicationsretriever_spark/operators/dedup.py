@@ -778,20 +778,24 @@ def dup_span_stats(
     key_docs = spans.groupBy("_key", id_col).agg(
         F.count(F.lit(1)).alias("_pos")
     )
-    key_stats = key_docs.groupBy("_key").agg(
-        F.count(F.lit(1)).alias("_nd")
+    # distinct-doc count per key as a WINDOW over the (key, doc)
+    # aggregate, not a second groupBy + join back: the join-back form
+    # makes Catalyst's column pruning specialize the two subtrees so
+    # the scan + explode run TWICE (verified via .explain) — the
+    # window keeps one scan, one explode, and one extra exchange of
+    # the already-aggregated rows. Skew ceiling: a span shared by D
+    # docs puts D rows in one window partition (count only, no
+    # carried payload) — same doc-frequency ceiling as
+    # ngram_jaccard_pairs' id lists, documented there.
+    w_key = Window.partitionBy("_key")
+    flagged = key_docs.withColumn(
+        "_nd", F.count(F.lit(1)).over(w_key)
     )
-    per_doc = (
-        key_docs.join(key_stats, "_key")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_pos").alias("_n"),
-            F.sum(
-                F.when(F.col("_nd") >= 2, F.col("_pos")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("_dup"),
-        )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum("_pos").alias("_n"),
+        F.sum(
+            F.when(F.col("_nd") >= 2, F.col("_pos")).otherwise(F.lit(0))
+        ).alias("_dup"),
     )
     return (
         df.select(F.col(id_col))

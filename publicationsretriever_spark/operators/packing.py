@@ -54,6 +54,15 @@ def token_shard_assign(
         .cast("long")
         .alias("_b"),
     )
+    # The totals branch re-reads `base` (Catalyst prunes id from it,
+    # so the subtrees differ and ReuseExchange cannot kick in), but it
+    # partial-aggregates MAP-SIDE and shuffles only n_buckets rows —
+    # cheaper than repartitioning the corpus a second time to share
+    # the exchange (measured: the shared-exchange form shuffles the
+    # full corpus twice). Feed a slim materialized (id, tokens) frame,
+    # the natural shape — token counts are computed once upstream and
+    # reused by many consumers — and the double read is two cheap
+    # two-column scans.
     totals = base.groupBy("_b").agg(F.sum("_tok").alias("_bt"))
     w_off = (
         Window.orderBy("_b")
