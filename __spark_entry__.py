@@ -771,6 +771,45 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_image_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level image+caption quality gates (operators/
+    multimodal.image_quality_gates) over an input_hint-shaped table
+    synthesized deterministically from documents — doc_id-derived
+    (w, h, fmt, byte_len) hit every gate branch; both engines build
+    the SAME table, so the oracle pins gate logic AND first-failure
+    reason order."""
+    from publicationsretriever_spark.operators.multimodal import (
+        image_quality_gates,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    w = (F.lit(16) + (F.col("doc_id") * 37) % 1024).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 59) % 1024).cast("int")
+    px = w.cast("long") * h.cast("long")
+    byte_len = (
+        F.when(F.col("doc_id") % 11 == 3, F.floor(px * F.lit(9.0)))
+        .when(F.col("doc_id") % 13 == 7, F.floor(px * F.lit(0.01)))
+        .otherwise(F.floor(px / F.lit(2.0)))
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 7 == 5, F.lit("gif"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("image_id"),
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+        byte_len.alias("byte_len"),
+        F.expr(
+            "substring(text, 1, 1 + CAST(doc_id % 200 AS INT))"
+        ).alias("caption"),
+    )
+    return image_quality_gates(meta).orderBy("image_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (operators/similarity);
     queries = first 4 vectors."""
@@ -930,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_shards": q_token_shards,
         "dup_spans": q_dup_spans,
+        "image_gates": q_image_gates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1580,6 +1620,62 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(dup, 0) AS DOUBLE)
                          / greatest(coalesce(n, 0), 1), 6) AS dup_frac
             FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+        """,
+        "image_gates": """
+            -- mirrors operators/multimodal.image_quality_gates over
+            -- the q_image_gates synthesized metadata; reject_reason =
+            -- first failing gate in IMAGE_GATE_ORDER (fmt, min_dim,
+            -- aspect, bytes, caption).
+            WITH meta AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + (doc_id * 37) % 1024 AS INT) AS w,
+                     CAST(16 + (doc_id * 59) % 1024 AS INT) AS h,
+                     CASE WHEN doc_id % 7 = 5 THEN 'gif'
+                          WHEN doc_id % 2 = 0 THEN 'png'
+                          ELSE 'jpeg' END AS fmt,
+                     CAST(CASE
+                       WHEN doc_id % 11 = 3 THEN floor(
+                         CAST(16 + (doc_id * 37) % 1024 AS BIGINT)
+                         * CAST(16 + (doc_id * 59) % 1024 AS BIGINT)
+                         * 9.0)
+                       WHEN doc_id % 13 = 7 THEN floor(
+                         CAST(16 + (doc_id * 37) % 1024 AS BIGINT)
+                         * CAST(16 + (doc_id * 59) % 1024 AS BIGINT)
+                         * 0.01)
+                       ELSE floor(
+                         CAST(16 + (doc_id * 37) % 1024 AS BIGINT)
+                         * CAST(16 + (doc_id * 59) % 1024 AS BIGINT)
+                         / 2.0)
+                     END AS BIGINT) AS byte_len,
+                     substr(text, 1, 1 + CAST(doc_id % 200 AS INT))
+                       AS caption
+              FROM documents
+            ),
+            g AS (
+              SELECT *,
+                fmt IN ('png', 'jpeg') AS gate_fmt,
+                least(w, h) >= 64 AS gate_min_dim,
+                greatest(CAST(w AS DOUBLE)/h, CAST(h AS DOUBLE)/w)
+                  <= 3.0 AS gate_aspect,
+                CAST(byte_len AS DOUBLE)
+                  / (CAST(w AS DOUBLE) * CAST(h AS DOUBLE))
+                  BETWEEN 0.05 AND 4.0 AS gate_bytes,
+                len(string_split_regex(trim(caption), '\\s+'))
+                  BETWEEN 2 AND 128 AS gate_caption
+              FROM meta
+            )
+            SELECT image_id, w, h, fmt, byte_len, caption,
+                   gate_fmt, gate_min_dim, gate_aspect, gate_bytes,
+                   gate_caption,
+                   (gate_fmt AND gate_min_dim AND gate_aspect
+                    AND gate_bytes AND gate_caption) AS keep,
+                   CASE WHEN NOT gate_fmt THEN 'fmt'
+                        WHEN NOT gate_min_dim THEN 'min_dim'
+                        WHEN NOT gate_aspect THEN 'aspect'
+                        WHEN NOT gate_bytes THEN 'bytes'
+                        WHEN NOT gate_caption THEN 'caption'
+                        ELSE NULL END AS reject_reason
+            FROM g ORDER BY image_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),

@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--max-hamming", type=int, default=2)
     ap.add_argument("--no-audit", action="store_true",
                     help="skip the decode audit pass")
+    ap.add_argument("--gates", default=None,
+                    help="enable metadata quality gates: a JSON dict "
+                         "of image_quality_gates kwargs ('{}' = "
+                         "defaults, e.g. '{\"min_dim\": 8}')")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -82,6 +86,7 @@ def main() -> int:
         test_frac=args.test_frac,
         max_hamming=args.max_hamming,
         audit=not args.no_audit,
+        gates=json.loads(args.gates) if args.gates is not None else None,
     )
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)

@@ -305,3 +305,74 @@ def image_caption_canonicalize(
         assign.select("image_id", "cluster_id"), "image_id"
     )
     return canonicalize_clusters(joined, "cluster_id", "image_id", attr_cols)
+
+
+#: fixed gate order for image_quality_gates' reject_reason — first
+#: failing gate wins, mirroring the reference's page-filter battery
+#: (LoaderAndChecker runs its regex gates in declaration order and
+#: reports the first rejecting rule; util/url/LoaderAndChecker.java).
+IMAGE_GATE_ORDER = (
+    "fmt", "min_dim", "aspect", "bytes", "caption",
+)
+
+
+def image_quality_gates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    min_dim: int = 64,
+    max_aspect: float = 3.0,
+    bpp_min: float = 0.05,
+    bpp_max: float = 4.0,
+    caption_min_tokens: int = 2,
+    caption_max_tokens: int = 128,
+    allowed_fmts: tuple[str, ...] = ("png", "jpeg"),
+) -> DataFrame:
+    """Metadata-level quality gates for image+caption pairs — the
+    LAION/DataComp-style pre-filter that runs BEFORE any pixel decode
+    (decode costs Python/Arrow; these gates are pure column
+    expressions over (w, h, fmt, byte_len, caption), so Catalyst
+    evaluates them inside the scan's codegen stage and at 100 TB the
+    rejected rows never reach the decode UDF):
+
+    - ``fmt``     format in the allowlist (decoder coverage),
+    - ``min_dim`` least(w, h) >= min_dim (thumbnails/trackers out),
+    - ``aspect``  max(w/h, h/w) <= max_aspect (banners/sliver crops),
+    - ``bytes``   byte_len / (w*h) in [bpp_min, bpp_max] — implausibly
+      small = truncated/decoy payload, implausibly large = not really
+      a compressed image (the reference's content-size guard,
+      ConnSupportUtils.java:516-543, applied per-pixel),
+    - ``caption`` whitespace token count in [min, max] (empty alt-text
+      and keyword-stuffed captions out).
+
+    Returns the input plus one boolean per gate (``gate_<name>``),
+    ``keep`` (all pass) and ``reject_reason`` (first failing gate in
+    IMAGE_GATE_ORDER, NULL when kept) — reason-carrying rejects feed
+    the same audit-tables pattern as the crawl's reject_stats.
+    Expects a ``byte_len`` column (length(bytes) upstream — metadata
+    tables usually carry it instead of the blob)."""
+    w, h = F.col("w").cast("double"), F.col("h").cast("double")
+    px = w * h
+    bpp = F.col("byte_len").cast("double") / px
+    cap_toks = F.size(F.split(F.trim(F.col("caption")), r"\s+"))
+    gates = {
+        "fmt": F.col("fmt").isin(*allowed_fmts),
+        "min_dim": F.least(F.col("w"), F.col("h")) >= min_dim,
+        "aspect": F.greatest(w / h, h / w) <= max_aspect,
+        "bytes": (bpp >= bpp_min) & (bpp <= bpp_max),
+        "caption": (cap_toks >= caption_min_tokens)
+        & (cap_toks <= caption_max_tokens),
+    }
+    out = df
+    for name in IMAGE_GATE_ORDER:
+        out = out.withColumn(f"gate_{name}", gates[name])
+    keep = F.lit(True)
+    for name in IMAGE_GATE_ORDER:
+        keep = keep & F.col(f"gate_{name}")
+    reason = F.lit(None).cast("string")
+    for name in reversed(IMAGE_GATE_ORDER):
+        reason = F.when(
+            ~F.col(f"gate_{name}"), F.lit(name)
+        ).otherwise(reason)
+    return out.withColumn("keep", keep).withColumn(
+        "reject_reason", reason
+    )

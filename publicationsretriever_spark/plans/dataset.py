@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import canonicalize_clusters, cluster_safe_split
-from ..operators.multimodal import decode_image_metrics, image_dedup_assign
+from ..operators.multimodal import (
+    decode_image_metrics,
+    image_dedup_assign,
+    image_quality_gates,
+)
 
 #: input_hint schema (BASELINE.json): the contract for `payloads`
 PAYLOAD_SCHEMA = (
@@ -46,6 +50,7 @@ def build_training_dataset(
     max_hamming: int = 2,
     split_seed: str = "split-v1",
     audit: bool = True,
+    gates: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compose audit -> cluster -> caption vote -> split over an
     input_hint payload table. Returns the dataset tables:
@@ -54,8 +59,9 @@ def build_training_dataset(
       min-id exemplar's payload carrying the cluster's canonical
       caption, plus (cluster_id, cluster_size, caption_conflict,
       split). This is the table a trainer reads.
-    - ``audit_rejects``: payload rows dropped by the decode audit,
-      with a ``reject_reason`` (decode_failed / phash_mismatch).
+    - ``audit_rejects``: payload rows dropped before pairing, with a
+      ``reject_reason``: ``gate_<name>`` from the metadata gates,
+      decode_failed / phash_mismatch from the decode audit.
     - ``conflicts``: clusters whose members carried more than one
       caption — the labeling-QA sample.
 
@@ -67,6 +73,31 @@ def build_training_dataset(
     """
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     payloads = payloads.select(*cols)
+
+    gate_rejects = spark.createDataFrame(
+        [],
+        "image_id string, fmt string, phash long, phash_check long, "
+        "reject_reason string",
+    )
+    if gates is not None:
+        # metadata-level gates run BEFORE the decode pass: pure column
+        # expressions, so at scale the rejected rows never reach the
+        # Python decode UDF. ``gates`` is the image_quality_gates
+        # kwargs ({} = LAION-ish defaults); None (default) skips —
+        # thresholds are corpus policy, not something to guess.
+        gated = image_quality_gates(
+            payloads.withColumn("byte_len", F.length("bytes")), **gates
+        )
+        gate_rejects = gated.filter(~F.col("keep")).select(
+            "image_id",
+            "fmt",
+            "phash",
+            F.lit(None).cast("long").alias("phash_check"),
+            F.concat(F.lit("gate_"), F.col("reject_reason")).alias(
+                "reject_reason"
+            ),
+        )
+        payloads = gated.filter(F.col("keep")).select(*cols)
 
     if audit:
         # one decode pass TOTAL: the metrics frame (per-image scalars,
@@ -162,6 +193,6 @@ def build_training_dataset(
     )
     return {
         "pairs": pairs,
-        "audit_rejects": audit_rejects,
+        "audit_rejects": gate_rejects.unionByName(audit_rejects),
         "conflicts": conflicts,
     }

@@ -1229,3 +1229,71 @@ def test_dup_span_stats_hash_equals_text_keys(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_image_quality_gates_each_gate_and_reason_order(spark):
+    from publicationsretriever_spark.operators.multimodal import (
+        image_quality_gates,
+    )
+
+    rows = [
+        # (id, w, h, fmt, byte_len, caption) — one failure per gate
+        ("ok", 256, 256, "png", 32768, "a red bicycle on grass"),
+        ("bad_fmt", 256, 256, "tiff", 32768, "some caption here"),
+        ("tiny", 32, 256, "png", 4096, "some caption here"),
+        ("banner", 900, 200, "jpeg", 90000, "some caption here"),
+        ("truncated", 256, 256, "png", 100, "some caption here"),
+        ("bloated", 256, 256, "png", 256 * 256 * 5, "some caption"),
+        ("no_alt", 256, 256, "png", 32768, "x"),
+        # fmt fails AND caption fails -> reason = fmt (first in order)
+        ("multi", 256, 256, "bmp", 32768, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, w int, h int, fmt string, byte_len long, "
+        "caption string",
+    )
+    out = {
+        r["image_id"]: r
+        for r in image_quality_gates(df).collect()
+    }
+    assert out["ok"]["keep"] and out["ok"]["reject_reason"] is None
+    expect = {
+        "bad_fmt": "fmt", "tiny": "min_dim", "banner": "aspect",
+        "truncated": "bytes", "bloated": "bytes", "no_alt": "caption",
+        "multi": "fmt",
+    }
+    for k, reason in expect.items():
+        assert not out[k]["keep"], k
+        assert out[k]["reject_reason"] == reason, (
+            k, out[k]["reject_reason"],
+        )
+
+
+def test_dataset_gates_stage(spark):
+    """Pipeline wiring: gates tuned for the synthetic 8x8 corpus keep
+    everything; default thresholds reject it all with gate_ reasons."""
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.sources.synthetic_web import (
+        SyntheticWeb,
+    )
+
+    web = SyntheticWeb(n_hosts=3, seed=42)
+    payloads = web.payloads_df(spark)
+    n = payloads.count()
+
+    relaxed = build_training_dataset(
+        spark, payloads, audit=False,
+        gates={"min_dim": 8, "bpp_max": 8.0},
+    )
+    assert relaxed["audit_rejects"].count() == 0
+
+    strict = build_training_dataset(
+        spark, payloads, audit=False, gates={}
+    )
+    rejects = strict["audit_rejects"].collect()
+    assert len(rejects) == n
+    assert {r["reject_reason"] for r in rejects} == {"gate_min_dim"}
+    assert strict["pairs"].count() == 0
