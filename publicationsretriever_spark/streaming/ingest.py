@@ -99,3 +99,31 @@ def schedule_politely(
         assign, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def payload_dedup_stream(
+    stream: DataFrame,
+    hash_col: str = "content_hash",
+    ts_col: str = "fetch_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-payload dedup gate — the streaming counterpart
+    of operators/dedup.exact_dedup (reference semantics:
+    checkAndHandleDuplicateHash, util/http/ConnSupportUtils.java:
+    414-455, which consults an in-memory hash multimap; a stream at
+    10^10 URLs cannot hold that map unbounded).
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on
+    ``hash_col`` and EVICTS each key once the event-time watermark
+    passes it — state is bounded by the duplicate-arrival horizon
+    (how far apart in event time two copies of the same payload can
+    arrive), not by corpus size. Plain ``dropDuplicates`` on a stream
+    keeps every key forever and eventually OOMs the state store; the
+    watermarked form is the only shape that survives an unbounded
+    crawl. Duplicates farther apart than the watermark pass through —
+    the batch compaction's exact_dedup sweep catches those, same
+    two-tier contract as the URL-seen sketch (fast approximate gate
+    in-line, exact sweep at rest)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [hash_col]
+    )

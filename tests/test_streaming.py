@@ -108,3 +108,39 @@ def test_stateful_politeness_slots_continue_across_batches(spark, tmp_path):
     # 5 urls of one host, slots 0..12000 in 3000ms steps with NO reset
     # at the micro-batch boundary
     assert slots == [0, 3000, 6000, 9000, 12000]
+
+
+def test_payload_dedup_stream(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", "hashA", t0),
+        ("u2", "hashA", t0 + dt.timedelta(minutes=5)),   # dup within wm
+        ("u3", "hashB", t0 + dt.timedelta(minutes=1)),
+        ("u4", "hashC", t0 + dt.timedelta(minutes=2)),
+        ("u5", "hashB", t0 + dt.timedelta(minutes=59)),  # dup within wm
+    ]
+    src = tmp_path / "payloads"
+    schema = "url string, content_hash string, fetch_ts timestamp"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    from publicationsretriever_spark.streaming.ingest import (
+        payload_dedup_stream,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        payload_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    # one survivor per hash; the survivor is the first-in-batch row
+    assert sorted(r["content_hash"] for r in out) == [
+        "hashA", "hashB", "hashC",
+    ]
