@@ -771,14 +771,21 @@ class CrawlEngine:
         sched = sched.join(
             F.broadcast(robots), sched["top3"] == robots["domain"], "left"
         ).drop(robots["domain"])
-        upath = F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", "")
+        # path projected into an attribute: an inline expression read
+        # inside the exists() lambda re-runs per disallow prefix
         sched = sched.withColumn(
+            "_upath",
+            F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", ""),
+        ).withColumn(
             "_rob",
             F.when(
                 F.col("disallow").isNotNull(),
-                F.exists("disallow", lambda pre: upath.startswith(pre)),
+                F.exists(
+                    "disallow",
+                    lambda pre: F.col("_upath").startswith(pre),
+                ),
             ).otherwise(F.lit(False)),
-        ).drop("disallow")
+        ).drop("disallow", "_upath")
 
         # P11: offline https/slash redirects learned in prior rounds
         # (HttpConnUtils.java:326-334) — applied AFTER the gate ladder
