@@ -62,6 +62,19 @@ def main() -> None:
             emb, queries, k=k, n_cells=16, nprobe=4, m=4, n_codes=16,
             refine_iters=1,
         ),
+        # knob rows: the recall/cost trade must MOVE when the knob
+        # moves — flat recall under 2x nprobe / 2x m would mean the
+        # candidate generator is broken, not conservative
+        "ivf_topk(16 cells, nprobe 8)": lambda: S.ivf_topk(
+            emb, queries, k=k, n_cells=16, nprobe=8, refine_iters=1
+        ),
+        "pq_topk(m=8, 16 codes)": lambda: S.pq_topk(
+            emb, queries, k=k, m=8, n_codes=16, refine_iters=1
+        ),
+        "ivfpq_topk(16 cells, nprobe 8, m=8)": lambda: S.ivfpq_topk(
+            emb, queries, k=k, n_cells=16, nprobe=8, m=8, n_codes=16,
+            refine_iters=1,
+        ),
     }
     rows = {}
     for name, fn in variants.items():
@@ -90,7 +103,12 @@ def main() -> None:
     lines.append(
         f"Recall@{k} vs exact brute-force cosine over the sf embeddings "
         f"table ({n} vectors, {n_q} held-in queries) — the quality side "
-        "of each ANN variant's scale lever (tools/ann_recall.py):"
+        "of each ANN variant's scale lever (tools/ann_recall.py). The "
+        "synthetic embeddings are near-isotropic (neighbor margins are "
+        "razor-thin), so these are FLOOR values — what matters is that "
+        "the knob rows move in the right direction: more probes / more "
+        "codewords must buy recall, or the candidate generator is "
+        "broken rather than conservative."
     )
     lines.append("")
     lines.append("| variant | recall@k | min per-query |")
