@@ -771,6 +771,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style document gate (operators/textstats.
+    text_quality_gates): lang/length/punct/stopword/repetition checks
+    as one codegen-stage battery with first-failing-gate reasons."""
+    from publicationsretriever_spark.operators.textstats import (
+        text_quality_gates,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return text_quality_gates(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_image_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level image+caption quality gates (operators/
     multimodal.image_quality_gates) over an input_hint-shaped table
@@ -969,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_shards": q_token_shards,
         "dup_spans": q_dup_spans,
+        "text_gates": q_text_gates,
         "image_gates": q_image_gates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1620,6 +1634,61 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(dup, 0) AS DOUBLE)
                          / greatest(coalesce(n, 0), 1), 6) AS dup_frac
             FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+        """,
+        "text_gates": """
+            -- mirrors operators/textstats.text_quality_gates
+            -- (defaults): allowed lang = en; reject_reason = first
+            -- failing gate in TEXT_GATE_ORDER (lang, length, punct,
+            -- stopword, repeat). Vote/ratio expressions identical to
+            -- the lang_id / text_quality / repetition_quality oracles.
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w,
+                     length(text) AS nc,
+                     length(text) - length(
+                       regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id, w, nc, np,
+                 len(list_filter(w, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+                 len(list_filter(w, x -> list_contains(['the','and','of','to','a'], x))) AS s_en,
+                 len(list_filter(w, x -> list_contains(['el','los','que','y','una'], x))) AS s_es,
+                 len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id,
+                (CASE
+                  WHEN s_fr > greatest(0, s_de, s_en, s_es) THEN 'fr'
+                  WHEN s_es > greatest(0, s_de, s_en) THEN 'es'
+                  WHEN s_en > greatest(0, s_de) THEN 'en'
+                  WHEN s_de > 0 THEN 'de'
+                  ELSE 'und' END) = 'en' AS gate_lang,
+                nc BETWEEN 50 AND 20000 AS gate_length,
+                round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) < 0.2
+                  AS gate_punct,
+                round(CAST(s_en AS DOUBLE) / greatest(len(w), 1), 6)
+                  > 0.01 AS gate_stopword,
+                (CASE WHEN len(w) >= 2 THEN
+                   round(1 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+                     / (len(w) - 1), 6)
+                 ELSE 0.0 END) <= 0.3 AS gate_repeat
+              FROM sc
+            )
+            SELECT doc_id, gate_lang, gate_length, gate_punct,
+                   gate_stopword, gate_repeat,
+                   (gate_lang AND gate_length AND gate_punct
+                    AND gate_stopword AND gate_repeat) AS keep,
+                   CASE WHEN NOT gate_lang THEN 'lang'
+                        WHEN NOT gate_length THEN 'length'
+                        WHEN NOT gate_punct THEN 'punct'
+                        WHEN NOT gate_stopword THEN 'stopword'
+                        WHEN NOT gate_repeat THEN 'repeat'
+                        ELSE NULL END AS reject_reason
+            FROM g ORDER BY doc_id
         """,
         "image_gates": """
             -- mirrors operators/multimodal.image_quality_gates over

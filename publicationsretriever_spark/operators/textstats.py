@@ -258,3 +258,100 @@ def repetition_signals(
             "top_word_frac"
         ),
     )
+
+
+#: fixed gate order for text_quality_gates' reject_reason — first
+#: failing gate wins (same contract as multimodal.IMAGE_GATE_ORDER
+#: and the reference's declaration-ordered regex battery).
+TEXT_GATE_ORDER = ("lang", "length", "punct", "stopword", "repeat")
+
+
+def text_quality_gates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_chars: int = 50,
+    max_chars: int = 20000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    max_dup_2gram: float = 0.3,
+) -> DataFrame:
+    """Composite C4/Gopher-style document gate — the text analogue of
+    multimodal.image_quality_gates and the standard corpus-cleaning
+    stage between crawl and training (Raffel et al. 2020 §2.2 line
+    rules; Rae et al. 2021 table A1 repetition rules):
+
+    - ``lang``      marker-vote language in the allowlist,
+    - ``length``    char count in [min_chars, max_chars],
+    - ``punct``     punctuation ratio below max_punct_ratio,
+    - ``stopword``  stopword ratio above min_stopword_ratio (word
+      salad and navigation pages carry almost none),
+    - ``repeat``    duplicate-2-gram fraction at most max_dup_2gram
+      (keyword stuffing / boilerplate loops).
+
+    Pure column expressions over ONE projected token array (the
+    attribute-first discipline — every signal reads ``_w``, never
+    re-splits), no shuffle: Catalyst evaluates the whole battery
+    inside the scan's codegen stage, so at 100 TB rejected documents
+    cost one read and zero data movement. Returns the id, each
+    ``gate_<name>`` boolean, ``keep``, and ``reject_reason`` (first
+    failing gate in TEXT_GATE_ORDER, NULL when kept)."""
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_nc"),
+        punct_ratio(F.col(text_col)).alias("_pr"),
+        tokens(F.col(text_col)).alias("_w"),
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    len2 = F.greatest(n - 1, F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(w, 1, len2),
+        F.slice(w, 2, len2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup2 = F.when(
+        F.size(grams2) > 0,
+        F.round(1 - F.size(F.array_distinct(grams2)) / F.size(grams2), 6),
+    ).otherwise(F.lit(0.0))
+
+    def _marker_count(markers: list[str]):
+        return F.size(
+            F.filter(w, (lambda ms: (lambda t: t.isin(ms)))(markers))
+        )
+
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    for code, markers in sorted(LANG_MARKERS.items()):
+        score = _marker_count(markers)
+        better = score > best_score
+        best_code = F.when(better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(better, score).otherwise(best_score)
+    stop_ratio = F.round(
+        _marker_count(LANG_MARKERS["en"]) / F.greatest(n, F.lit(1)), 6
+    )
+    gates = {
+        "lang": best_code.isin(*allowed_langs),
+        "length": (F.col("_nc") >= min_chars)
+        & (F.col("_nc") <= max_chars),
+        "punct": F.col("_pr") < max_punct_ratio,
+        "stopword": stop_ratio > min_stopword_ratio,
+        "repeat": dup2 <= max_dup_2gram,
+    }
+    out = base
+    for name in TEXT_GATE_ORDER:
+        out = out.withColumn(f"gate_{name}", gates[name])
+    keep = F.lit(True)
+    for name in TEXT_GATE_ORDER:
+        keep = keep & F.col(f"gate_{name}")
+    reason = F.lit(None).cast("string")
+    for name in reversed(TEXT_GATE_ORDER):
+        reason = F.when(~F.col(f"gate_{name}"), F.lit(name)).otherwise(
+            reason
+        )
+    return (
+        out.withColumn("keep", keep)
+        .withColumn("reject_reason", reason)
+        .drop("_nc", "_pr", "_w")
+    )

@@ -1297,3 +1297,36 @@ def test_dataset_gates_stage(spark):
     assert len(rejects) == n
     assert {r["reject_reason"] for r in rejects} == {"gate_min_dim"}
     assert strict["pairs"].count() == 0
+
+
+def test_text_quality_gates_reasons(spark):
+    from publicationsretriever_spark.operators.textstats import (
+        text_quality_gates,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "to a quiet river bank of the old town and rests a while"
+    )
+    rows = [
+        (0, good),
+        (1, "der hund und die katze laufen durch das haus und der garten ist ein schoener ort fuer die tiere"),  # lang
+        (2, "the cat sat"),                                   # length
+        (3, "the of and to a " + "!?!;:#@$%" * 30),           # punct
+        (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp " * 3),  # stopword (no markers -> lang fails first)
+        (5, "the rain in spain " * 20),                       # repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in text_quality_gates(
+            df, "text", "doc_id"
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["reject_reason"] is None
+    assert out[1]["reject_reason"] == "lang"
+    assert out[2]["reject_reason"] == "length"
+    assert out[3]["reject_reason"] == "punct"
+    # no markers at all -> vote is 'und' -> lang fires before stopword
+    assert out[4]["reject_reason"] == "lang"
+    assert out[5]["reject_reason"] == "repeat"
+    assert not any(out[i]["keep"] for i in range(1, 6))
