@@ -45,6 +45,9 @@ def main() -> int:
                     help="enable metadata quality gates: a JSON dict "
                          "of image_quality_gates kwargs ('{}' = "
                          "defaults, e.g. '{\"min_dim\": 8}')")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/IPs/phones from the shipped "
+                         "captions (textstats.pii_redact patterns)")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -87,6 +90,7 @@ def main() -> int:
         max_hamming=args.max_hamming,
         audit=not args.no_audit,
         gates=json.loads(args.gates) if args.gates is not None else None,
+        redact_pii=args.redact_pii,
     )
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)

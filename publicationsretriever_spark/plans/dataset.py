@@ -51,6 +51,7 @@ def build_training_dataset(
     split_seed: str = "split-v1",
     audit: bool = True,
     gates: dict | None = None,
+    redact_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Compose audit -> cluster -> caption vote -> split over an
     input_hint payload table. Returns the dataset tables:
@@ -168,6 +169,22 @@ def build_training_dataset(
         "fmt",
         "phash",
     )
+    caption_out = F.col("canonical_caption")
+    if redact_pii:
+        # the caption ships in the training set — scrub it at the
+        # last projection (textstats.pii_redact semantics: fixed
+        # email -> ipv4 -> phone order on progressively-redacted text)
+        from ..operators.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+        caption_out = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(caption_out, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4,
+                "<IP>",
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        )
     pairs = (
         vote.join(exemplar, vote["canonical_image_id"] == F.col("_ex_id"))
         .select(
@@ -176,7 +193,7 @@ def build_training_dataset(
             "w",
             "h",
             "fmt",
-            F.col("canonical_caption").alias("caption"),
+            caption_out.alias("caption"),
             "phash",
             "cluster_id",
             "cluster_size",

@@ -8,6 +8,7 @@ import json
 import sys
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from publicationsretriever_spark.sources.imagecodec import (
     encode_png,
@@ -129,3 +130,32 @@ def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
     # one row per cluster
     n = pairs.count()
     assert pairs.select("cluster_id").distinct().count() == n
+
+
+def test_dataset_redact_pii_captions(spark):
+    """redact_pii scrubs the SHIPPED caption only — cluster voting and
+    conflict detection still run on the raw captions."""
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+    )
+
+    rows = [
+        make_payload_row("img-0", 0),
+        make_payload_row("img-1", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    df = df.withColumn(
+        "caption",
+        F.concat(F.col("caption"), F.lit(" mail bob@example.org")),
+    )
+    out = build_training_dataset(spark, df, audit=False, redact_pii=True)
+    caps = [r["caption"] for r in out["pairs"].collect()]
+    assert caps and all("<EMAIL>" in c for c in caps)
+    assert not any("bob@example.org" in c for c in caps)
