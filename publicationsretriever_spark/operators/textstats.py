@@ -297,11 +297,30 @@ def text_quality_gates(
     cost one read and zero data movement. Returns the id, each
     ``gate_<name>`` boolean, ``keep``, and ``reject_reason`` (first
     failing gate in TEXT_GATE_ORDER, NULL when kept)."""
+    def _marker_count0(markers: list[str]):
+        return F.size(
+            F.filter(
+                F.col("_w"), (lambda ms: (lambda t: t.isin(ms)))(markers)
+            )
+        )
+
+    # marker scores staged as columns: the when-chain vote otherwise
+    # inlines each size(filter(...)) once per CASE branch (~15 copies
+    # for 4 languages) — attributes keep the projection tree small
     base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("_nc"),
         punct_ratio(F.col(text_col)).alias("_pr"),
         tokens(F.col(text_col)).alias("_w"),
+    ).select(
+        F.col(id_col),
+        "_nc",
+        "_pr",
+        "_w",
+        *[
+            _marker_count0(markers).alias(f"_s_{code}")
+            for code, markers in sorted(LANG_MARKERS.items())
+        ],
     )
     w = F.col("_w")
     n = F.size(w)
@@ -316,20 +335,15 @@ def text_quality_gates(
         F.round(1 - F.size(F.array_distinct(grams2)) / F.size(grams2), 6),
     ).otherwise(F.lit(0.0))
 
-    def _marker_count(markers: list[str]):
-        return F.size(
-            F.filter(w, (lambda ms: (lambda t: t.isin(ms)))(markers))
-        )
-
     best_code = F.lit("und")
     best_score = F.lit(0)
-    for code, markers in sorted(LANG_MARKERS.items()):
-        score = _marker_count(markers)
+    for code in sorted(LANG_MARKERS):
+        score = F.col(f"_s_{code}")
         better = score > best_score
         best_code = F.when(better, F.lit(code)).otherwise(best_code)
         best_score = F.when(better, score).otherwise(best_score)
     stop_ratio = F.round(
-        _marker_count(LANG_MARKERS["en"]) / F.greatest(n, F.lit(1)), 6
+        F.col("_s_en") / F.greatest(n, F.lit(1)), 6
     )
     gates = {
         "lang": best_code.isin(*allowed_langs),
@@ -353,5 +367,8 @@ def text_quality_gates(
     return (
         out.withColumn("keep", keep)
         .withColumn("reject_reason", reason)
-        .drop("_nc", "_pr", "_w")
+        .drop(
+            "_nc", "_pr", "_w",
+            *[f"_s_{code}" for code in LANG_MARKERS],
+        )
     )
