@@ -1330,3 +1330,51 @@ def test_text_quality_gates_reasons(spark):
     assert out[4]["reject_reason"] == "lang"
     assert out[5]["reject_reason"] == "repeat"
     assert not any(out[i]["keep"] for i in range(1, 6))
+
+
+def test_pii_redact_idempotent_and_unicode(spark):
+    """Redaction is a fixpoint (placeholders never re-match) and
+    survives non-ASCII text around the matches."""
+    from publicationsretriever_spark.operators.textstats import pii_redact
+
+    rows = [
+        (0, "héllo wörld ünïcode a@b.io end"),
+        (1, "日本語テキスト 192.168.0.1 のあと"),
+        (2, "<EMAIL> literal placeholder and x@y.zz"),
+        (3, "plus +12 (345) 678-9012 фон"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = pii_redact(df, "text", "doc_id")
+    twice = pii_redact(
+        once.select(F.col("doc_id"), F.col("redacted").alias("text")),
+        "text",
+        "doc_id",
+    )
+    a = {r["doc_id"]: r["redacted"] for r in once.collect()}
+    b = {r["doc_id"]: r["redacted"] for r in twice.collect()}
+    assert a == b
+    counts = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"])
+        for r in twice.collect()
+    }
+    assert all(c == (0, 0, 0) for c in counts.values())
+    assert "a@b.io" not in a[0] and "192.168.0.1" not in a[1]
+
+
+def test_token_shard_capacity_smaller_than_doc(spark):
+    """Docs larger than capacity still get a deterministic shard (by
+    their start offset); shard ids may skip — never collide wrongly."""
+    from publicationsretriever_spark.operators.packing import (
+        token_shard_assign,
+    )
+
+    rows = [(0, 500), (1, 10), (2, 700), (3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in token_shard_assign(
+            df, "n_tokens", "doc_id", capacity=100, bucket_size=2
+        ).collect()
+    }
+    # starts: 0, 500, 510, 1210 -> shards 0, 5, 5, 12
+    assert out == {0: 0, 1: 5, 2: 5, 3: 12}
