@@ -771,6 +771,22 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus report (operators/textstats.
+    corpus_stats): doc counts, total/mean tokens, exact token-length
+    p50/p90 — the dataset-card numbers. exact=False is the 100 TB
+    t-digest path; the contract pins the exact variant."""
+    from publicationsretriever_spark.operators.textstats import (
+        corpus_stats,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return corpus_stats(docs, "text", ["lang", "source"]).orderBy(
+        "lang", "source"
+    )
+
+
 def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style document gate (operators/textstats.
     text_quality_gates): lang/length/punct/stopword/repetition checks
@@ -982,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_shards": q_token_shards,
         "dup_spans": q_dup_spans,
+        "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1634,6 +1651,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(dup, 0) AS DOUBLE)
                          / greatest(coalesce(n, 0), 1), 6) AS dup_frac
             FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+        """,
+        "corpus_stats": """
+            -- mirrors operators/textstats.corpus_stats (exact):
+            -- quantile_cont == Spark's exact percentile (linear
+            -- interpolation), verified to 6dp.
+            WITH t AS (
+              SELECT lang, source,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tk
+              FROM documents
+            )
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   CAST(sum(tk) AS BIGINT) AS total_tokens,
+                   round(avg(tk), 6) AS mean_tokens,
+                   round(quantile_cont(tk, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(tk, 0.9), 6) AS p90_tokens
+            FROM t GROUP BY lang, source ORDER BY lang, source
         """,
         "text_gates": """
             -- mirrors operators/textstats.text_quality_gates

@@ -372,3 +372,37 @@ def text_quality_gates(
             *[f"_s_{code}" for code in LANG_MARKERS],
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    strata_cols: list[str],
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum corpus report — the dataset-card numbers a training
+    run is sized from: document count, total/mean token counts and
+    token-length p50/p90 per (lang, source, ...) stratum.
+
+    ``exact=True`` (default, oracle-mirrored) uses Spark's exact
+    ``percentile``, which buffers each group's values — fine for
+    report-sized group counts, NOT for 10^10 docs. ``exact=False`` is
+    the 100 TB path: ``percentile_approx`` (t-digest, bounded memory,
+    mergeable partials — the aggregation stays map-side combinable);
+    the report's consumers tolerate approximate quantiles, the oracle
+    does not, hence the switch."""
+    t = token_count(F.col(text_col))
+    base = df.select(*strata_cols, t.alias("_t"))
+    if exact:
+        p50 = F.percentile("_t", 0.5)
+        p90 = F.percentile("_t", 0.9)
+    else:
+        p50 = F.percentile_approx("_t", 0.5, 10000)
+        p90 = F.percentile_approx("_t", 0.9, 10000)
+    return base.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.round(F.avg("_t"), 6).alias("mean_tokens"),
+        F.round(p50.cast("double"), 6).alias("p50_tokens"),
+        F.round(p90.cast("double"), 6).alias("p90_tokens"),
+    )

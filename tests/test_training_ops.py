@@ -1378,3 +1378,25 @@ def test_token_shard_capacity_smaller_than_doc(spark):
     }
     # starts: 0, 500, 510, 1210 -> shards 0, 5, 5, 12
     assert out == {0: 0, 1: 5, 2: 5, 3: 12}
+
+
+def test_corpus_stats_exact_and_approx(spark):
+    from publicationsretriever_spark.operators.textstats import (
+        corpus_stats,
+    )
+
+    # one large stratum: t-digest quantiles converge to the exact ones
+    # (on tiny groups approx returns an existing element while exact
+    # interpolates — structurally different, so test at group size
+    # where the scale path is actually used)
+    rows = [(0, "en", " ".join(["tok"] * (10 + (i * 13) % 200)))
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    e = corpus_stats(docs, "text", ["lang"]).collect()[0]
+    a = corpus_stats(docs, "text", ["lang"], exact=False).collect()[0]
+    assert (e["n_docs"], e["total_tokens"]) == (
+        a["n_docs"], a["total_tokens"],
+    )
+    assert a["p50_tokens"] <= a["p90_tokens"]
+    assert abs(a["p50_tokens"] - e["p50_tokens"]) <= 0.05 * e["p50_tokens"]
+    assert abs(a["p90_tokens"] - e["p90_tokens"]) <= 0.05 * e["p90_tokens"]
