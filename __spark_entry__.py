@@ -771,6 +771,21 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_drop_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.drop_dup_spans): the
+    global first occurrence of every duplicated 8-token span keeps its
+    tokens, later occurrences are cut; clean_text is the rebuilt
+    (whitespace-normalized, lowercased) document. hash_keys=False for
+    the DuckDB oracle; int64-key path equivalence-tested in pytest."""
+    from publicationsretriever_spark.operators.dedup import drop_dup_spans
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return drop_dup_spans(
+        docs, "text", "doc_id", w=8, stride=4, hash_keys=False
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus report (operators/textstats.
     corpus_stats): doc counts, total/mean tokens, exact token-length
@@ -998,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_shards": q_token_shards,
         "dup_spans": q_dup_spans,
+        "drop_dup_spans": q_drop_dup_spans,
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
@@ -1651,6 +1667,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(dup, 0) AS DOUBLE)
                          / greatest(coalesce(n, 0), 1), 6) AS dup_frac
             FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+        """,
+        "drop_dup_spans": """
+            -- mirrors operators/dedup.drop_dup_spans (w=8, stride=4,
+            -- text keys): per span key the (doc_id, pos)-lexicographic
+            -- first occurrence wins; every other occurrence's token
+            -- range is filtered out of its doc (1-based DuckDB lambda
+            -- index vs Spark's 0-based -> (i-1)).
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(0, CAST(floor((len(w) - 8) / 4.0)
+                                          AS BIGINT)),
+                       p -> struct_pack(p := p,
+                              k := array_to_string(w[p*4+1:p*4+8], ' '))
+                     )) AS s
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id, s.p AS p,
+                     row_number() OVER (PARTITION BY s.k
+                       ORDER BY doc_id, s.p) AS rn
+              FROM e
+            ),
+            l AS (
+              SELECT doc_id, list(p) AS ps, count(*) AS nr
+              FROM r WHERE rn > 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   -- coalesce: DuckDB array_to_string([]) is NULL,
+                   -- Spark concat_ws([]) is ''
+                   coalesce(array_to_string(list_filter(d.w, (x, i) ->
+                     len(list_filter(coalesce(l.ps, CAST([] AS BIGINT[])),
+                       q -> (i-1) >= q*4 AND (i-1) < q*4+8)) = 0),
+                     ' '), '') AS clean_text,
+                   CAST(coalesce(nr, 0) AS BIGINT) AS n_removed_spans
+            FROM d LEFT JOIN l USING (doc_id) ORDER BY d.doc_id
         """,
         "corpus_stats": """
             -- mirrors operators/textstats.corpus_stats (exact):

@@ -827,3 +827,103 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def drop_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    stride: int = 4,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the acting form of
+    dup_span_stats — Lee et al. 2021 remove one copy of every
+    duplicated substring rather than dropping whole documents): for
+    every span text occurring more than once in the corpus, the
+    single GLOBAL WINNER occurrence (lowest (id, position)) keeps its
+    tokens; every other occurrence's w-token range is cut from its
+    document. Returns (id, clean_text, n_removed_spans).
+
+    Shape: the span explode + per-key winner window are the
+    dup_span_stats shuffles; the removal itself is one
+    collect_list(positions) per affected doc (bounded by spans/doc,
+    never corpus-wide) joined back and applied as a token-index
+    filter — ``F.filter``'s (element, index) lambda against the
+    loser ranges, pure JVM. Only docs that LOSE at least one span
+    pay the rebuild; winners and clean docs pass through with their
+    original text. ``hash_keys`` as in dup_span_stats (int64 span
+    keys for 8-byte shuffles; a hash collision here would remove a
+    non-duplicate span — at xxhash64's 2^-64 rate, the standard
+    trade the stats op documents)."""
+    words = F.col("_w")
+    n_spans_expr = F.floor(
+        (F.size(words) - F.lit(w)) / F.lit(stride)
+    ) + 1
+    span_text = lambda p: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, p * stride + 1, w)
+    )
+    key_of = (
+        (lambda p: F.xxhash64(span_text(p)))
+        if hash_keys
+        else span_text
+    )
+    base = df.select(
+        F.col(id_col),
+        _words(F.col(text_col)).alias("_w"),
+    )
+    keyed = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_spans_expr > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_spans_expr.cast("int") - 1),
+                    lambda p: key_of(p),
+                ),
+            ).otherwise(F.array().cast(
+                "array<bigint>" if hash_keys else "array<string>"
+            ))
+        ).alias("_pos", "_key"),
+    )
+    w_key = Window.partitionBy("_key")
+    losers = (
+        keyed.withColumn(
+            "_win",
+            F.min(F.struct(F.col(id_col), F.col("_pos"))).over(w_key),
+        )
+        .filter(
+            (F.col(id_col) != F.col(f"_win.{id_col}"))
+            | (F.col("_pos") != F.col("_win._pos"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("_pos").alias("_ps"),
+            F.count(F.lit(1)).alias("_nr"),
+        )
+    )
+    # Project the coalesced loser-position list to an ATTRIBUTE before
+    # the token filter: an inline coalesce inside the lambda would be
+    # re-evaluated once per token (HOF lambdas recompute non-attribute
+    # expressions per element — 11x measured on this repo's tokenizers).
+    kept = F.filter(
+        F.col("_w"),
+        lambda t, i: ~F.exists(
+            F.col("_ps"),
+            lambda p: (i >= p * stride) & (i < p * stride + w),
+        ),
+    )
+    return (
+        base.join(losers, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_w"),
+            F.coalesce(F.col("_ps"), F.array().cast("array<int>")).alias("_ps"),
+            F.coalesce(F.col("_nr"), F.lit(0)).alias("n_removed_spans"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            "n_removed_spans",
+        )
+    )

@@ -1400,3 +1400,41 @@ def test_corpus_stats_exact_and_approx(spark):
     assert a["p50_tokens"] <= a["p90_tokens"]
     assert abs(a["p50_tokens"] - e["p50_tokens"]) <= 0.05 * e["p50_tokens"]
     assert abs(a["p90_tokens"] - e["p90_tokens"]) <= 0.05 * e["p90_tokens"]
+
+
+def test_drop_dup_spans_winner_keeps_tokens(spark):
+    from publicationsretriever_spark.operators.dedup import drop_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (0, shared + " tail zero one two"),            # winner (min id)
+            (1, "lead in words here " + shared),           # loser, aligned
+            (2, "independent clean document body here ok yes sure fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_dup_spans(
+            df, "text", "doc_id", w=8, stride=4, hash_keys=False
+        ).collect()
+    }
+    assert out[0]["clean_text"] == shared + " tail zero one two"
+    assert out[0]["n_removed_spans"] == 0
+    # loser doc: the 8 shared tokens cut, lead-in survives
+    assert out[1]["clean_text"] == "lead in words here"
+    assert out[1]["n_removed_spans"] == 1
+    assert out[2]["n_removed_spans"] == 0
+    assert "independent clean" in out[2]["clean_text"]
+
+
+def test_drop_dup_spans_hash_equals_text_keys(spark):
+    from publicationsretriever_spark.operators.dedup import drop_dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in drop_dup_spans(
+        docs, "text", "doc_id", hash_keys=True).collect())
+    b = sorted(tuple(r) for r in drop_dup_spans(
+        docs, "text", "doc_id", hash_keys=False).collect())
+    assert a == b
