@@ -786,6 +786,24 @@ def q_drop_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate):
+    training docs flagged when any 13-token span also occurs in the
+    eval split (here: every 50th doc_id stands in for the held-out
+    benchmark). Eval keys broadcast; the exploded train spans never
+    shuffle. hash_keys=False for the DuckDB oracle; int64-key path
+    equivalence-tested in pytest."""
+    from publicationsretriever_spark.operators.dedup import decontaminate
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(
+        train, ev, "text", "doc_id", w=13, hash_keys=False
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus report (operators/textstats.
     corpus_stats): doc counts, total/mean tokens, exact token-length
@@ -1014,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
+        "decontaminate": q_decontaminate,
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
@@ -1708,6 +1727,38 @@ def oracle_sql() -> dict[str, str]:
                      ' '), '') AS clean_text,
                    CAST(coalesce(nr, 0) AS BIGINT) AS n_removed_spans
             FROM d LEFT JOIN l USING (doc_id) ORDER BY d.doc_id
+        """,
+        "decontaminate": """
+            -- mirrors operators/dedup.decontaminate (w=13, stride 1,
+            -- text keys): eval split = doc_id % 50 == 0; a train doc
+            -- is contaminated when any of its 13-token spans occurs
+            -- anywhere in the eval split. DuckDB slice w[p:p+12] is
+            -- INCLUSIVE (13 tokens); generate_series(1, len-12) is
+            -- empty for docs shorter than 13 tokens.
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 12),
+                       p -> array_to_string(w[p:p+12], ' ')
+                     )) AS k
+              FROM d
+            ),
+            ev AS (SELECT DISTINCT k FROM e WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n
+              FROM e JOIN ev USING (k)
+              WHERE e.doc_id % 50 != 0 GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_eval_hits,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 50 != 0 ORDER BY d.doc_id
         """,
         "corpus_stats": """
             -- mirrors operators/textstats.corpus_stats (exact):

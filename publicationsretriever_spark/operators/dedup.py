@@ -927,3 +927,82 @@ def drop_dup_spans(
             "n_removed_spans",
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 13,
+    hash_keys: bool = True,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style 13-gram
+    overlap): flag every training document containing ANY w-token
+    span (stride 1 — eval text can start anywhere) that also occurs
+    in the held-out eval corpus. Returns one row per training doc:
+    (id, n_eval_hits, contaminated).
+
+    Scale shape — eval corpora are tiny next to a 100 TB training
+    corpus, so the eval side is the BROADCAST side: distinct eval
+    span keys ship to every executor and the exploded training spans
+    hit them in a BroadcastHashJoin with NO shuffle of the big side;
+    the per-doc hit count then partial-aggregates map-side before the
+    one small groupBy(id) exchange. With ``hash_keys`` every
+    broadcast/join key is an 8-byte xxhash64 instead of a w-token
+    string (the int64-shingle trick from ngram_jaccard_pairs); the
+    contract query passes hash_keys=False because DuckDB lacks
+    xxhash64 — pytest pins hash/text equivalence instead."""
+
+    def span_keys(frame: DataFrame, text: str) -> Column:
+        # tokens projected to an attribute first (_words contract)
+        words = F.col("_w")
+        n = F.size(words) - F.lit(w) + 1
+        span_text = lambda p: F.concat_ws(  # noqa: E731
+            " ", F.slice(words, p + 1, w)
+        )
+        key_of = (
+            (lambda p: F.xxhash64(span_text(p)))
+            if hash_keys
+            else span_text
+        )
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n.cast("int") - 1),
+                lambda p: key_of(p),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<bigint>" if hash_keys else "array<string>"
+            )
+        )
+
+    ev_keys = (
+        eval_df.select(
+            _words(F.col(eval_text_col or text_col)).alias("_w")
+        )
+        .select(F.explode(span_keys(eval_df, "_w")).alias("_key"))
+        .distinct()
+    )
+    train_spans = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_w")
+    ).select(
+        F.col(id_col),
+        F.explode(span_keys(df, "_w")).alias("_key"),
+    )
+    hits = (
+        train_spans.join(F.broadcast(ev_keys), "_key", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_eval_hits"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

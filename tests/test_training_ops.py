@@ -1438,3 +1438,58 @@ def test_drop_dup_spans_hash_equals_text_keys(spark):
     b = sorted(tuple(r) for r in drop_dup_spans(
         docs, "text", "doc_id", hash_keys=False).collect())
     assert a == b
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from publicationsretriever_spark.operators.dedup import decontaminate
+
+    bench = (
+        "what is the capital of france paris is the capital city of france"
+    )  # 13 tokens — exactly one w=13 span
+    train = spark.createDataFrame(
+        [
+            (10, "filler words " + bench + " trailing content here"),  # hit
+            (11, "totally unrelated training document with no overlap at all "
+                 "in any thirteen token window of its body text ok"),
+            (12, "short doc"),  # < 13 tokens: no spans, clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            train, ev, "text", "doc_id", w=13, hash_keys=False
+        ).collect()
+    }
+    assert out[10]["contaminated"] and out[10]["n_eval_hits"] >= 1
+    assert not out[11]["contaminated"] and out[11]["n_eval_hits"] == 0
+    assert not out[12]["contaminated"]
+
+
+def test_decontaminate_hash_equals_text_keys(spark):
+    from publicationsretriever_spark.operators.dedup import decontaminate
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    a = sorted(tuple(r) for r in decontaminate(
+        tr, ev, "text", "doc_id", hash_keys=True).collect())
+    b = sorted(tuple(r) for r in decontaminate(
+        tr, ev, "text", "doc_id", hash_keys=False).collect())
+    assert a == b
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The 100 TB contract: the exploded TRAIN spans must hit the eval
+    keys via a broadcast join (no shuffle of the big side)."""
+    from publicationsretriever_spark.operators.dedup import decontaminate
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = decontaminate(tr, ev, "text", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
