@@ -1493,3 +1493,19 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = decontaminate(tr, ev, "text", "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_empty_eval_set(spark):
+    """No eval docs (or all shorter than w): every train doc is clean
+    and the broadcast of zero keys is fine."""
+    from publicationsretriever_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "some training document with a fair number of tokens in "
+             "it to form spans")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "too short")], "doc_id long, text string")
+    rows = decontaminate(train, ev, "text", "doc_id", w=13).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_eval_hits"] == 0 and not rows[0]["contaminated"]
