@@ -1509,3 +1509,54 @@ def test_decontaminate_empty_eval_set(spark):
     rows = decontaminate(train, ev, "text", "doc_id", w=13).collect()
     assert len(rows) == 1
     assert rows[0]["n_eval_hits"] == 0 and not rows[0]["contaminated"]
+
+
+def test_drop_dup_spans_randomized_crosscheck(spark):
+    """Randomized cross-check against a plain-Python reference (same
+    style as the union-find / canonical-vote checks): small vocab so
+    cross-doc span collisions are common; the DataFrame op must
+    reproduce the reference's global-winner semantics token for
+    token."""
+    import random
+
+    from publicationsretriever_spark.operators.dedup import drop_dup_spans
+
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(3):
+        w, stride = rng.choice([(4, 2), (3, 1), (5, 5)])
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 14))))
+            for i in range(rng.randint(10, 30))
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in drop_dup_spans(
+                df, "text", "doc_id", w=w, stride=stride, hash_keys=True
+            ).collect()
+        }
+        # reference: global first occurrence per span key wins
+        spans = []  # (key, doc_id, pos) in (doc, pos) order
+        toks = {i: t.split() if t else [] for i, t in docs}
+        for i, _ in docs:
+            tw = toks[i]
+            for p in range((len(tw) - w) // stride + 1 if len(tw) >= w else 0):
+                spans.append((" ".join(tw[p * stride:p * stride + w]), i, p))
+        first = {}
+        for k, i, p in spans:
+            if k not in first:
+                first[k] = (i, p)
+        losers = {}
+        for k, i, p in spans:
+            if first[k] != (i, p):
+                losers.setdefault(i, []).append(p)
+        for i, _ in docs:
+            tw = toks[i]
+            cut = set()
+            for p in losers.get(i, []):
+                cut.update(range(p * stride, p * stride + w))
+            want = " ".join(t for j, t in enumerate(tw) if j not in cut)
+            assert got[i]["clean_text"] == want, (trial, i, w, stride)
+            assert got[i]["n_removed_spans"] == len(losers.get(i, []))
