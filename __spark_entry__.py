@@ -804,6 +804,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained trigram LM score (operators/textstats.
+    lm_quality_score): per-doc mean log10 MLE prob of each trigram
+    given its bigram context, counts over the whole table — the
+    CCNet/KenLM perplexity-filter shape with the corpus as training
+    data. hash_keys=False for the DuckDB oracle; int64-key path
+    equivalence-tested in pytest."""
+    from publicationsretriever_spark.operators.textstats import (
+        lm_quality_score,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return lm_quality_score(
+        docs, "text", "doc_id", n=3, hash_keys=False
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus report (operators/textstats.
     corpus_stats): doc counts, total/mean tokens, exact token-length
@@ -1033,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
         "decontaminate": q_decontaminate,
+        "lm_quality": q_lm_quality,
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
@@ -1759,6 +1778,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n, 0) > 0 AS contaminated
             FROM d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id % 50 != 0 ORDER BY d.doc_id
+        """,
+        "lm_quality": """
+            -- mirrors operators/textstats.lm_quality_score (n=3, text
+            -- keys): trigram and bigram-context counts over the whole
+            -- corpus; per doc avg(log10(c(tri)/c(ctx))). Context count
+            -- = occurrences as a trigram PREFIX. DuckDB slice is
+            -- inclusive: w[p:p+2] = 3 tokens, w[p:p+1] = 2 tokens.
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 2),
+                       p -> struct_pack(
+                         g := array_to_string(w[p:p+2], ' '),
+                         c := array_to_string(w[p:p+1], ' ')
+                       ))) AS s
+              FROM d
+            ),
+            gc AS (SELECT s.g AS g, count(*) AS gn FROM e GROUP BY s.g),
+            cc AS (SELECT s.c AS c, count(*) AS cn FROM e GROUP BY s.c),
+            sc AS (
+              SELECT e.doc_id,
+                     count(*) AS nn,
+                     avg(log10(gn / cn)) AS m
+              FROM e
+              JOIN gc ON e.s.g = gc.g
+              JOIN cc ON e.s.c = cc.c
+              GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nn, 0) AS BIGINT) AS n_ngrams,
+                   round(m, 6) AS mean_log10_prob
+            FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id
         """,
         "corpus_stats": """
             -- mirrors operators/textstats.corpus_stats (exact):

@@ -406,3 +406,92 @@ def corpus_stats(
         F.round(p50.cast("double"), 6).alias("p50_tokens"),
         F.round(p90.cast("double"), 6).alias("p90_tokens"),
     )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Corpus-self-trained n-gram LM quality score (the CCNet/KenLM
+    perplexity-filter shape, with the corpus itself as training data):
+    per document, the mean log10 MLE probability of each n-gram given
+    its (n-1)-gram context, counts taken over the WHOLE input —
+    mean_log10_prob = avg over positions of
+    log10(count(ngram) / count(context)). Repetitive/templated text
+    scores near 0 (its n-grams are corpus-frequent given their
+    context); unusual word sequences score strongly negative. Because
+    every scored n-gram was counted from the same corpus, both counts
+    are >= 1 and the MLE needs no smoothing. Returns
+    (id, n_ngrams, mean_log10_prob) — n_ngrams = 0 and NULL score for
+    docs shorter than ``n`` tokens. A true CCNet setup trains on a
+    held-out clean corpus with a smoothed/backoff LM (KenLM); that is
+    a swap of the counts source, the operator's shuffle shape below is
+    unchanged.
+
+    Scale shape: one explode to ~tokens rows per doc carrying
+    (ngram_key, context_key); n-gram and context counts are separate
+    groupBy aggregations whose map-side partial combine bounds any hot
+    key (boilerplate n-grams) to one partial per partition; both count
+    tables join back on their keys (AQE handles skew; the counts side
+    is one row per DISTINCT n-gram), then one per-doc average. With
+    ``hash_keys`` every shuffle/join key is an 8-byte xxhash64 instead
+    of an n-token string; the contract query passes hash_keys=False
+    because DuckDB lacks xxhash64 — pytest pins hash/text
+    equivalence."""
+    words = F.col("_w")
+    n_pos = F.size(words) - F.lit(n) + 1
+    gram = lambda p, k: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, p + 1, k)
+    )
+    key = (lambda c: F.xxhash64(c)) if hash_keys else (lambda c: c)
+    pairs = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pos.cast("int") - 1),
+            lambda p: F.struct(
+                key(gram(p, n)).alias("g"),
+                key(gram(p, n - 1)).alias("c"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<g:bigint,c:bigint>>"
+            if hash_keys
+            else "array<struct<g:string,c:string>>"
+        )
+    )
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    ex = base.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.g").alias("_g"),
+        F.col("_p.c").alias("_c"),
+    )
+    g_counts = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_gn"))
+    # context count = occurrences as an n-gram PREFIX (not standalone
+    # (n-1)-gram frequency): sums to the same corpus positions the
+    # scored n-grams are drawn from, so probabilities per context sum
+    # to 1 over the observed continuations.
+    c_counts = ex.groupBy("_c").agg(F.count(F.lit(1)).alias("_cn"))
+    scored = (
+        ex.join(g_counts, "_g")
+        .join(c_counts, "_c")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.avg(F.log10(F.col("_gn") / F.col("_cn"))).alias("_m"),
+        )
+    )
+    return (
+        base.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            F.round(F.col("_m"), 6).alias("mean_log10_prob"),
+        )
+    )

@@ -1560,3 +1560,89 @@ def test_drop_dup_spans_randomized_crosscheck(spark):
             want = " ".join(t for j, t in enumerate(tw) if j not in cut)
             assert got[i]["clean_text"] == want, (trial, i, w, stride)
             assert got[i]["n_removed_spans"] == len(losers.get(i, []))
+
+
+def test_lm_quality_score_mle_semantics(spark):
+    import math
+
+    from publicationsretriever_spark.operators.textstats import (
+        lm_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_quality_score(
+            df, "text", "doc_id", n=3, hash_keys=False
+        ).collect()
+    }
+    # tri(a b c)=2, tri(a b d)=1, ctx(a b)=3
+    assert out[0]["n_ngrams"] == 1
+    assert out[0]["mean_log10_prob"] == round(math.log10(2 / 3), 6)
+    assert out[2]["mean_log10_prob"] == round(math.log10(1 / 3), 6)
+    # common trigram scores HIGHER (closer to 0) than the rare one
+    assert out[0]["mean_log10_prob"] > out[2]["mean_log10_prob"]
+    assert out[3]["n_ngrams"] == 0 and out[3]["mean_log10_prob"] is None
+
+
+def test_lm_quality_hash_equals_text_keys(spark):
+    from publicationsretriever_spark.operators.textstats import (
+        lm_quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in lm_quality_score(
+        docs, "text", "doc_id", hash_keys=True).collect())
+    b = sorted(tuple(r) for r in lm_quality_score(
+        docs, "text", "doc_id", hash_keys=False).collect())
+    assert a == b
+
+
+def test_lm_quality_randomized_crosscheck(spark):
+    """Randomized cross-check vs a plain-Python trigram MLE: small
+    vocab forces shared contexts across docs."""
+    import math
+    import random
+    from collections import Counter
+
+    from publicationsretriever_spark.operators.textstats import (
+        lm_quality_score,
+    )
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in lm_quality_score(
+            df, "text", "doc_id", n=3, hash_keys=True
+        ).collect()
+    }
+    toks = {i: (t.split() if t else []) for i, t in docs}
+    gn, cn = Counter(), Counter()
+    for i, _ in docs:
+        tw = toks[i]
+        for p in range(max(len(tw) - 2, 0)):
+            gn[tuple(tw[p:p + 3])] += 1
+            cn[tuple(tw[p:p + 2])] += 1
+    for i, _ in docs:
+        tw = toks[i]
+        pos = range(max(len(tw) - 2, 0))
+        logs = [
+            math.log10(gn[tuple(tw[p:p + 3])] / cn[tuple(tw[p:p + 2])])
+            for p in pos
+        ]
+        if logs:
+            assert got[i]["n_ngrams"] == len(logs)
+            assert abs(got[i]["mean_log10_prob"]
+                       - sum(logs) / len(logs)) < 1e-5, i
+        else:
+            assert got[i]["n_ngrams"] == 0
+            assert got[i]["mean_log10_prob"] is None
