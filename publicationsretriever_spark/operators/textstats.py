@@ -431,14 +431,23 @@ def lm_quality_score(
     a swap of the counts source, the operator's shuffle shape below is
     unchanged.
 
-    Scale shape: one explode to ~tokens rows per doc carrying
-    (ngram_key, context_key); n-gram and context counts are separate
-    groupBy aggregations whose map-side partial combine bounds any hot
-    key (boilerplate n-grams) to one partial per partition; both count
-    tables join back on their keys (AQE handles skew; the counts side
-    is one row per DISTINCT n-gram), then one per-doc average. With
-    ``hash_keys`` every shuffle/join key is an 8-byte xxhash64 instead
-    of an n-token string; the contract query passes hash_keys=False
+    Scale shape: ONE explode to ~tokens rows per doc carrying
+    (ngram_key, context_key); both global counts are WINDOW counts
+    over that single exploded table (partitionBy ngram / context),
+    not groupBy+join-back — the join form makes Catalyst specialize
+    the count subtrees so the text scan + tokenize + explode run
+    FOUR times (verified via .explain, same pathology documented at
+    dup_span_stats), and at corpus scale the count tables exceed the
+    broadcast threshold so the joins shuffle the exploded rows
+    anyway. The window form: one text-column scan, two exchanges of
+    the exploded rows (by ngram, then by context), one per-doc
+    average; the only other scan is the id-only projection that
+    re-attaches zero-ngram docs (parquet column pruning makes it
+    read nothing but the id). Skew ceiling: a boilerplate n-gram
+    shared by M positions puts M count-only rows in one window
+    partition — the same documented ceiling as dup_span_stats. With
+    ``hash_keys`` every shuffle key is an 8-byte xxhash64 instead of
+    an n-token string; the contract query passes hash_keys=False
     because DuckDB lacks xxhash64 — pytest pins hash/text
     equivalence."""
     words = F.col("_w")
@@ -471,15 +480,19 @@ def lm_quality_score(
         F.col("_p.g").alias("_g"),
         F.col("_p.c").alias("_c"),
     )
-    g_counts = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_gn"))
+    from pyspark.sql import Window
+
     # context count = occurrences as an n-gram PREFIX (not standalone
     # (n-1)-gram frequency): sums to the same corpus positions the
     # scored n-grams are drawn from, so probabilities per context sum
     # to 1 over the observed continuations.
-    c_counts = ex.groupBy("_c").agg(F.count(F.lit(1)).alias("_cn"))
     scored = (
-        ex.join(g_counts, "_g")
-        .join(c_counts, "_c")
+        ex.withColumn(
+            "_gn", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+        )
+        .withColumn(
+            "_cn", F.count(F.lit(1)).over(Window.partitionBy("_c"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
