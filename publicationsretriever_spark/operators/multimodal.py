@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.imagecodec import decode_png, phash64, psnr
+from ..sources.imagecodec import decode_png, dct_phash64, phash64, psnr
 
 DECODE_SCHEMA = (
     "image_id string, w int, h int, fmt string, decode_ok boolean, "
@@ -29,10 +29,20 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_image_metrics(df: DataFrame, ref_pixels: dict[str, bytes] | None = None) -> DataFrame:
+def decode_image_metrics(
+    df: DataFrame,
+    ref_pixels: dict[str, bytes] | None = None,
+    phash_kind: str = "ahash",
+) -> DataFrame:
     """mapInPandas over the payload table: decode -> per-channel means,
     recomputed phash, and (optionally) PSNR vs reference pixels.
-    Arrow-batched; one Python pass per partition, no per-row UDF."""
+    Arrow-batched; one Python pass per partition, no per-row UDF.
+
+    ``phash_kind``: "ahash" (block-mean, matches the synthetic ingest
+    phash column) or "dct" (standard DCT pHash — brightness/contrast
+    invariant, the production choice for re-encoded crawl payloads;
+    see sources/imagecodec.dct_phash64)."""
+    hash_fn = phash64 if phash_kind == "ahash" else dct_phash64
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,7 +60,7 @@ def decode_image_metrics(df: DataFrame, ref_pixels: dict[str, bytes] | None = No
                         mean_r=float(px[..., 0].mean()),
                         mean_g=float(px[..., 1].mean()),
                         mean_b=float(px[..., 2].mean()),
-                        phash_check=phash64(px),
+                        phash_check=hash_fn(px),
                     )
                     if ref_pixels and r.image_id in ref_pixels:
                         ref = np.frombuffer(

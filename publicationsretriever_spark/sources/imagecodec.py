@@ -138,6 +138,56 @@ def phash64(pixels: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
 
 
+#: 32x32 orthonormal DCT-II basis, precomputed once per process (the
+#: Python workers are long-lived; a 32x32 matmul per image is the
+#: whole transform cost).
+_DCT32 = None
+
+
+def _dct32_basis() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64)
+        basis *= np.sqrt(2.0 / 32)
+        basis[0] /= np.sqrt(2.0)
+        _DCT32 = basis
+    return _DCT32
+
+
+def dct_phash64(pixels: np.ndarray) -> int:
+    """Standard DCT perceptual hash (the pHash algorithm proper, vs
+    phash64's block-mean aHash): luminance -> 32x32 block-mean
+    downsample -> 2-D DCT-II -> top-left 8x8 low-frequency
+    coefficients EXCLUDING the DC term -> median threshold -> 64 bits
+    (bit 63 = the DC slot, always 0). Dropping DC and thresholding at
+    the median makes the hash invariant to global brightness shifts
+    and linear contrast scaling — the failure modes of aHash on
+    re-encoded crawl payloads. Pure numpy (no PIL/scipy): the DCT is
+    one precomputed 32x32 basis matmul per side."""
+    lum = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = lum.shape
+    ys = np.linspace(0, h, 33, dtype=int)
+    xs = np.linspace(0, w, 33, dtype=int)
+    # block mean with empty-block guard (h or w < 32 repeats edges)
+    grid = np.empty((32, 32))
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            grid[i, j] = lum[min(y0, h - 1):min(y1, h), min(x0, w - 1):min(x1, w)].mean()
+    d = _dct32_basis()
+    coef = d @ grid @ d.T
+    low = coef[:8, :8].ravel()
+    med = np.median(low[1:])  # exclude DC from the threshold too
+    bits = low > med
+    bits[0] = False  # DC slot pinned: brightness carries no bits
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

@@ -1646,3 +1646,60 @@ def test_lm_quality_randomized_crosscheck(spark):
         else:
             assert got[i]["n_ngrams"] == 0
             assert got[i]["mean_log10_prob"] is None
+
+
+def test_dct_phash_invariance_and_discrimination():
+    """The DCT pHash's contract vs aHash: invariant to global
+    brightness shifts and linear contrast scaling (DC term dropped,
+    median threshold), while still separating distinct images."""
+    import numpy as np
+
+    from publicationsretriever_spark.sources.imagecodec import (
+        dct_phash64,
+        phash64,
+        synth_pixels,
+    )
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    px = synth_pixels("dct-a", 48, 48).astype(np.float64)
+    # keep mid-range so +/- shifts never clip
+    px = (px * 0.5 + 64).astype(np.uint8)
+    base = dct_phash64(px)
+    assert base == dct_phash64(px)  # deterministic
+    brighter = np.clip(px.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    contrast = np.clip(px.astype(np.float64) * 1.3, 0, 255).astype(np.uint8)
+    assert ham(base, dct_phash64(brighter)) <= 2
+    assert ham(base, dct_phash64(contrast)) <= 2
+    other = synth_pixels("dct-b", 48, 48)
+    assert ham(base, dct_phash64(other)) > 8
+    # the aHash is NOT brightness-invariant in general — the DCT form
+    # is the production choice for re-encoded payloads (no assert on
+    # ahash drift: block-mean vs global-mean can coincide on synth
+    # data; the invariance asserts above are the contract)
+    assert isinstance(phash64(px), int)
+    # tiny images go through the edge-repeat guard without error
+    assert isinstance(dct_phash64(synth_pixels("dct-c", 8, 8)), int)
+
+
+def test_decode_image_metrics_dct_kind(spark):
+    from publicationsretriever_spark.operators.multimodal import (
+        decode_image_metrics,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        decode_png,
+        dct_phash64,
+        make_payload_row,
+    )
+
+    rows = [make_payload_row(f"im{i}", w=16, h=16) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["image_id"]: r
+        for r in decode_image_metrics(df, phash_kind="dct").collect()
+    }
+    for row in rows:
+        px = decode_png(row["bytes"])
+        assert out[row["image_id"]]["decode_ok"]
+        assert out[row["image_id"]]["phash_check"] == dct_phash64(px)
