@@ -48,6 +48,14 @@ def main() -> int:
     ap.add_argument("--redact-pii", action="store_true",
                     help="scrub emails/IPs/phones from the shipped "
                          "captions (textstats.pii_redact patterns)")
+    ap.add_argument("--decontaminate-captions", default=None,
+                    help="parquet of held-out eval captions (column "
+                         "'caption'): pairs whose shipped caption "
+                         "shares a span with it are rejected as "
+                         "eval_overlap")
+    ap.add_argument("--decontaminate-w", type=int, default=5,
+                    help="span width (tokens) for caption "
+                         "decontamination")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -91,6 +99,12 @@ def main() -> int:
         audit=not args.no_audit,
         gates=json.loads(args.gates) if args.gates is not None else None,
         redact_pii=args.redact_pii,
+        decontaminate_captions=(
+            spark.read.parquet(args.decontaminate_captions)
+            if args.decontaminate_captions
+            else None
+        ),
+        decontaminate_w=args.decontaminate_w,
     )
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)
@@ -104,6 +118,8 @@ def main() -> int:
             "test_frac": args.test_frac,
             "max_hamming": args.max_hamming,
             "audit": not args.no_audit,
+            "decontaminate_captions": args.decontaminate_captions,
+            "decontaminate_w": args.decontaminate_w,
         },
     )
     print(json.dumps({

@@ -52,6 +52,8 @@ def build_training_dataset(
     audit: bool = True,
     gates: dict | None = None,
     redact_pii: bool = False,
+    decontaminate_captions: DataFrame | None = None,
+    decontaminate_w: int = 5,
 ) -> dict[str, DataFrame]:
     """Compose audit -> cluster -> caption vote -> split over an
     input_hint payload table. Returns the dataset tables:
@@ -201,6 +203,35 @@ def build_training_dataset(
             "split",
         )
     )
+    if decontaminate_captions is not None:
+        # benchmark decontamination on the SHIPPED caption (post-vote,
+        # post-redaction): any pair whose final caption shares a
+        # w-token span with the held-out eval captions is routed to
+        # audit_rejects instead of the training table. Eval captions
+        # broadcast inside the operator — the pairs side never
+        # shuffles for the check. w defaults to 5 (captions are short;
+        # the document-corpus default of 13 rarely fires on them).
+        from ..operators.dedup import decontaminate
+
+        decon = decontaminate(
+            pairs.select("image_id", "caption"),
+            decontaminate_captions.select("caption"),
+            "caption",
+            "image_id",
+            w=decontaminate_w,
+        ).select("image_id", "contaminated")
+        pairs = pairs.join(decon, "image_id")
+        gate_rejects = gate_rejects.unionByName(
+            pairs.filter(F.col("contaminated")).select(
+                "image_id",
+                "fmt",
+                "phash",
+                F.lit(None).cast("long").alias("phash_check"),
+                F.lit("eval_overlap").alias("reject_reason"),
+            )
+        )
+        pairs = pairs.filter(~F.col("contaminated")).drop("contaminated")
+
     conflicts = vote.filter(F.col("caption_conflict")).select(
         "cluster_id",
         "cluster_size",

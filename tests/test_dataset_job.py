@@ -159,3 +159,39 @@ def test_dataset_redact_pii_captions(spark):
     caps = [r["caption"] for r in out["pairs"].collect()]
     assert caps and all("<EMAIL>" in c for c in caps)
     assert not any("bob@example.org" in c for c in caps)
+
+
+def test_dataset_decontaminate_captions(spark):
+    """Pairs whose SHIPPED caption shares a span with the held-out
+    eval captions are routed to audit_rejects (eval_overlap), not the
+    training table."""
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+    )
+
+    rows = [
+        make_payload_row("img-0", 0),
+        make_payload_row("img-1", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    ev = spark.createDataFrame(
+        [("caption of img-0",)], "caption string"
+    )
+    out = build_training_dataset(
+        spark, df, audit=False,
+        decontaminate_captions=ev, decontaminate_w=3,
+    )
+    pair_ids = {r["image_id"] for r in out["pairs"].collect()}
+    rejects = {
+        r["image_id"]: r["reject_reason"]
+        for r in out["audit_rejects"].collect()
+    }
+    assert pair_ids == {"img-1"}
+    assert rejects.get("img-0") == "eval_overlap"
