@@ -56,6 +56,9 @@ def main() -> int:
     ap.add_argument("--decontaminate-w", type=int, default=5,
                     help="span width (tokens) for caption "
                          "decontamination")
+    ap.add_argument("--lm-score", action="store_true",
+                    help="attach caption_lm_log10 (corpus-self-"
+                         "trained bigram LM score) to pairs")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -105,6 +108,7 @@ def main() -> int:
             else None
         ),
         decontaminate_w=args.decontaminate_w,
+        lm_score=args.lm_score,
     )
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)

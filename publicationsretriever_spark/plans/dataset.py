@@ -54,6 +54,7 @@ def build_training_dataset(
     redact_pii: bool = False,
     decontaminate_captions: DataFrame | None = None,
     decontaminate_w: int = 5,
+    lm_score: bool = False,
 ) -> dict[str, DataFrame]:
     """Compose audit -> cluster -> caption vote -> split over an
     input_hint payload table. Returns the dataset tables:
@@ -231,6 +232,24 @@ def build_training_dataset(
             )
         )
         pairs = pairs.filter(~F.col("contaminated")).drop("contaminated")
+
+    if lm_score:
+        # caption LM quality column (textstats.lm_quality_score,
+        # corpus-self-trained bigram MLE over the SHIPPED captions —
+        # bigrams because captions are short): near-0 = templated /
+        # corpus-typical caption, strongly negative = unusual word
+        # sequence. A column, not a gate — thresholds are corpus
+        # policy, downstream filters decide.
+        from ..operators.textstats import lm_quality_score
+
+        lm = lm_quality_score(
+            pairs.select("image_id", "caption"), "caption", "image_id",
+            n=2,
+        ).select(
+            "image_id",
+            F.col("mean_log10_prob").alias("caption_lm_log10"),
+        )
+        pairs = pairs.join(lm, "image_id", "left")
 
     conflicts = vote.filter(F.col("caption_conflict")).select(
         "cluster_id",

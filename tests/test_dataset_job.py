@@ -195,3 +195,48 @@ def test_dataset_decontaminate_captions(spark):
     }
     assert pair_ids == {"img-1"}
     assert rejects.get("img-0") == "eval_overlap"
+
+
+def test_dataset_lm_score_column(spark):
+    """lm_score attaches caption_lm_log10 to pairs: a repeated caption
+    scores higher (closer to 0) than a one-off."""
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+    )
+
+    rows = [
+        make_payload_row("img-0", 0),
+        make_payload_row("img-1", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    # img-0 keeps the templated caption; img-1 gets a one-off ending
+    df = df.withColumn(
+        "caption",
+        F.when(
+            F.col("image_id") == "img-1",
+            F.lit("caption of something very different entirely"),
+        ).otherwise(F.col("caption")),
+    )
+    out = build_training_dataset(spark, df, audit=False, lm_score=True)
+    got = {
+        r["image_id"]: r["caption_lm_log10"]
+        for r in out["pairs"].collect()
+    }
+    assert set(got) == {"img-0", "img-1"}
+    assert all(v is not None for v in got.values())
+    # exact bigram MLE over the two shipped captions:
+    # img-0 = mean(log10(2/2), log10(1/2))       -> -0.150515
+    # img-1 = mean(log10(2/2), log10(1/2), 0,0,0) -> -0.060206
+    # (singleton contexts score log10(1)=0 — self-trained MLE is a
+    # corpus-typicality signal, not raw length-penalized perplexity)
+    import math
+
+    assert got["img-0"] == round(math.log10(1 / 2) / 2, 6)
+    assert got["img-1"] == round(math.log10(1 / 2) / 5, 6)
