@@ -1703,3 +1703,17 @@ def test_decode_image_metrics_dct_kind(spark):
         px = decode_png(row["bytes"])
         assert out[row["image_id"]]["decode_ok"]
         assert out[row["image_id"]]["phash_check"] == dct_phash64(px)
+
+
+def test_lm_quality_single_text_scan(spark):
+    """Plan-shape guard: the window-count form reads the parquet twice
+    at most (text once + the id-only re-attach); the groupBy+join form
+    regressed to FOUR scans of the text column."""
+    from publicationsretriever_spark.operators.textstats import (
+        lm_quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = lm_quality_score(docs, "text", "doc_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan
