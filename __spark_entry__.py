@@ -822,6 +822,27 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass data mixing (operators/textstats.mixture_sample):
+    budget capped by the scarcest target stratum (fr at 30% here),
+    per-lang deterministic md5-bucket downsampling to {en:.5, de:.2,
+    fr:.3}; es/zh dropped (allowlist). Row-level oracle: the SQL
+    recomputes the SAME double arithmetic (T = min(avail/frac),
+    threshold = floor(min(1, T*f/avail)*1e6)) so the kept row set
+    must match exactly."""
+    from publicationsretriever_spark.operators.textstats import (
+        mixture_sample,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "lang", "text")
+    out = mixture_sample(
+        docs, "lang", "doc_id", "text",
+        {"en": 0.5, "de": 0.2, "fr": 0.3},
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus report (operators/textstats.
     corpus_stats): doc counts, total/mean tokens, exact token-length
@@ -1052,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dup_spans": q_drop_dup_spans,
         "decontaminate": q_decontaminate,
         "lm_quality": q_lm_quality,
+        "mixture_sample": q_mixture_sample,
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
@@ -1815,6 +1837,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nn, 0) AS BIGINT) AS n_ngrams,
                    round(m, 6) AS mean_log10_prob
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id
+        """,
+        "mixture_sample": """
+            -- mirrors operators/textstats.mixture_sample: target
+            -- fracs {en:.5, de:.2, fr:.3}; T = min over targets of
+            -- avail/frac; threshold = floor(min(1, T*f/avail)*1e6);
+            -- keep iff md5('mix-v1:'||id) bucket < threshold. The
+            -- double arithmetic mirrors the Python driver expression
+            -- ORDER (T*f/avail, left-assoc) so thresholds are
+            -- bit-identical.
+            WITH tf(l, f) AS (
+              VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)
+            ),
+            avail AS (
+              SELECT lang,
+                     CAST(sum(len(string_split_regex(
+                       lower(trim(text)), '\\s+'))) AS DOUBLE) AS a
+              FROM documents GROUP BY lang
+            ),
+            t AS (
+              SELECT min(a / f) AS t
+              FROM avail JOIN tf ON avail.lang = tf.l
+            ),
+            th AS (
+              SELECT tf.l AS lang,
+                     CAST(floor(least(1.0, t.t * tf.f / avail.a)
+                                * 1000000) AS BIGINT) AS thr
+              FROM tf JOIN avail ON avail.lang = tf.l CROSS JOIN t
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN th ON d.lang = th.lang
+            WHERE CAST(('0x' || substr(
+                    md5('mix-v1:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 1000000 < thr
+            ORDER BY d.doc_id
         """,
         "corpus_stats": """
             -- mirrors operators/textstats.corpus_stats (exact):

@@ -508,3 +508,75 @@ def lm_quality_score(
             F.round(F.col("_m"), 6).alias("mean_log10_prob"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    text_col: str,
+    target_fracs: dict[str, float],
+    total_tokens: int | None = None,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Data mixing (the Pile/LLaMA-style mixture step): downsample each
+    stratum so the sampled corpus' TOKEN mass approximates
+    ``target_fracs`` shares of a total budget. Only downsampling — a
+    stratum cannot be upsampled, so the achievable budget is capped by
+    the scarcest target stratum: T = min(total_tokens,
+    min_s avail_s / frac_s); each stratum then keeps rate_s =
+    min(1, T * frac_s / avail_s) of its token mass. Strata not in
+    ``target_fracs`` are dropped (allowlist semantics, like
+    stratified_sample); a target stratum ABSENT from the corpus makes
+    the strict budget 0 — mixing ratios are a contract, not a hint.
+
+    Determinism: one bounded aggregation (one row per stratum —
+    driver-side rates, same bounded-collect convention as the IVF
+    centroid build) computes avail_s; rates become LITERAL integer
+    bucket thresholds (floor(rate * 10^6), floor not round — Python
+    banker's-rounds, SQL rounds half-away, floor agrees everywhere)
+    over the same md5(seed || ':' || id) bucket as stratified_sample,
+    so the row-level decision is a pure function of (seed, id):
+    reproducible across runs, partitionings and engines, stable under
+    corpus growth, exactly DuckDB-oracle-able. The sampling filter
+    itself is a scan-pipelined WHERE — no shuffle beyond the one
+    stats aggregation."""
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    avail = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(toks).alias("t"))
+        .collect()
+    }
+    budget_caps = [
+        avail.get(s, 0) / f for s, f in target_fracs.items() if f > 0
+    ]
+    t_max = min(budget_caps) if budget_caps else 0.0
+    if total_tokens is not None:
+        t_max = min(t_max, float(total_tokens))
+    thresh = F.lit(0)
+    for s, f in sorted(target_fracs.items()):
+        rate = min(1.0, t_max * f / avail[s]) if avail.get(s) else 0.0
+        thresh = F.when(
+            F.col(stratum_col) == s, F.lit(int(rate * 1_000_000))
+        ).otherwise(thresh)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 1_000_000
+    )
+    return df.filter(bucket < thresh)

@@ -1717,3 +1717,59 @@ def test_lm_quality_single_text_scan(spark):
     plan = lm_quality_score(docs, "text", "doc_id")._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_mixture_sample_token_shares_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.textstats import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    out = mixture_sample(
+        docs, "lang", "doc_id", "text", {"en": 0.5, "de": 0.2, "fr": 0.3}
+    )
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+    got = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(F.sum(toks).alias("t")).collect()
+    }
+    # allowlist: es/zh dropped
+    assert set(got) == {"en", "de", "fr"}
+    # fr is the binding stratum (smallest avail/frac): kept whole
+    avail = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum(toks).alias("t")).collect()
+    }
+    assert got["fr"] == avail["fr"]
+    # achieved shares approximate the target mixture (md5-bucket
+    # sampling noise ~ 1/sqrt(docs-per-stratum) on token mass)
+    total = sum(got.values())
+    for lang, f in {"en": 0.5, "de": 0.2, "fr": 0.3}.items():
+        assert abs(got[lang] / total - f) < 0.08, (lang, got, total)
+
+
+def test_mixture_sample_budget_and_absent_stratum(spark):
+    from publicationsretriever_spark.operators.textstats import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", "one two three four five") for i in range(40)]
+        + [(100 + i, "de", "eins zwei drei vier") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    # explicit small budget caps both strata below availability
+    out = mixture_sample(
+        df, "lang", "doc_id", "text", {"en": 0.5, "de": 0.5},
+        total_tokens=100,
+    )
+    assert 0 < out.count() < 80
+    # a target stratum absent from the corpus -> strict budget 0
+    empty = mixture_sample(
+        df, "lang", "doc_id", "text", {"en": 0.5, "fr": 0.5}
+    )
+    assert empty.count() == 0
