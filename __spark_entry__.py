@@ -843,6 +843,34 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/htmlparse.html_to_text):
+    the driver tables carry no html column, so each document's text is
+    wrapped in a fixed HTML template (head with style+script blocks, a
+    comment, an entity) and the extractor must recover exactly
+    'T <normalized text> & more' — every stage of the chain (block
+    drop, tag strip, entity unescape, whitespace normalize) is
+    exercised row-level against the oracle's identical RE2 chain."""
+    from publicationsretriever_spark.functions.htmlparse import (
+        html_to_text,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p {color: red}</style>'
+            '<script type="a">var z = 1 < 2;</script></head>'
+            "<body><h1>T</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(" &amp; more</p><!-- trailing\ncomment --></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("clean")
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus report (operators/textstats.
     corpus_stats): doc counts, total/mean tokens, exact token-length
@@ -1074,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_quality": q_lm_quality,
         "mixture_sample": q_mixture_sample,
+        "html_to_text": q_html_to_text,
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
@@ -1871,6 +1900,33 @@ def oracle_sql() -> dict[str, str]:
                     md5('mix-v1:' || CAST(doc_id AS VARCHAR)),
                     1, 8)) AS BIGINT) % 1000000 < thr
             ORDER BY d.doc_id
+        """,
+        "html_to_text": """
+            -- mirrors functions/htmlparse.html_to_text over the same
+            -- fixed HTML wrapping: script/style/comment blocks drop
+            -- first, generic tag strip, entity unescape (&amp; LAST
+            -- so &amp;lt; -> &lt;), whitespace normalize. Same RE2
+            -- patterns as the Spark chain.
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               '<html><head><style>p {color: red}</style>'
+                               || '<script type="a">var z = 1 < 2;</script></head>'
+                               || '<body><h1>T</h1><p>' || text
+                               || ' &amp; more</p><!-- trailing' || chr(10)
+                               || 'comment --></body></html>',
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                     '\\s+', ' ', 'g')) AS clean
+            FROM documents ORDER BY doc_id
         """,
         "corpus_stats": """
             -- mirrors operators/textstats.corpus_stats (exact):

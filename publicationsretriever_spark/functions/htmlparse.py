@@ -388,3 +388,32 @@ def localhost_fix(url_col, page_domain_col):
         P.LOCALHOST_DOMAIN_REPLACEMENT_PATTERN,
         F.concat(F.lit("://"), page_domain_col),
     )
+
+
+def html_to_text(html_col):
+    """HTML -> plain text for corpus building from the crawl's stored
+    pages (the pages_html sink, S6): drop script/style/comment blocks,
+    strip the remaining tags, unescape the common entities, normalize
+    whitespace. A pure regexp_replace chain — whole-stage codegen, no
+    shuffle, one read of the html column at 100 TB; every pattern is
+    in the Java/RE2 shared subset (inline (?is) flags, non-greedy
+    block bodies, no lookaround) so the DuckDB oracle compiles the
+    same automata. Order matters: blocks BEFORE the generic tag strip
+    (else `<script>var a=1</script>` leaks its body), entities AFTER
+    it (else a literal `&lt;p&gt;` in text would become a strippable
+    tag — the reference's own escaping concern, JSoup handles it
+    natively in PageCrawler)."""
+    t = F.regexp_replace(html_col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last: &amp;lt; must yield &lt;, not <
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

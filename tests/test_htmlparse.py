@@ -175,3 +175,35 @@ def test_aup_online_data_title_download_form():
         '<html><body><a href="/y">y</a></body></html>',
         "https://www.aup-online.com/content/journals/x",
     ) == []
+
+
+def test_html_to_text_golden(spark):
+    from publicationsretriever_spark.functions.htmlparse import (
+        html_to_text,
+    )
+
+    cases = [
+        # script/style bodies dropped, not leaked
+        ("<style>p{a}</style><script>var x = '<p>hi</p>';</script>ok",
+         "ok"),
+        # tags stripped, whitespace normalized
+        ("<div>\n  <h1>Title</h1>\n  <p>two\n words</p>\n</div>",
+         "Title two words"),
+        # comments (multi-line) dropped
+        ("a<!-- one\ntwo -->b", "a b"),
+        # entity unescape; &amp; LAST so &amp;lt; stays literal &lt;
+        ("1 &lt; 2 &amp;&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;",
+         "1 < 2 & \"q\" 's' &lt;"),
+        # case-insensitive block tags
+        ("<SCRIPT a=b>x</ScRiPt>kept", "kept"),
+        ("plain text untouched", "plain text untouched"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
