@@ -1063,6 +1063,28 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment gate (operators/similarity.alignment_gate):
+    CLIP-score-style cosine between each pair's image embedding and
+    caption embedding, kept when >= 0.05. Pairs are carved
+    deterministically from the embeddings table: even vec_id = the
+    pair's image embedding, the following odd vec_id = its caption
+    embedding (pair_id = vec_id // 2)."""
+    from publicationsretriever_spark.operators.similarity import alignment_gate
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    cap = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    return alignment_gate(img, cap, threshold=0.05).orderBy("pair_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1113,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_embedding": q_dedup_embedding,
         "embedding_stats": q_embedding_stats,
+        "image_text_alignment": q_image_text_alignment,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dup_log": q_dup_log,
@@ -2445,6 +2468,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm,
                    round(max(norm), 4) AS max_norm
             FROM n GROUP BY label ORDER BY label
+        """,
+        "image_text_alignment": f"""
+            -- mirrors operators/similarity.alignment_gate over the
+            -- deterministic even/odd pair carving of embeddings:
+            -- even vec_id = image embedding, next odd = caption
+            WITH img AS (
+              SELECT vec_id // 2 AS pair_id, embedding AS iv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            cap AS (
+              SELECT (vec_id - 1) // 2 AS pair_id, embedding AS cv
+              FROM embeddings WHERE vec_id % 2 = 1
+            ),
+            s AS (
+              SELECT pair_id, {_cos6('iv', 'cv')} AS align_score
+              FROM img JOIN cap USING (pair_id)
+            )
+            SELECT pair_id, align_score, align_score >= 0.05 AS keep
+            FROM s ORDER BY pair_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

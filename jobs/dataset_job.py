@@ -59,6 +59,14 @@ def main() -> int:
     ap.add_argument("--lm-score", action="store_true",
                     help="attach caption_lm_log10 (corpus-self-"
                          "trained bigram LM score) to pairs")
+    ap.add_argument("--alignment-embeddings", default=None,
+                    help="parquet with (image_id, image_embedding, "
+                         "caption_embedding) from an external encoder; "
+                         "pairs below --alignment-threshold cosine are "
+                         "rejected as misaligned")
+    ap.add_argument("--alignment-threshold", type=float, default=0.3,
+                    help="min rounded cosine to keep a pair "
+                         "(default 0.3)")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -109,6 +117,12 @@ def main() -> int:
         ),
         decontaminate_w=args.decontaminate_w,
         lm_score=args.lm_score,
+        alignment_embeddings=(
+            spark.read.parquet(args.alignment_embeddings)
+            if args.alignment_embeddings
+            else None
+        ),
+        alignment_threshold=args.alignment_threshold,
     )
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)
@@ -124,6 +138,8 @@ def main() -> int:
             "audit": not args.no_audit,
             "decontaminate_captions": args.decontaminate_captions,
             "decontaminate_w": args.decontaminate_w,
+            "alignment_embeddings": args.alignment_embeddings,
+            "alignment_threshold": args.alignment_threshold,
         },
     )
     print(json.dumps({

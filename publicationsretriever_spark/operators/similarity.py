@@ -1029,3 +1029,64 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
+
+
+def alignment_gate(
+    images: DataFrame,
+    captions: DataFrame,
+    id_col: str = "pair_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Image-text alignment filter: cosine between each pair's image
+    embedding and caption embedding, gated at ``threshold`` — the
+    CLIP-score filter of LAION-style image+caption pipelines (the
+    graft's input_hint payload), run after decode/embed and before
+    dedup so misaligned captions never enter the training set.
+
+    Scale shape: ONE equi-join on the shared pair id (Catalyst plans
+    co-partitioned sort-merge; with both embedding tables bucketed by
+    ``id_col`` at 100 TB the shuffle disappears entirely), then the
+    cosine runs JVM-side (zip_with/aggregate over attribute columns —
+    never inline expressions inside the lambda, which would re-evaluate
+    per element). No broadcast needed: both sides are corpus-sized.
+
+    Returns (id_col, align_score, keep); the score is rounded to
+    ``round_dp`` BEFORE the threshold compare so the gate decision is
+    bit-identical across engines (same convention as the ANN ops).
+    """
+    img = images.select(F.col(id_col), F.col(vec_col).alias("_iv"))
+    cap = captions.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = img.join(cap, id_col).select(
+        F.col(id_col),
+        F.round(cosine(F.col("_iv"), F.col("_cv")), round_dp).alias(
+            "align_score"
+        ),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("align_score"),
+        (F.col("align_score") >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def alignment_gate_paired(
+    pairs: DataFrame,
+    image_vec_col: str = "image_embedding",
+    caption_vec_col: str = "caption_embedding",
+    threshold: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Row-wise form of :func:`alignment_gate` for the common storage
+    layout where a pair's image and caption embeddings live in ONE row
+    (the encoder writes them together): appends (align_score, keep)
+    with NO join and NO shuffle — a pure projection that stays inside
+    whole-stage codegen next to the scan. Same rounded-before-compare
+    gate decision as the two-table form."""
+    score = F.round(
+        cosine(F.col(image_vec_col), F.col(caption_vec_col)), round_dp
+    )
+    return pairs.withColumn("align_score", score).withColumn(
+        "keep", F.col("align_score") >= F.lit(float(threshold))
+    )

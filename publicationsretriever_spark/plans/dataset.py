@@ -55,6 +55,8 @@ def build_training_dataset(
     decontaminate_captions: DataFrame | None = None,
     decontaminate_w: int = 5,
     lm_score: bool = False,
+    alignment_embeddings: DataFrame | None = None,
+    alignment_threshold: float = 0.3,
 ) -> dict[str, DataFrame]:
     """Compose audit -> cluster -> caption vote -> split over an
     input_hint payload table. Returns the dataset tables:
@@ -232,6 +234,40 @@ def build_training_dataset(
             )
         )
         pairs = pairs.filter(~F.col("contaminated")).drop("contaminated")
+
+    if alignment_embeddings is not None:
+        # image-text alignment gate (similarity.alignment_gate_paired):
+        # embeddings come from an external encoder keyed by image_id
+        # (no encoder lives in-engine — swap-point like the codecs),
+        # one row per pair with BOTH vectors, so the score is a pure
+        # projection on that frame and the only movement is the keyed
+        # join back to the exemplars. Running it post-dedup means only
+        # exemplars are checked, not the collapsed near-dup mass.
+        # Pairs WITHOUT an embedding row pass (encoder coverage lags
+        # ingest; dropping them would silently empty a fresh corpus) —
+        # audit them upstream if coverage is a contract.
+        from ..operators.similarity import alignment_gate_paired
+
+        align = alignment_gate_paired(
+            alignment_embeddings.select(
+                "image_id", "image_embedding", "caption_embedding"
+            ),
+            threshold=alignment_threshold,
+        ).select("image_id", F.col("keep").alias("_aligned"))
+        pairs = pairs.join(align, "image_id", "left")
+        misaligned = F.col("_aligned") == F.lit(False)
+        gate_rejects = gate_rejects.unionByName(
+            pairs.filter(misaligned).select(
+                "image_id",
+                "fmt",
+                "phash",
+                F.lit(None).cast("long").alias("phash_check"),
+                F.lit("misaligned").alias("reject_reason"),
+            )
+        )
+        pairs = pairs.filter(~misaligned | F.col("_aligned").isNull()).drop(
+            "_aligned"
+        )
 
     if lm_score:
         # caption LM quality column (textstats.lm_quality_score,

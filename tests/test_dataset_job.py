@@ -240,3 +240,45 @@ def test_dataset_lm_score_column(spark):
 
     assert got["img-0"] == round(math.log10(1 / 2) / 2, 6)
     assert got["img-1"] == round(math.log10(1 / 2) / 5, 6)
+
+
+def test_dataset_alignment_gate(spark):
+    """Pairs whose image/caption embedding cosine falls below the
+    threshold are routed to audit_rejects (misaligned); pairs with NO
+    embedding row pass (encoder coverage lags ingest)."""
+    from publicationsretriever_spark.plans.dataset import (
+        build_training_dataset,
+    )
+    from publicationsretriever_spark.sources.imagecodec import (
+        make_payload_row,
+    )
+
+    rows = [
+        make_payload_row("img-0", 0),   # aligned (cos 1.0)
+        make_payload_row("img-1", 1),   # misaligned (cos 0.0)
+        make_payload_row("img-2", 2),   # no embedding row -> passes
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    emb = spark.createDataFrame(
+        [
+            ("img-0", [1.0, 0.0], [1.0, 0.0]),
+            ("img-1", [1.0, 0.0], [0.0, 1.0]),
+        ],
+        "image_id string, image_embedding array<float>, "
+        "caption_embedding array<float>",
+    )
+    out = build_training_dataset(
+        spark, df, audit=False,
+        alignment_embeddings=emb, alignment_threshold=0.3,
+    )
+    pair_ids = {r["image_id"] for r in out["pairs"].collect()}
+    rejects = {
+        r["image_id"]: r["reject_reason"]
+        for r in out["audit_rejects"].collect()
+    }
+    assert pair_ids == {"img-0", "img-2"}
+    assert rejects.get("img-1") == "misaligned"

@@ -1773,3 +1773,66 @@ def test_mixture_sample_budget_and_absent_stratum(spark):
         df, "lang", "doc_id", "text", {"en": 0.5, "fr": 0.5}
     )
     assert empty.count() == 0
+
+
+def test_alignment_gate_known_cosines(spark):
+    from publicationsretriever_spark.operators.similarity import alignment_gate
+
+    img = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # identical to caption -> cos 1.0
+            (1, [1.0, 0.0, 0.0]),   # orthogonal -> cos 0.0
+            (2, [1.0, 0.0, 0.0]),   # opposite -> cos -1.0
+            (3, [3.0, 4.0, 0.0]),   # scaled same direction -> cos 1.0
+        ],
+        "pair_id long, embedding array<float>",
+    )
+    cap = spark.createDataFrame(
+        [
+            (0, [2.0, 0.0, 0.0]),
+            (1, [0.0, 5.0, 0.0]),
+            (2, [-1.0, 0.0, 0.0]),
+            (3, [6.0, 8.0, 0.0]),
+        ],
+        "pair_id long, embedding array<float>",
+    )
+    rows = {
+        r["pair_id"]: r
+        for r in alignment_gate(img, cap, threshold=0.5).collect()
+    }
+    assert rows[0]["align_score"] == 1.0 and rows[0]["keep"]
+    assert rows[1]["align_score"] == 0.0 and not rows[1]["keep"]
+    assert rows[2]["align_score"] == -1.0 and not rows[2]["keep"]
+    assert rows[3]["align_score"] == 1.0 and rows[3]["keep"]
+
+
+def test_alignment_gate_threshold_on_rounded_score(spark):
+    from publicationsretriever_spark.operators.similarity import alignment_gate
+
+    # raw cosine just under the threshold but rounding to 1 decimal
+    # lands exactly ON it: the gate compares the ROUNDED score, so the
+    # pair is kept (bit-identical decision with the SQL oracle)
+    img = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "pair_id long, embedding array<float>"
+    )
+    cap = spark.createDataFrame(
+        [(0, [1.0, 1.05])], "pair_id long, embedding array<float>"
+    )
+    out = alignment_gate(img, cap, threshold=0.7, round_dp=1).collect()
+    assert out[0]["align_score"] == 0.7 and out[0]["keep"]
+    out6 = alignment_gate(img, cap, threshold=0.7, round_dp=6).collect()
+    assert not out6[0]["keep"]
+
+
+def test_alignment_gate_missing_side_drops_pair(spark):
+    from publicationsretriever_spark.operators.similarity import alignment_gate
+
+    img = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "pair_id long, embedding array<float>",
+    )
+    cap = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "pair_id long, embedding array<float>"
+    )
+    out = alignment_gate(img, cap).collect()
+    assert [r["pair_id"] for r in out] == [0]  # inner join: no caption, no pair
