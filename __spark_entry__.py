@@ -1045,6 +1045,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.semdedup):
+    IVF-cluster the embeddings (16 cells, one Lloyd refinement — the
+    exact quantizer chain ann_ivf_topk's oracle mirrors), then inside
+    each cell drop rows with a lower-id neighbor at cosine >= 0.3
+    (dataset-relative threshold, same as dedup_embedding; production
+    corpora run 0.95+). One verdict row per input vector."""
+    from publicationsretriever_spark.operators.similarity import semdedup
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return semdedup(
+        emb, n_cells=16, threshold=0.3, refine_iters=1, sample_n=256
+    ).orderBy("vec_id")
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector column hygiene: per-label norms (F.aggregate JVM-side)."""
     from publicationsretriever_spark.operators.similarity import l2_norm
@@ -1134,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
         "embedding_stats": q_embedding_stats,
         "image_text_alignment": q_image_text_alignment,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2179,6 +2196,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "semdedup": f"""
+            -- mirrors operators/similarity.semdedup: the cent0..assign
+            -- quantizer chain is IDENTICAL to ann_ivf_topk's oracle
+            -- (16 lowest-id init, one Lloyd iteration over the 256
+            -- lowest-id sample, cosine @6dp, ties to lowest cell);
+            -- then inside each cell a row is dropped iff a LOWER-id
+            -- row sits at cosine @6dp >= 0.3, dup_of = the lowest
+            -- such id.
+            WITH cent0 AS (
+              SELECT vec_id AS cell_id, embedding AS cv
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16
+            ),
+            samp AS (
+              SELECT vec_id, embedding
+              FROM embeddings ORDER BY vec_id ASC LIMIT 256
+            ),
+            sassign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT s.vec_id, s.embedding, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY {_cos6('s.embedding', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM samp s CROSS JOIN cent0 c) t
+              WHERE rn = 1
+            ),
+            cmeans AS (
+              SELECT cell_id, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+              FROM sassign, range(1, 65) t(i)
+              GROUP BY cell_id, i
+            ),
+            cent1 AS (
+              SELECT cell_id, list(mv ORDER BY i) AS cv
+              FROM cmeans GROUP BY cell_id
+            ),
+            cent AS (
+              SELECT c0.cell_id,
+                     COALESCE(c1.cv,
+                              list_transform(c0.cv, x -> CAST(x AS DOUBLE))) AS cv
+              FROM cent0 c0 LEFT JOIN cent1 c1 USING (cell_id)
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT v.vec_id, v.embedding, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY {_cos6('v.embedding', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM embeddings v CROSS JOIN cent c) t
+              WHERE rn = 1
+            ),
+            dups AS (
+              SELECT a.vec_id, min(b.vec_id) AS dup_of
+              FROM assign a JOIN assign b
+                ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+              WHERE {_cos6('a.embedding', 'b.embedding')} >= 0.3
+              GROUP BY a.vec_id
+            )
+            SELECT s.vec_id, s.cell_id, d.dup_of,
+                   d.dup_of IS NULL AS kept
+            FROM assign s LEFT JOIN dups d USING (vec_id)
+            ORDER BY s.vec_id
         """,
         "ann_pq_topk": f"""
             -- mirrors operators/similarity.pq_topk: m=4 subspaces of

@@ -1090,3 +1090,93 @@ def alignment_gate_paired(
     return pairs.withColumn("align_score", score).withColumn(
         "keep", F.col("align_score") >= F.lit(float(threshold))
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    refine_iters: int = 1,
+    sample_n: int = 256,
+    sample_order: str = "id",
+    index: "IvfIndex | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every row that has a semantic duplicate — here, a
+    LOWER-id row in the same cell with cosine (rounded to 6dp before
+    the compare, the repo-wide cross-engine convention) >= threshold.
+    Greedy-by-lowest-id is the same deterministic winner rule as the
+    repo's other dedup operators, so the op is a pure function of the
+    input and fully oracle-checkable (the quantizer chain is the one
+    ann_ivf_topk already mirrors in ANSI SQL).
+
+    Scale shape (the reason SemDeDup beats pairwise dedup at 100 TB):
+    quantizer training is bounded driver-side work (ivf_centroids —
+    <= sample_n rows); assignment is ONE broadcast map-side pass over
+    the corpus; the quadratic pairwise pass is confined WITHIN cells —
+    cost sum(|cell|^2), and a deployment raises n_cells proportionally
+    to the corpus (the paper runs k=50k on LAION) so E[|cell|] stays
+    constant and the self-join is a cell_id-co-partitioned shuffle,
+    never a global n^2. Skew = one hot cell going quadratic; the Lloyd
+    refinement is the balance lever (VERDICT r3), and raising n_cells
+    shrinks every cell.
+
+    The inverted list (assignment + precomputed L2 norms) is built once
+    and persisted via build_ivf_index so the self-join's two sides read
+    ONE materialization instead of recomputing the assign pass twice;
+    pass a prebuilt ``index`` to share it with ANN queries. At 100 TB
+    the inverted list is written partitioned by cell_id and this join
+    becomes a partition-local self-join.
+
+    Returns one row per input vector: (id_col, cell_id, dup_of, kept)
+    where dup_of = the LOWEST lower-id duplicate in the cell (NULL for
+    kept rows). Cross-cell near-duplicates are NOT caught — that is
+    SemDeDup's documented recall trade (boundary-split duplicates
+    survive); run embedding_neardup_pairs when recall matters more
+    than the clustering's cost cap.
+    """
+    if index is None:
+        index = build_ivf_index(
+            vectors, vec_col, id_col, n_cells,
+            refine_iters=refine_iters, sample_n=sample_n,
+            sample_order=sample_order,
+        )
+    inv = index.inverted  # (id_col, vec_col, cell_id, _n)
+    a = inv.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        "cell_id", F.col("_n").alias("_na"),
+    )
+    b = inv.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        "cell_id", F.col("_n").alias("_nb"),
+    )
+    dup = (
+        a.join(b, "cell_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .withColumn(
+            "_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("_sim") >= F.lit(float(threshold)))
+        # min() combines MAP-SIDE, so the shuffle after the pair pass
+        # carries one row per dropped vector, not one per dup pair
+        .groupBy(F.col("_ida").alias(id_col))
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        inv.select(id_col, "cell_id")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
