@@ -480,6 +480,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (operators/dedup.
+    minhash_band_index + incremental_neardup_pairs): the corpus
+    (doc_id % 5 != 0) is indexed ONCE into (id, band, band_hash) rows;
+    the new ingest batch (doc_id % 5 == 0) is deduped against that
+    index — corpus text never rescanned — plus within itself. The
+    daily-ingest cadence a 100 TB corpus actually runs."""
+    from publicationsretriever_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_index,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_band_index(corpus, "text", "doc_id", num_hashes=8, bands=4)
+    return incremental_neardup_pairs(
+        batch, index, "text", "doc_id", num_hashes=8, bands=4
+    ).orderBy("vs", "batch_id", "match_id")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard pairs >= 0.8 (operators/dedup.ngram_jaccard_pairs)."""
     from publicationsretriever_spark.operators.dedup import ngram_jaccard_pairs
@@ -1122,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota_spill": q_host_quota_spill,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash_hamming": q_dedup_phash_hamming,
@@ -1413,6 +1436,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             ORDER BY id_a, id_b
+        """,
+        "dedup_incremental": """
+            -- mirrors minhash_band_index + incremental_neardup_pairs:
+            -- a doc's signature depends only on its own text, so
+            -- banding ALL docs then splitting is identical to banding
+            -- the corpus and batch separately
+            WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+              FROM words WHERE len(w) >= 3
+            ),
+            sigs AS (
+              SELECT doc_id,
+                   min(md5('0|' || sh)) AS mh0,
+                   min(md5('1|' || sh)) AS mh1,
+                   min(md5('2|' || sh)) AS mh2,
+                   min(md5('3|' || sh)) AS mh3,
+                   min(md5('4|' || sh)) AS mh4,
+                   min(md5('5|' || sh)) AS mh5,
+                   min(md5('6|' || sh)) AS mh6,
+                   min(md5('7|' || sh)) AS mh7
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(mh4 || '|' || mh5) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(mh6 || '|' || mh7) AS bh FROM sigs
+            )
+            SELECT n.doc_id AS batch_id, c.doc_id AS match_id,
+                   count(*) AS n_shared_bands, 'corpus' AS vs
+            FROM banded n JOIN banded c ON n.band = c.band AND n.bh = c.bh
+            WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+            GROUP BY n.doc_id, c.doc_id
+            UNION ALL
+            SELECT a.doc_id AS batch_id, b.doc_id AS match_id,
+                   count(*) AS n_shared_bands, 'batch' AS vs
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            ORDER BY vs, batch_id, match_id
         """,
         "dedup_ngram_jaccard": """
             WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),

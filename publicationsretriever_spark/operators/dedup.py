@@ -70,6 +70,107 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The persistable LSH band index: one row per (id, band, band_hash).
+
+    This is the artifact an incremental pipeline WRITES once per corpus
+    snapshot (partitioned by ``band`` — each band's buckets co-locate)
+    and then reuses for every new ingest batch via
+    :func:`incremental_neardup_pairs`.  At 10^10 documents the index is
+    ~bands x n rows of (id, tinyint, 32-hex) — a few hundred GB — while
+    the corpus text it replaces is ~100 TB; re-mining shingles over the
+    whole corpus per daily batch is the thing this avoids.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bh"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def incremental_neardup_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a persisted corpus band index
+    (:func:`minhash_band_index` output) plus within the batch itself —
+    the only affordable dedup cadence at 100 TB: the corpus text is
+    never rescanned, only its index is joined.
+
+    The reference has no incremental path (its dedup is an in-memory
+    exact-hash set per run, util/http/ConnSupportUtils.java:414-455);
+    a crawl that ingests daily needs one.
+
+    Scale shape: with ``broadcast_batch`` (default) the batch's banded
+    rows — ~bands x |batch| short rows — broadcast to every index
+    partition, so the 10^10-row corpus index is scanned in place with
+    NO shuffle at all; partition-pruning on ``band`` still applies.
+    Set it False when the batch itself is huge (> a few 10^7 docs) and
+    let the (band, bh) shuffle-hash join handle it.
+
+    Returns (batch_id, match_id, n_shared_bands, vs) where
+    ``vs='corpus'`` rows pair a batch doc with an indexed corpus doc
+    and ``vs='batch'`` rows pair two batch docs (batch_id < match_id).
+    """
+    b = minhash_band_index(batch, text_col, id_col, num_hashes, bands, k)
+    bl = F.broadcast(b) if broadcast_batch else b
+    n, c = bl.alias("n"), index.alias("c")
+    vs_corpus = (
+        c.join(
+            n,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .groupBy(
+            F.col(f"n.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("vs", F.lit("corpus"))
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    vs_batch = (
+        a2.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("vs", F.lit("batch"))
+    )
+    return vs_corpus.unionByName(vs_batch)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -83,17 +184,7 @@ def minhash_lsh_pairs(
     the self-join key is the band bucket — cardinality ~n*bands, never
     n^2. Returns distinct candidate pairs (id_a < id_b, n_shared_bands).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, k)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

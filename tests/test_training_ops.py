@@ -1836,3 +1836,72 @@ def test_alignment_gate_missing_side_drops_pair(spark):
     )
     out = alignment_gate(img, cap).collect()
     assert [r["pair_id"] for r in out] == [0]  # inner join: no caption, no pair
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def test_incremental_neardup_matches_full_restriction(spark):
+    """incremental_neardup_pairs(batch, index(corpus)) must equal the
+    full-corpus minhash_lsh_pairs output restricted to pairs with at
+    least one batch end: batch-batch pairs -> vs='batch', mixed pairs
+    -> vs='corpus' (keyed batch-side first), corpus-corpus pairs
+    absent. The equivalence is what makes the incremental cadence safe
+    to run instead of the full re-mine."""
+    from publicationsretriever_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_index,
+    )
+
+    rows = [
+        (i, DOCS[i % len(DOCS)][1] + (" tail" if i >= len(DOCS) else ""))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=8, bands=4
+        ).collect()
+    }
+    expect = {}
+    for (a, b), n in full.items():
+        if a in batch_ids and b in batch_ids:
+            expect[(a, b, "batch")] = n
+        elif a in batch_ids:
+            expect[(a, b, "corpus")] = n
+        elif b in batch_ids:
+            expect[(b, a, "corpus")] = n  # keyed batch-side first
+
+    index = minhash_band_index(corpus, "text", "doc_id", num_hashes=8, bands=4)
+    got = {
+        (r["batch_id"], r["match_id"], r["vs"]): r["n_shared_bands"]
+        for r in incremental_neardup_pairs(
+            batch, index, "text", "doc_id", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert got == expect and expect  # non-vacuous
+
+
+def test_incremental_corpus_join_broadcasts_batch(spark):
+    """The scale contract: with broadcast_batch=True the corpus-index
+    join's plan must broadcast the batch side (the 10^10-row index is
+    then scanned in place, never shuffled)."""
+    from publicationsretriever_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_band_index(corpus, "text", "doc_id", num_hashes=8, bands=4)
+    out = incremental_neardup_pairs(
+        batch, index, "text", "doc_id", num_hashes=8, bands=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
