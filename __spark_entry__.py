@@ -961,6 +961,38 @@ def q_image_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_quality_gates(meta).orderBy("image_id")
 
 
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucket batching (operators/multimodal.
+    aspect_bucket_ladder/aspect_batch_assign) over an input_hint-
+    shaped table synthesized deterministically from documents: each
+    (w, h) goes to the nearest-log-aspect ladder bucket (exact-ratio
+    ordering — engine-portable), then id-ordered fixed-size batches
+    within each bucket via the two-pass distributed prefix rank. The
+    oracle inlines the SAME ladder constants and checks bucket, rank
+    and batch per image."""
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_batch_assign,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(16) + (F.col("doc_id") * 37) % 1024).cast("int").alias("w"),
+        (F.lit(16) + (F.col("doc_id") * 59) % 1024).cast("int").alias("h"),
+    )
+    return aspect_batch_assign(imgs, batch_size=8, block_size=64).select(
+        "image_id",
+        "w",
+        "h",
+        "bucket_idx",
+        "bucket_w",
+        "bucket_h",
+        "rank_in_bucket",
+        "batch_idx",
+    ).orderBy("image_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (operators/similarity);
     queries = first 4 vectors."""
@@ -1167,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
+        "aspect_buckets": q_aspect_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1208,6 +1241,20 @@ def _l2sq6(a: str, b: str) -> str:
 
 #: shared DuckDB CTE: the portable 16-bit simhash per doc, exposed as
 #: sim(doc_id, simhash) — used by both the fingerprint oracle and the
+def _aspect_ladder_values() -> str:
+    """The aspect-bucket ladder as a SQL VALUES list — derived from
+    the SAME aspect_bucket_ladder() the Spark query uses, so the
+    oracle can never drift from the operator's constants."""
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_bucket_ladder,
+    )
+
+    return ", ".join(
+        f"({i}, {bw}, {bh})"
+        for i, (bw, bh) in enumerate(aspect_bucket_ladder())
+    )
+
+
 #: phash-hamming near-dup oracle
 _SIMHASH_SQL_CTE = """
             WITH toks AS (
@@ -2164,6 +2211,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS reject_reason
             FROM g ORDER BY image_id
         """,
+        "aspect_buckets": """
+            -- mirrors operators/multimodal.aspect_bucket_ladder +
+            -- aspect_batch_assign; the ladder VALUES below are
+            -- DERIVED from the same aspect_bucket_ladder() call the
+            -- Spark query compiles into its projection, and the
+            -- nearest-bucket ordering uses the identical exact-ratio
+            -- distance (int64 products, one IEEE division)
+            WITH imgs AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + (doc_id*37)%1024 AS INT) AS w,
+                     CAST(16 + (doc_id*59)%1024 AS INT) AS h
+              FROM documents
+            ),
+            ladder(idx, bw, bh) AS (VALUES {{LADDER_VALUES}}),
+            scored AS (
+              SELECT image_id, w, h, idx, bw, bh,
+                     row_number() OVER (
+                       PARTITION BY image_id
+                       ORDER BY CAST(greatest(CAST(w AS BIGINT)*bh, CAST(h AS BIGINT)*bw) AS DOUBLE)
+                                / CAST(least(CAST(w AS BIGINT)*bh, CAST(h AS BIGINT)*bw) AS DOUBLE),
+                                idx) AS rn
+              FROM imgs CROSS JOIN ladder
+            ),
+            best AS (
+              SELECT image_id, w, h, idx AS bucket_idx,
+                     bw AS bucket_w, bh AS bucket_h
+              FROM scored WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket_idx ORDER BY image_id
+                     ) - 1 AS rank_in_bucket
+              FROM best
+            )
+            SELECT image_id, w, h,
+                   CAST(bucket_idx AS INT) AS bucket_idx,
+                   CAST(bucket_w AS INT) AS bucket_w,
+                   CAST(bucket_h AS INT) AS bucket_h,
+                   CAST(rank_in_bucket AS BIGINT) AS rank_in_bucket,
+                   CAST(rank_in_bucket // 8 AS BIGINT) AS batch_idx
+            FROM ranked ORDER BY image_id
+        """.replace("{{LADDER_VALUES}}", _aspect_ladder_values()),
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
             scored AS (

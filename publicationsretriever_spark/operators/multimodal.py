@@ -386,3 +386,143 @@ def image_quality_gates(
     return out.withColumn("keep", keep).withColumn(
         "reject_reason", reason
     )
+
+
+# ------------------------------------------------------- aspect bucketing
+
+
+def aspect_bucket_ladder(
+    pixel_budget: int = 1024 * 1024,
+    stride: int = 64,
+    min_side: int = 256,
+    max_aspect: float = 4.0,
+) -> list[tuple[int, int]]:
+    """The deterministic SDXL-style resolution ladder: every (bw, bh)
+    with both sides a multiple of ``stride``, bh the LARGEST such
+    multiple with bw*bh <= pixel_budget (so each width uses the full
+    pixel budget), sides >= min_side and aspect within
+    [1/max_aspect, max_aspect]. Pure arithmetic on four scalars —
+    both engines (and the training job that consumes the buckets)
+    rebuild the identical ladder from the same constants.
+
+    Aspect bucketing is how image-generation training avoids
+    square-cropping: each batch is drawn from ONE bucket so every
+    sample in it shares a target resolution (NovelAI/SDXL practice;
+    SDXL report arXiv:2307.01952 §2.3)."""
+    out = []
+    bw = stride
+    while True:
+        bh = (pixel_budget // bw) // stride * stride
+        if bh < min_side:
+            break
+        if bw >= min_side and bw <= max_aspect * bh and bh <= max_aspect * bw:
+            if not out or out[-1][1] != bh:
+                out.append((bw, bh))
+        bw += stride
+    return out
+
+
+def aspect_bucket_assign(
+    df: DataFrame,
+    ladder: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Assign each image (w, h) to the ladder bucket with the nearest
+    log-aspect (ties -> lowest bucket index). Adds ``bucket_idx``,
+    ``bucket_w``, ``bucket_h``.
+
+    The distance is the aspect RATIO max(w*bh, h*bw)/min(w*bh, h*bw)
+    — exp(|log(w/h) - log(bw/bh)|), strictly monotone in the
+    log-aspect distance so the argmin is identical — because it is
+    engine-portable: the integer products are exact (int64) and the
+    one IEEE division is correctly rounded everywhere, so no
+    cross-engine log-ulp difference can flip a near-tie.
+
+    Scale shape: the ladder is ~tens of rows, so it is compiled INTO
+    the projection — an array of (dist, idx, bw, bh) structs reduced
+    by ``array_min`` (Spark's struct ordering is field-lexicographic,
+    so min = smallest dist, then smallest idx). Zero joins, zero
+    shuffle: at 100 TB this evaluates inside the scan's codegen stage
+    like any other column expression."""
+    ladder = ladder if ladder is not None else aspect_bucket_ladder()
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.greatest(w * F.lit(bh), h * F.lit(bw)).cast("double")
+                    / F.least(w * F.lit(bh), h * F.lit(bw)).cast("double")
+                ).alias("d"),
+                F.lit(i).alias("idx"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(ladder)
+        ]
+    )
+    best = F.array_min(cands)
+    return df.withColumns(
+        {
+            "bucket_idx": best["idx"],
+            "bucket_w": best["bw"],
+            "bucket_h": best["bh"],
+        }
+    )
+
+
+def aspect_batch_assign(
+    df: DataFrame,
+    batch_size: int,
+    ladder: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """Aspect buckets -> fixed-size training batches: within each
+    bucket, images in ``id_col`` order are cut into batches of
+    ``batch_size`` (``batch_idx`` = floor(rank_in_bucket/batch_size);
+    the last batch per bucket may be short — the loader drops or pads
+    it). Returns (id, w, h, bucket_idx, bucket_w, bucket_h,
+    rank_in_bucket, batch_idx).
+
+    Scale shape: there are only ~tens of buckets, so the naive
+    ``row_number() over (partition by bucket)`` would sort 1/|ladder|
+    of the corpus in ONE task. Instead the rank is a two-pass
+    distributed prefix count (the operators/packing.py pattern, keyed
+    by (bucket, id-block)): per-(bucket, block) counts -> running
+    offsets over that TINY frame -> broadcast back, rank = offset +
+    row_number within (bucket, block). Every window partition is
+    bounded by block_size rows; the corpus shuffles once, on
+    (bucket, block)."""
+    from pyspark.sql import Window
+
+    ladder = ladder if ladder is not None else aspect_bucket_ladder()
+    base = aspect_bucket_assign(df, ladder, id_col).withColumn(
+        "_blk",
+        (F.col(id_col).cast("long") / F.lit(int(block_size))).cast("long"),
+    )
+    counts = base.groupBy("bucket_idx", "_blk").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy("bucket_idx")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "bucket_idx",
+        "_blk",
+        (F.sum("_c").over(w_off) - F.col("_c")).alias("_off"),
+    )
+    w_in = Window.partitionBy("bucket_idx", "_blk").orderBy(id_col)
+    return (
+        base.join(F.broadcast(offsets), ["bucket_idx", "_blk"])
+        .withColumn(
+            "rank_in_bucket",
+            F.col("_off") + F.row_number().over(w_in) - F.lit(1),
+        )
+        .withColumn(
+            "batch_idx",
+            (F.col("rank_in_bucket") / F.lit(int(batch_size))).cast("long"),
+        )
+        .drop("_blk", "_off")
+    )

@@ -1905,3 +1905,126 @@ def test_incremental_corpus_join_broadcasts_batch(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- aspect
+
+
+def test_aspect_ladder_deterministic_and_sane():
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_bucket_ladder,
+    )
+
+    lad = aspect_bucket_ladder()
+    assert lad == aspect_bucket_ladder()  # pure function of constants
+    assert len(lad) >= 10
+    for bw, bh in lad:
+        assert bw % 64 == 0 and bh % 64 == 0
+        assert bw * bh <= 1024 * 1024
+        assert bw * (bh + 64) > 1024 * 1024  # bh maxed for this bw
+        assert bw >= 256 and bh >= 256
+        assert bw <= 4.0 * bh and bh <= 4.0 * bw
+    aspects = [bw / bh for bw, bh in lad]
+    assert aspects == sorted(aspects)  # monotone ladder
+
+
+def test_aspect_bucket_assign_matches_bruteforce(spark):
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_bucket_assign,
+        aspect_bucket_ladder,
+    )
+
+    lad = aspect_bucket_ladder()
+    rows = [
+        (i, 100 + (i * 37) % 1900, 100 + (i * 59) % 1900)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h"])
+    got = {
+        r["image_id"]: (r["bucket_idx"], r["bucket_w"], r["bucket_h"])
+        for r in aspect_bucket_assign(df).collect()
+    }
+    for i, w, h in rows:
+        # brute force in the log domain — the operator's exact-ratio
+        # ordering must agree with the textbook log-aspect argmin
+        dists = [
+            (abs(math.log(w / h) - math.log(bw / bh)), j)
+            for j, (bw, bh) in enumerate(lad)
+        ]
+        _, j = min(dists)
+        assert got[i] == (j, lad[j][0], lad[j][1]), (i, w, h)
+
+
+def test_aspect_bucket_assign_is_pure_projection(spark):
+    """The scale contract: bucket assignment adds NO exchange — it
+    must evaluate inside the scan stage like any column expression."""
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_bucket_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 512, 512)], ["image_id", "w", "h"]
+    )
+    plan = (
+        aspect_bucket_assign(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_aspect_batch_assign_matches_naive_window(spark):
+    """Two-pass prefix rank == naive global per-bucket row_number."""
+    from pyspark.sql import Window
+
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_batch_assign,
+        aspect_bucket_assign,
+    )
+
+    rows = [
+        (i, 100 + (i * 37) % 1900, 100 + (i * 59) % 1900)
+        for i in range(257)
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h"])
+    # tiny block_size so several blocks per bucket actually occur
+    got = {
+        r["image_id"]: (r["bucket_idx"], r["rank_in_bucket"], r["batch_idx"])
+        for r in aspect_batch_assign(df, batch_size=4, block_size=16).collect()
+    }
+    naive = aspect_bucket_assign(df).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket_idx").orderBy("image_id")
+        )
+        - 1,
+    )
+    for r in naive.collect():
+        assert got[r["image_id"]] == (
+            r["bucket_idx"],
+            r["rk"],
+            r["rk"] // 4,
+        )
+
+
+def test_aspect_batch_assign_no_single_task_window(spark):
+    """Every window in the big-side plan is partitioned by
+    (bucket_idx, _blk) — no per-bucket (few-partition) global sort."""
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_batch_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 512, 512) for i in range(10)], ["image_id", "w", "h"]
+    )
+    plan = (
+        aspect_batch_assign(df, batch_size=4, block_size=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "_blk" in m.group(0), m.group(0)
