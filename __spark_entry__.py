@@ -993,6 +993,29 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_wds_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard layout plan (sources/webdataset.wds_shard_plan):
+    every sample's (shard, byte offset inside its shard's tar) from
+    pure tar arithmetic (512-byte headers, 512-padded content) over
+    the two-pass distributed prefix sum — the deterministic index the
+    tar writer materializes byte-for-byte (parity with tarfile's own
+    parsed offsets is pytest-asserted in tests/test_webdataset.py).
+    Payload length = utf-8 bytes of documents.text, caption length =
+    1 + doc_id % 200 — both engines compute the same sizes."""
+    from publicationsretriever_spark.sources.webdataset import wds_shard_plan
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sized = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.length(F.col("text").cast("binary"))
+        .cast("long")
+        .alias("payload_len"),
+        (F.lit(1) + F.col("doc_id") % 200).cast("long").alias("caption_len"),
+    )
+    return wds_shard_plan(sized, shard_max_bytes=65536).orderBy("image_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (operators/similarity);
     queries = first 4 vectors."""
@@ -1200,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gates": q_text_gates,
         "image_gates": q_image_gates,
         "aspect_buckets": q_aspect_buckets,
+        "wds_shard_plan": q_wds_shard_plan,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2253,6 +2277,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank_in_bucket // 8 AS BIGINT) AS batch_idx
             FROM ranked ORDER BY image_id
         """.replace("{{LADDER_VALUES}}", _aspect_ladder_values()),
+        "wds_shard_plan": """
+            -- mirrors sources/webdataset.wds_shard_plan: sample tar
+            -- footprint = (512 hdr + 512-padded content) per member,
+            -- two members (payload, caption); shard = start // cap
+            -- (samples never split); offset = start - shard's min
+            WITH sz AS (
+              SELECT doc_id AS image_id,
+                     CAST(512 + CAST(ceil(strlen(text)/512.0) AS BIGINT)*512
+                        + 512 + CAST(ceil((1 + doc_id % 200)/512.0) AS BIGINT)*512
+                          AS BIGINT) AS sample_bytes
+              FROM documents
+            ),
+            st AS (
+              SELECT *, sum(sample_bytes) OVER (
+                       ORDER BY image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - sample_bytes AS strt
+              FROM sz
+            ),
+            sh AS (SELECT *, CAST(strt // 65536 AS BIGINT) AS shard FROM st)
+            SELECT image_id, sample_bytes, shard,
+                   CAST(strt - min(strt) OVER (PARTITION BY shard) AS BIGINT)
+                     AS offset_in_tar
+            FROM sh ORDER BY image_id
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
             scored AS (

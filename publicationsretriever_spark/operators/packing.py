@@ -35,21 +35,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def token_shard_assign(
+def prefix_sum_start(
     df: DataFrame,
-    token_col: str,
+    size_col: str,
     id_col: str,
-    capacity: int,
     bucket_size: int = 1 << 20,
 ) -> DataFrame:
-    """Returns (id, tokens, shard) with shard = floor(start/capacity)
-    under the corpus-wide id-ordered layout. ``id_col`` must be
-    numeric (the bucket split is floor(id/bucket_size)); ids need not
-    be dense — gaps only make buckets uneven, never wrong, because
-    offsets are summed from actual rows."""
+    """The reusable two-pass distributed prefix sum: returns
+    (id_col, _sz, _start) where _start = sum of ``size_col`` over all
+    ids < this one under the corpus-wide id-ordered layout. ``id_col``
+    must be numeric (the bucket split is floor(id/bucket_size)); ids
+    need not be dense — gaps only make buckets uneven, never wrong,
+    because offsets are summed from actual rows. Consumers:
+    :func:`token_shard_assign` (token-capacity shards) and
+    sources/webdataset.wds_shard_plan (tar-byte shards + offsets)."""
     base = df.select(
         F.col(id_col),
-        F.col(token_col).cast("long").alias("_tok"),
+        F.col(size_col).cast("long").alias("_sz"),
         (F.col(id_col).cast("long") / F.lit(int(bucket_size)))
         .cast("long")
         .alias("_b"),
@@ -63,7 +65,7 @@ def token_shard_assign(
     # the natural shape — token counts are computed once upstream and
     # reused by many consumers — and the double read is two cheap
     # two-column scans.
-    totals = base.groupBy("_b").agg(F.sum("_tok").alias("_bt"))
+    totals = base.groupBy("_b").agg(F.sum("_sz").alias("_bt"))
     w_off = (
         Window.orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,16 +82,27 @@ def token_shard_assign(
         base.join(F.broadcast(offsets), "_b")
         .select(
             F.col(id_col),
-            F.col("_tok").alias("tokens"),
-            (
-                (
-                    F.col("_boff")
-                    + F.sum("_tok").over(w_in)
-                    - F.col("_tok")
-                )
-                / F.lit(int(capacity))
-            )
-            .cast("long")
-            .alias("shard"),
+            F.col("_sz"),
+            (F.col("_boff") + F.sum("_sz").over(w_in) - F.col("_sz")).alias(
+                "_start"
+            ),
         )
+    )
+
+
+def token_shard_assign(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    capacity: int,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Returns (id, tokens, shard) with shard = floor(start/capacity)
+    under the corpus-wide id-ordered layout (see
+    :func:`prefix_sum_start` for the two-pass scale shape and the
+    numeric-id precondition)."""
+    return prefix_sum_start(df, token_col, id_col, bucket_size).select(
+        F.col(id_col),
+        F.col("_sz").alias("tokens"),
+        (F.col("_start") / F.lit(int(capacity))).cast("long").alias("shard"),
     )
