@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -67,6 +68,12 @@ def main() -> int:
     ap.add_argument("--alignment-threshold", type=float, default=0.3,
                     help="min rounded cosine to keep a pair "
                          "(default 0.3)")
+    ap.add_argument("--wds-out", default=None,
+                    help="also pack the final pairs as WebDataset tar "
+                         "shards under this dir (train/ and test/ "
+                         "subdirs, hash layout for string ids)")
+    ap.add_argument("--wds-shard-bytes", type=int, default=1 << 28,
+                    help="max data bytes per tar shard (default 256 MB)")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -142,10 +149,44 @@ def main() -> int:
             "alignment_threshold": args.alignment_threshold,
         },
     )
-    print(json.dumps({
+    wds_manifest = None
+    if args.wds_out:
+        # the loader-facing packed form: one WebDataset tar shard set
+        # per split, laid out by (xxhash64(image_id), image_id) — the
+        # string-id path — reading the committed snapshot back so the
+        # shards reflect the atomically committed rows
+        from publicationsretriever_spark.sources.webdataset import (
+            write_webdataset,
+        )
+
+        _, committed_tables = catalog.load(spark, snapshot_id=snap_id)
+        committed = committed_tables["pairs"]
+        wds_manifest = {}
+        for split in ("train", "test"):
+            part = committed.filter(committed["split"] == split)
+            if part.limit(1).count() == 0:
+                wds_manifest[split] = []
+                continue
+            wds_manifest[split] = write_webdataset(
+                part,
+                os.path.join(args.wds_out, split),
+                shard_max_bytes=args.wds_shard_bytes,
+                layout="hash",
+            )
+
+    out = {
         "snapshot": snap_id,
         "tables": {n: m["rows"] for n, m in meta.items()},
-    }))
+    }
+    if wds_manifest is not None:
+        out["wds"] = {
+            s: {
+                "shards": len(ms),
+                "samples": sum(m["n_samples"] for m in ms),
+            }
+            for s, ms in wds_manifest.items()
+        }
+    print(json.dumps(out))
     return 0
 
 

@@ -40,19 +40,31 @@ def prefix_sum_start(
     size_col: str,
     id_col: str,
     bucket_size: int = 1 << 20,
+    key_col: str | None = None,
 ) -> DataFrame:
     """The reusable two-pass distributed prefix sum: returns
     (id_col, _sz, _start) where _start = sum of ``size_col`` over all
-    ids < this one under the corpus-wide id-ordered layout. ``id_col``
-    must be numeric (the bucket split is floor(id/bucket_size)); ids
-    need not be dense — gaps only make buckets uneven, never wrong,
-    because offsets are summed from actual rows. Consumers:
+    rows earlier in the layout order. Consumers:
     :func:`token_shard_assign` (token-capacity shards) and
-    sources/webdataset.wds_shard_plan (tar-byte shards + offsets)."""
+    sources/webdataset.wds_shard_plan (tar-byte shards + offsets).
+
+    Layout order: ``id_col`` order by default — then ``id_col`` must
+    be numeric (the bucket split is trunc(id/bucket_size); truncation
+    is monotone, so buckets are contiguous order ranges; ids need not
+    be dense, gaps only make buckets uneven, never wrong). For
+    non-numeric ids pass a numeric ``key_col`` (e.g. xxhash64 of the
+    id): the layout becomes (key, id) order — deterministic even
+    through hash collisions — and the bucket split runs on the key
+    (size the buckets to the KEY range: a full 64-bit hash needs
+    bucket_size ~ 1<<50 for ~16k buckets; the double division's
+    precision loss is harmless because rounding is monotone, a fuzzy
+    boundary only moves rows between adjacent buckets)."""
+    key = key_col or id_col
     base = df.select(
         F.col(id_col),
+        *([F.col(key_col)] if key_col else []),
         F.col(size_col).cast("long").alias("_sz"),
-        (F.col(id_col).cast("long") / F.lit(int(bucket_size)))
+        (F.col(key).cast("long") / F.lit(int(bucket_size)))
         .cast("long")
         .alias("_b"),
     )
@@ -75,7 +87,7 @@ def prefix_sum_start(
     )
     w_in = (
         Window.partitionBy("_b")
-        .orderBy(id_col)
+        .orderBy(*([key_col, id_col] if key_col else [id_col]))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

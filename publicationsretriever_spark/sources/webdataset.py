@@ -70,6 +70,7 @@ def wds_shard_plan(
     payload_len_col: str = "payload_len",
     caption_len_col: str = "caption_len",
     bucket_size: int = 1 << 20,
+    layout: str = "id",
 ) -> DataFrame:
     """Assign every sample its (shard, offset_in_tar) under the
     id-ordered WebDataset layout.
@@ -85,15 +86,36 @@ def wds_shard_plan(
     Returns (id, sample_bytes, shard, offset_in_tar). The shard-start
     subtraction joins a broadcast n_shards-row frame — bounded by
     corpus_bytes/shard_max_bytes, e.g. 100 TB / 512 MB = 2*10^5 rows.
+
+    ``layout``: "id" (default) lays samples out in numeric-id order;
+    "hash" lays them out in (xxhash64(id), id) order — the path for
+    STRING ids (crawl image_ids like "img-3-5"): deterministic,
+    uniformly bucket-balanced, and the writer sorts each shard by the
+    same key so plan and bytes still agree member for member.
     """
     sz = (
         _member_bytes(F.col(payload_len_col).cast("long"))
         + _member_bytes(F.col(caption_len_col).cast("long"))
     ).alias("_sample_sz")
-    base = df.select(F.col(id_col), sz)
-    started = prefix_sum_start(
-        base, "_sample_sz", id_col, bucket_size=bucket_size
-    ).withColumn(
+    if layout == "hash":
+        base = df.select(
+            F.col(id_col),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_wds_key"),
+            sz,
+        )
+        started = prefix_sum_start(
+            base,
+            "_sample_sz",
+            id_col,
+            bucket_size=1 << 50,
+            key_col="_wds_key",
+        )
+    else:
+        base = df.select(F.col(id_col), sz)
+        started = prefix_sum_start(
+            base, "_sample_sz", id_col, bucket_size=bucket_size
+        )
+    started = started.withColumn(
         "shard",
         (F.col("_start") / F.lit(int(shard_max_bytes))).cast("long"),
     )
@@ -129,6 +151,7 @@ def write_webdataset(
     fmt_col: str = "fmt",
     caption_col: str = "caption",
     bucket_size: int = 1 << 20,
+    layout: str = "id",
 ) -> list[dict]:
     """Write ``df`` (input_hint-shaped: numeric/castable id, binary
     payload, fmt, caption) as WebDataset tar shards
@@ -153,13 +176,16 @@ def write_webdataset(
         payload_len_col="_plen",
         caption_len_col="_clen",
         bucket_size=bucket_size,
+        layout=layout,
     ).select(id_col, "shard")
     rows = df.select(
         F.col(id_col),
+        F.xxhash64(F.col(id_col).cast("string")).alias("_wds_key"),
         F.col(payload_col).alias("wds_payload"),
         F.col(fmt_col).alias("wds_fmt"),
         F.col(caption_col).alias("wds_caption"),
     ).join(plan, id_col)
+    sort_cols = ["_wds_key", id_col] if layout == "hash" else [id_col]
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -169,7 +195,7 @@ def write_webdataset(
     # sees its WHOLE shard exactly once.
     def _write_shard(grp: pd.DataFrame) -> pd.DataFrame:
         shard = int(grp["shard"].iloc[0])
-        grp = grp.sort_values(id_col)
+        grp = grp.sort_values(sort_cols)
         path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
         data_bytes = 0
         with open(path, "wb") as fh, tarfile.open(
@@ -248,7 +274,9 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                             s["bytes"] = data
                             # the payload member leads the sample
                             s["offset"] = m.offset
-                    for key in sorted(pending, key=lambda k: int(k)):
+                    # lexicographic key order — stable for both numeric
+                    # and string ids; consumers re-sort as needed
+                    for key in sorted(pending):
                         s = pending[key]
                         out["image_id"].append(key)
                         out["fmt"].append(s["fmt"])

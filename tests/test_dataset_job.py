@@ -110,11 +110,13 @@ def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
     capsys.readouterr()
 
     out_dir = str(tmp_path / "dataset")
+    wds_dir = str(tmp_path / "wds")
     monkeypatch.setattr(sys, "argv", [
         "dataset_job.py", "--out", out_dir,
         "--from-crawl", crawl_dir,
         "--hosts", "3", "--pages-max", "6",
         "--test-frac", "0.25",
+        "--wds-out", wds_dir, "--wds-shard-bytes", "8192",
     ])
     assert dataset_job.main() == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -130,6 +132,31 @@ def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
     # one row per cluster
     n = pairs.count()
     assert pairs.select("cluster_id").distinct().count() == n
+
+    # the packed loader-facing form covers every committed pair,
+    # split by split, and round-trips payload+caption exactly
+    from publicationsretriever_spark.sources.webdataset import (
+        read_webdataset,
+    )
+
+    assert summary["wds"]["train"]["samples"] + summary["wds"]["test"][
+        "samples"
+    ] == n
+    for split in ("train", "test"):
+        want = {
+            (r["image_id"], bytes(r["bytes"]), r["caption"])
+            for r in pairs.filter(pairs["split"] == split).collect()
+        }
+        if not want:
+            assert summary["wds"][split]["samples"] == 0
+            continue
+        got = {
+            (r["image_id"], bytes(r["bytes"]), r["caption"])
+            for r in read_webdataset(
+                spark, str(tmp_path / "wds" / split)
+            ).collect()
+        }
+        assert got == want
 
 
 def test_dataset_redact_pii_captions(spark):

@@ -147,3 +147,49 @@ def test_plan_big_side_windows_are_block_partitioned(spark):
     assert big_windows, plan_str
     for w in big_windows:
         assert "_b" in w, w
+
+
+def test_hash_layout_string_ids_plan_matches_tar(spark, tmp_path):
+    """layout='hash': string image_ids (the crawl's 'img-h-p' form)
+    lay out in (xxhash64(id), id) order; the written tars must still
+    match the plan's offsets member for member, and round-trip."""
+    rows = [make_payload_row(f"img-{i}-{i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, out, shard_max_bytes=8 * 1024, layout="hash"
+    )
+    plan = {
+        r["image_id"]: (r["shard"], r["offset_in_tar"])
+        for r in wds_shard_plan(
+            df.select(
+                "image_id",
+                F.length("bytes").alias("payload_len"),
+                F.length(F.col("caption").cast("binary")).alias(
+                    "caption_len"
+                ),
+            ),
+            shard_max_bytes=8 * 1024,
+            layout="hash",
+        ).collect()
+    }
+    assert len(manifest) >= 2
+    seen = 0
+    for m in manifest:
+        with tarfile.open(m["path"]) as tf:
+            for mm in tf.getmembers():
+                key, ext = mm.name.rsplit(".", 1)
+                if ext != "txt":
+                    shard, off = plan[key]
+                    assert (shard, off) == (m["shard"], mm.offset), key
+                    seen += 1
+    assert seen == len(rows)
+    back = {
+        r["image_id"]: (bytes(r["bytes"]), r["caption"])
+        for r in read_webdataset(spark, out).collect()
+    }
+    src = {
+        r["image_id"]: (bytes(r["bytes"]), r["caption"])
+        for r in df.collect()
+    }
+    assert back == src
