@@ -1016,6 +1016,31 @@ def q_wds_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wds_shard_plan(sized, shard_max_bytes=65536).orderBy("image_id")
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (operators/recrawl.
+    recrawl_schedule) over a fetch history derived from events:
+    user_id = url, purchase -> 'changed', error -> 'error', other
+    events -> 'unchanged'. Deterministic integer delay arithmetic
+    (staleness ratio x error-streak backoff, clamped) so both engines
+    agree bit-for-bit, including the next_fetch_ts timestamp add."""
+    from publicationsretriever_spark.operators.recrawl import (
+        recrawl_schedule,
+    )
+
+    _load(spark, sf_dir, "events")
+    hist = spark.table("events").select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit("changed"))
+        .when(F.col("event_type") == "error", F.lit("error"))
+        .otherwise(F.lit("unchanged"))
+        .alias("outcome"),
+    )
+    return recrawl_schedule(
+        hist, base_delay_s=3600, max_delay_s=30 * 86400
+    ).orderBy("url_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (operators/similarity);
     queries = first 4 vectors."""
@@ -1224,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gates": q_image_gates,
         "aspect_buckets": q_aspect_buckets,
         "wds_shard_plan": q_wds_shard_plan,
+        "recrawl_schedule": q_recrawl_schedule,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2301,6 +2327,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt - min(strt) OVER (PARTITION BY shard) AS BIGINT)
                      AS offset_in_tar
             FROM sh ORDER BY image_id
+        """,
+        "recrawl_schedule": """
+            -- mirrors operators/recrawl.recrawl_schedule: integer
+            -- staleness ratio x error-streak backoff, clamped, plus
+            -- exact integer-second timestamp add
+            WITH hist AS (
+              SELECT user_id AS url_id, ts,
+                     CASE event_type WHEN 'purchase' THEN 'changed'
+                                     WHEN 'error' THEN 'error'
+                                     ELSE 'unchanged' END AS outcome
+              FROM events
+            ),
+            tagged AS (
+              SELECT *, max(CASE WHEN outcome != 'error' THEN ts END)
+                          OVER (PARTITION BY url_id) AS ok_max
+              FROM hist
+            ),
+            agg AS (
+              SELECT url_id,
+                     count(*) AS n_fetches,
+                     count(CASE WHEN outcome = 'changed' THEN 1 END) AS n_changed,
+                     count(CASE WHEN outcome = 'unchanged' THEN 1 END) AS n_unchanged,
+                     count(CASE WHEN outcome = 'error' THEN 1 END) AS n_error,
+                     count(CASE WHEN ok_max IS NULL OR ts > ok_max THEN 1 END) AS fail_streak,
+                     max(ts) AS last_ts
+              FROM tagged GROUP BY url_id
+            ),
+            d AS (
+              SELECT *,
+                     CAST(least(2592000,
+                          greatest(3600,
+                            (3600 * (1 + n_unchanged) // (1 + n_changed))
+                            * (CAST(1 AS BIGINT) << CAST(least(fail_streak, 16) AS INT))
+                          )) AS BIGINT) AS delay_s
+              FROM agg
+            )
+            SELECT url_id, n_fetches, n_changed, n_unchanged, n_error,
+                   fail_streak, last_ts, delay_s,
+                   last_ts + INTERVAL 1 SECOND * delay_s AS next_fetch_ts
+            FROM d ORDER BY url_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
