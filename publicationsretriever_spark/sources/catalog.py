@@ -235,3 +235,76 @@ class SnapshotCatalog:
             for name, meta in manifest["tables"].items()
         }
         return manifest, tables
+
+    def diff_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str],
+        from_snapshot: str | None,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Incremental consumption between two committed snapshots —
+        the Iceberg changelog-read analog: returns the ``to`` side's
+        columns plus ``change`` in ('added', 'removed', 'changed')
+        for every key whose row differs between ``from_snapshot`` and
+        ``to_snapshot`` (None = latest; from_snapshot=None diffs
+        against empty, i.e. everything is 'added'). Unchanged rows are
+        NOT returned — a downstream job (e.g. the dataset packer, an
+        index refresher) reprocesses only the delta instead of the
+        full table.
+
+        For 'removed' keys the non-key columns carry the OLD row's
+        values (there is no new row to show).
+
+        Scale shape: both sides reduce to (keys, xxhash64(all
+        non-key columns)) before the full-outer join — a co-partitioned
+        sort-merge join on the key with 8-byte payloads, never a
+        row-value compare across the wire; the winning side's full row
+        is joined back by key only for the emitted delta (at web scale
+        deltas are ~1 round's writes, a small fraction of the table).
+        """
+        _, to_tables = self.load(spark, to_snapshot)
+        new = to_tables[table]
+        val_cols = [c for c in new.columns if c not in key_cols]
+        from pyspark.sql import functions as F
+
+        def keyed_hash(df: DataFrame) -> DataFrame:
+            return df.select(
+                *key_cols,
+                F.xxhash64(
+                    *[F.col(c).cast("string") for c in val_cols]
+                ).alias("_vh"),
+            )
+
+        nk = keyed_hash(new).alias("n")
+        if from_snapshot is None:
+            old = new.filter(F.lit(False))
+        else:
+            _, from_tables = self.load(spark, from_snapshot)
+            old = from_tables[table]
+        ok = keyed_hash(old).alias("o")
+        cond = [F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}")) for k in key_cols]
+        joined = nk.join(ok, cond, "full_outer")
+        change = (
+            F.when(F.col("o._vh").isNull(), F.lit("added"))
+            .when(F.col("n._vh").isNull(), F.lit("removed"))
+            .when(F.col("n._vh") != F.col("o._vh"), F.lit("changed"))
+        )
+        delta_keys = joined.select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key_cols
+            ],
+            change.alias("change"),
+        ).filter(F.col("change").isNotNull())
+        added_changed = delta_keys.filter(
+            F.col("change") != "removed"
+        ).join(new, key_cols)
+        removed = delta_keys.filter(F.col("change") == "removed").join(
+            old, key_cols
+        )
+        cols = key_cols + ["change"] + val_cols
+        return added_changed.select(*cols).unionByName(
+            removed.select(*cols)
+        )
