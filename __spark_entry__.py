@@ -1016,6 +1016,21 @@ def q_wds_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wds_shard_plan(sized, shard_max_bytes=65536).orderBy("image_id")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch training shuffle (operators/packing.
+    epoch_shuffle): seed-keyed md5 permutation rank per document plus
+    the loader shard, computed with the two-pass prefix count (no
+    global sort task); the oracle is the naive one-window global
+    rank."""
+    from publicationsretriever_spark.operators.packing import epoch_shuffle
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+    return epoch_shuffle(
+        docs, "doc_id", seed="epoch-1", shard_size=64
+    ).orderBy("doc_id")
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl scheduling (operators/recrawl.
     recrawl_schedule) over a fetch history derived from events:
@@ -1250,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "wds_shard_plan": q_wds_shard_plan,
         "recrawl_schedule": q_recrawl_schedule,
+        "epoch_shuffle": q_epoch_shuffle,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2327,6 +2343,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt - min(strt) OVER (PARTITION BY shard) AS BIGINT)
                      AS offset_in_tar
             FROM sh ORDER BY image_id
+        """,
+        "epoch_shuffle": """
+            -- mirrors operators/packing.epoch_shuffle: rank of
+            -- md5(seed || ':' || id), tie-broken by id; shard =
+            -- pos // shard_size. The naive global window IS the
+            -- spec; the engine computes it with the two-pass
+            -- prefix count instead.
+            WITH k AS (
+              SELECT doc_id,
+                     md5('epoch-1:' || CAST(doc_id AS VARCHAR)) AS ek
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY ek, doc_id) - 1
+                          AS BIGINT) AS epoch_pos
+              FROM k
+            )
+            SELECT doc_id, epoch_pos,
+                   CAST(epoch_pos // 64 AS BIGINT) AS shard
+            FROM r ORDER BY doc_id
         """,
         "recrawl_schedule": """
             -- mirrors operators/recrawl.recrawl_schedule: integer

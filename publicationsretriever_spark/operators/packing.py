@@ -118,3 +118,67 @@ def token_shard_assign(
         F.col("_sz").alias("tokens"),
         (F.col("_start") / F.lit(int(capacity))).cast("long").alias("shard"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch-0",
+    shard_size: int | None = None,
+    n_hex: int = 4,
+) -> DataFrame:
+    """Deterministic epoch-level training shuffle: a seed-keyed global
+    permutation position per row (plus optionally the loader shard it
+    lands in), WITHOUT a global sort task.
+
+    Training loops reshuffle the corpus between epochs; at 100 TB that
+    cannot be an orderBy(rand()) (nondeterministic, irreproducible)
+    nor a single-task rank. Position = rank of
+    md5(seed || ':' || id) — a new seed is a new, reproducible
+    permutation, and any engine (the DuckDB oracle included) computes
+    the identical order. Same md5 trick as stratified_sample/
+    cluster_safe_split, so one hash family runs the whole
+    sample/split/shuffle story.
+
+    Scale shape (the aspect_batch_assign two-pass prefix count): the
+    first ``n_hex`` hex chars of the key are its bucket — hex-string
+    lexicographic order equals the numeric prefix order, so buckets
+    are contiguous rank ranges; per-bucket counts (16^n_hex rows) ->
+    running offsets over that tiny frame -> broadcast back; each
+    window partition sorts only its own bucket (~corpus/16^n_hex
+    rows; n_hex=4 puts 10^10 rows at ~150k/bucket).
+
+    Returns (id, epoch_pos[, shard = epoch_pos // shard_size])."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col),
+        key.alias("_ek"),
+        F.conv(F.substring(key, 1, n_hex), 16, 10)
+        .cast("long")
+        .alias("_b"),
+    )
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_b", (F.sum("_c").over(w_off) - F.col("_c")).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_ek", id_col)
+    out = (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "epoch_pos",
+            F.col("_off") + F.row_number().over(w_in) - F.lit(1),
+        )
+        .select(F.col(id_col), F.col("epoch_pos"))
+    )
+    if shard_size is not None:
+        out = out.withColumn(
+            "shard",
+            (F.col("epoch_pos") / F.lit(int(shard_size))).cast("long"),
+        )
+    return out

@@ -2028,3 +2028,73 @@ def test_aspect_batch_assign_no_single_task_window(spark):
 
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
         assert "_blk" in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------- epoch
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    from pyspark.sql import Window
+
+    from publicationsretriever_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"]
+    )
+    out = epoch_shuffle(df, "doc_id", seed="epoch-1", shard_size=16)
+    rows = out.collect()
+    poss = sorted(r["epoch_pos"] for r in rows)
+    assert poss == list(range(200))  # bijection onto 0..n-1
+    for r in rows:
+        assert r["shard"] == r["epoch_pos"] // 16
+    # naive global rank over the same key agrees
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in df.select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("epoch-1"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        "doc_id",
+                    )
+                )
+                - 1
+            ).alias("rk"),
+        ).collect()
+    }
+    assert {r["doc_id"]: r["epoch_pos"] for r in rows} == naive
+    # a new seed is a different permutation
+    out2 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(df, "doc_id", seed="epoch-2").collect()
+    }
+    assert out2 != {r["doc_id"]: r["epoch_pos"] for r in rows}
+    assert sorted(out2.values()) == list(range(200))
+
+
+def test_epoch_shuffle_windows_are_bucket_partitioned(spark):
+    from publicationsretriever_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    plan = (
+        epoch_shuffle(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    rows_w = [
+        m.group(0)
+        for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan)
+    ]
+    assert rows_w
+    for w in rows_w:
+        assert "_b" in w, w
