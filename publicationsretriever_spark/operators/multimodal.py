@@ -492,7 +492,10 @@ def aspect_batch_assign(
     offsets over that TINY frame -> broadcast back, rank = offset +
     row_number within (bucket, block). Every window partition is
     bounded by block_size rows; the corpus shuffles once, on
-    (bucket, block)."""
+    (bucket, block). ``id_col`` must be numeric (the block split is
+    trunc(id/block_size)); for string ids layer this over a numeric
+    key the way sources/webdataset.wds_shard_plan's hash layout
+    does."""
     from pyspark.sql import Window
 
     ladder = ladder if ladder is not None else aspect_bucket_ladder()

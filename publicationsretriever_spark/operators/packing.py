@@ -148,7 +148,12 @@ def epoch_shuffle(
     window partition sorts only its own bucket (~corpus/16^n_hex
     rows; n_hex=4 puts 10^10 rows at ~150k/bucket).
 
-    Returns (id, epoch_pos[, shard = epoch_pos // shard_size])."""
+    Returns (id, epoch_pos[, shard = epoch_pos // shard_size]).
+
+    Unlike the seed reader's zipWithIndex pattern, nothing here
+    depends on scan order or partitioning: key and bucket are pure
+    functions of the id VALUE, so post-shuffle or sampled inputs are
+    fine; ids must be unique (ties fall back to id order)."""
     key = F.md5(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     )

@@ -257,6 +257,10 @@ class SnapshotCatalog:
         For 'removed' keys the non-key columns carry the OLD row's
         values (there is no new row to show).
 
+        Precondition: ``key_cols`` must uniquely identify a row in
+        both snapshots (true for every catalog table's natural key) —
+        duplicate keys would fan out in the join-back.
+
         Scale shape: both sides reduce to (keys, xxhash64(all
         non-key columns)) before the full-outer join — a co-partitioned
         sort-merge join on the key with 8-byte payloads, never a

@@ -164,7 +164,16 @@ def write_webdataset(
     matches :func:`wds_shard_plan` on (id, len(payload),
     len(utf-8 caption)) member for member — tests assert the parity
     with tarfile's own parsed offsets, so the plan IS a seekable
-    index over the written shards."""
+    index over the written shards.
+
+    Preconditions: ids must be UNIQUE (the plan joins back by id);
+    ``out_dir`` must be a filesystem every executor can write
+    (local mode / NFS — swap the plain open() for the Hadoop
+    FileSystem API when targeting object storage). ``df`` is
+    evaluated twice (plan, then write) — both evaluations are pure
+    functions of row VALUES (sizes, hashes of ids), never of
+    partitioning or row order, so any deterministic-content source
+    qualifies, including post-shuffle frames."""
     plan = wds_shard_plan(
         df.select(
             F.col(id_col),
