@@ -68,6 +68,12 @@ def main() -> int:
     ap.add_argument("--alignment-threshold", type=float, default=0.3,
                     help="min rounded cosine to keep a pair "
                          "(default 0.3)")
+    ap.add_argument("--aspect-buckets", type=int, default=None,
+                    help="attach SDXL-style aspect bucket + training "
+                         "batch columns (bucket_idx/bucket_w/bucket_h/"
+                         "rank_in_bucket/batch_idx) to pairs, batches "
+                         "of this size composed per split in "
+                         "deterministic hash order")
     ap.add_argument("--wds-out", default=None,
                     help="also pack the final pairs as WebDataset tar "
                          "shards under this dir (train/ and test/ "
@@ -131,6 +137,24 @@ def main() -> int:
         ),
         alignment_threshold=args.alignment_threshold,
     )
+    if args.aspect_buckets:
+        # batches must never straddle the leakage-safe split: rank and
+        # batch are computed per split, then unioned back
+        from publicationsretriever_spark.operators.multimodal import (
+            aspect_batch_assign,
+        )
+
+        pairs = tables["pairs"]
+        parts = [
+            aspect_batch_assign(
+                pairs.filter(pairs["split"] == split),
+                batch_size=args.aspect_buckets,
+                layout="hash",
+            )
+            for split in ("train", "test")
+        ]
+        tables["pairs"] = parts[0].unionByName(parts[1])
+
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)
     catalog.finish_commit(

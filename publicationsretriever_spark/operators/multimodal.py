@@ -476,6 +476,7 @@ def aspect_batch_assign(
     ladder: list[tuple[int, int]] | None = None,
     id_col: str = "image_id",
     block_size: int = 1 << 20,
+    layout: str = "id",
 ) -> DataFrame:
     """Aspect buckets -> fixed-size training batches: within each
     bucket, images in ``id_col`` order are cut into batches of
@@ -492,17 +493,36 @@ def aspect_batch_assign(
     offsets over that TINY frame -> broadcast back, rank = offset +
     row_number within (bucket, block). Every window partition is
     bounded by block_size rows; the corpus shuffles once, on
-    (bucket, block). ``id_col`` must be numeric (the block split is
-    trunc(id/block_size)); for string ids layer this over a numeric
-    key the way sources/webdataset.wds_shard_plan's hash layout
-    does."""
+    (bucket, block).
+
+    ``layout``: "id" (default) ranks by the numeric id (the block
+    split is trunc(id/block_size), so ``id_col`` must be numeric);
+    "hash" ranks by (xxhash64(id), id) — the path for string crawl
+    ids, and a deterministic within-bucket SHUFFLE: batches mix
+    arbitrary corpus regions instead of ingest neighbors, which is
+    what a training loader wants anyway (``block_size`` is ignored;
+    blocks come from the top hash bits, ~16k of them)."""
     from pyspark.sql import Window
 
     ladder = ladder if ladder is not None else aspect_bucket_ladder()
-    base = aspect_bucket_assign(df, ladder, id_col).withColumn(
-        "_blk",
-        (F.col(id_col).cast("long") / F.lit(int(block_size))).cast("long"),
-    )
+    assigned = aspect_bucket_assign(df, ladder, id_col)
+    if layout == "hash":
+        key = F.xxhash64(F.col(id_col).cast("string"))
+        base = assigned.withColumn("_ak", key).withColumn(
+            "_blk",
+            (F.col("_ak").cast("double") / F.lit(float(1 << 50))).cast(
+                "long"
+            ),
+        )
+        order_cols = ["_ak", id_col]
+    else:
+        base = assigned.withColumn(
+            "_blk",
+            (F.col(id_col).cast("long") / F.lit(int(block_size))).cast(
+                "long"
+            ),
+        )
+        order_cols = [id_col]
     counts = base.groupBy("bucket_idx", "_blk").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -516,7 +536,7 @@ def aspect_batch_assign(
         "_blk",
         (F.sum("_c").over(w_off) - F.col("_c")).alias("_off"),
     )
-    w_in = Window.partitionBy("bucket_idx", "_blk").orderBy(id_col)
+    w_in = Window.partitionBy("bucket_idx", "_blk").orderBy(*order_cols)
     return (
         base.join(F.broadcast(offsets), ["bucket_idx", "_blk"])
         .withColumn(
@@ -527,5 +547,5 @@ def aspect_batch_assign(
             "batch_idx",
             (F.col("rank_in_bucket") / F.lit(int(batch_size))).cast("long"),
         )
-        .drop("_blk", "_off")
+        .drop("_blk", "_off", *( ["_ak"] if layout == "hash" else []))
     )

@@ -117,6 +117,7 @@ def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
         "--hosts", "3", "--pages-max", "6",
         "--test-frac", "0.25",
         "--wds-out", wds_dir, "--wds-shard-bytes", "8192",
+        "--aspect-buckets", "4",
     ])
     assert dataset_job.main() == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -132,6 +133,22 @@ def test_dataset_job_from_crawl_cli(spark, tmp_path, monkeypatch, capsys):
     # one row per cluster
     n = pairs.count()
     assert pairs.select("cluster_id").distinct().count() == n
+
+    # aspect-bucket batch columns: per split, ranks within a bucket
+    # are a 0..k bijection and batches are rank//4
+    for c in ("bucket_idx", "bucket_w", "bucket_h",
+              "rank_in_bucket", "batch_idx"):
+        assert c in pairs.columns, c
+    for split in ("train", "test"):
+        sub = pairs.filter(pairs["split"] == split).collect()
+        per_bucket = {}
+        for r in sub:
+            per_bucket.setdefault(r["bucket_idx"], []).append(
+                r["rank_in_bucket"]
+            )
+            assert r["batch_idx"] == r["rank_in_bucket"] // 4
+        for ranks in per_bucket.values():
+            assert sorted(ranks) == list(range(len(ranks)))
 
     # the packed loader-facing form covers every committed pair,
     # split by split, and round-trips payload+caption exactly

@@ -2098,3 +2098,38 @@ def test_epoch_shuffle_windows_are_bucket_partitioned(spark):
     assert rows_w
     for w in rows_w:
         assert "_b" in w, w
+
+
+def test_aspect_batch_hash_layout_string_ids(spark):
+    """layout='hash': string ids rank by (xxhash64(id), id) within
+    their aspect bucket — parity with the naive global window, and a
+    bijection of ranks per bucket."""
+    from pyspark.sql import Window
+
+    from publicationsretriever_spark.operators.multimodal import (
+        aspect_batch_assign,
+        aspect_bucket_assign,
+    )
+
+    rows = [
+        (f"img-{i}-{i % 7}", 100 + (i * 37) % 1900, 100 + (i * 59) % 1900)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h"])
+    got = {
+        r["image_id"]: (r["bucket_idx"], r["rank_in_bucket"], r["batch_idx"])
+        for r in aspect_batch_assign(
+            df, batch_size=4, layout="hash"
+        ).collect()
+    }
+    naive = aspect_bucket_assign(df).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket_idx").orderBy(
+                F.xxhash64(F.col("image_id")), "image_id"
+            )
+        )
+        - 1,
+    )
+    for r in naive.collect():
+        assert got[r["image_id"]] == (r["bucket_idx"], r["rk"], r["rk"] // 4)
