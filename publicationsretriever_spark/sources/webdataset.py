@@ -174,11 +174,15 @@ def write_webdataset(
     functions of row VALUES (sizes, hashes of ids), never of
     partitioning or row order, so any deterministic-content source
     qualifies, including post-shuffle frames."""
+    # a NULL caption is stored as the empty string (empty alt-text is
+    # a normal corpus state); a NULL payload fails the write loudly —
+    # there is no honest empty image
+    cap = F.coalesce(F.col(caption_col), F.lit(""))
     plan = wds_shard_plan(
         df.select(
             F.col(id_col),
             F.length(F.col(payload_col)).alias("_plen"),
-            F.length(F.col(caption_col).cast("binary")).alias("_clen"),
+            F.length(cap.cast("binary")).alias("_clen"),
         ),
         shard_max_bytes,
         id_col=id_col,
@@ -192,7 +196,7 @@ def write_webdataset(
         F.xxhash64(F.col(id_col).cast("string")).alias("_wds_key"),
         F.col(payload_col).alias("wds_payload"),
         F.col(fmt_col).alias("wds_fmt"),
-        F.col(caption_col).alias("wds_caption"),
+        cap.alias("wds_caption"),
     ).join(plan, id_col)
     sort_cols = ["_wds_key", id_col] if layout == "hash" else [id_col]
 

@@ -90,3 +90,18 @@ def test_recrawl_single_shuffle(spark):
         recrawl_schedule(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_recrawl_single_fetch_histories(spark):
+    rows = [(1, _ts(0), "changed"), (2, _ts(0), "error"),
+            (3, _ts(0), "unchanged")]
+    out = {
+        r["url_id"]: (r["fail_streak"], r["delay_s"])
+        for r in recrawl_schedule(
+            spark.createDataFrame(rows, ["url_id", "ts", "outcome"]),
+            base_delay_s=100, max_delay_s=10**6,
+        ).collect()
+    }
+    assert out[1] == (0, 100)       # 100*1//2=50 -> clamp to base
+    assert out[2] == (1, 200)       # 100*1//1=100, <<1
+    assert out[3] == (0, 200)       # 100*2//1=200

@@ -100,3 +100,10 @@ def test_diff_compares_hashes_not_rows_in_plan(spark, tmp_path):
     assert m is not None
     # the full-outer join subtree must reference the hash column
     assert "_vh" in plan
+
+
+def test_diff_identical_snapshots_is_empty(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    s1 = _commit(cat, spark, [(1, "a", 10)], 0)
+    s2 = _commit(cat, spark, [(1, "a", 10)], 1)
+    assert cat.diff_table(spark, "t", ["k"], s1, s2).count() == 0

@@ -193,3 +193,27 @@ def test_hash_layout_string_ids_plan_matches_tar(spark, tmp_path):
         for r in df.collect()
     }
     assert back == src
+
+
+def test_null_caption_roundtrips_as_empty_and_empty_df_is_noop(
+    spark, tmp_path
+):
+    rows = [make_payload_row("7")]
+    rows[0]["caption"] = None
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in
+               ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+         for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(df, out, shard_max_bytes=8 * 1024)
+    assert manifest[0]["n_samples"] == 1
+    back = read_webdataset(spark, out).collect()
+    assert back[0]["caption"] == ""  # NULL stored as empty alt-text
+
+    empty = df.filter("image_id = 'nope'")
+    out2 = str(tmp_path / "wds2")
+    assert write_webdataset(empty, out2, shard_max_bytes=8 * 1024) == []
+    assert os.listdir(out2) == []
