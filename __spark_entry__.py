@@ -1031,6 +1031,38 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed expansion (functions/sitemap.expand_sitemaps):
+    each document becomes a deterministic two-entry sitemap XML; both
+    engines REGEX-PARSE the same XML back out (lenient block + field
+    extraction in the shared Java/RE2 subset), so the oracle pins the
+    parser, not just the construction."""
+    from publicationsretriever_spark.functions.sitemap import (
+        expand_sitemaps,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    d = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://h"), h, F.lit(".org/p"), d,
+        F.lit(" </loc><lastmod>2024-01-0"),
+        (F.lit(1) + F.col("doc_id") % 9).cast("string"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://h"), h,
+        F.lit(".org/q"), d, F.lit("</loc></url></urlset>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://h"), h, F.lit(".org/sitemap.xml")).alias(
+            "url"
+        ),
+        xml.alias("body"),
+    )
+    return expand_sitemaps(pages).orderBy("loc")
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl scheduling (operators/recrawl.
     recrawl_schedule) over a fetch history derived from events:
@@ -1266,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_shard_plan": q_wds_shard_plan,
         "recrawl_schedule": q_recrawl_schedule,
         "epoch_shuffle": q_epoch_shuffle,
+        "sitemap_expand": q_sitemap_expand,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2343,6 +2376,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt - min(strt) OVER (PARTITION BY shard) AS BIGINT)
                      AS offset_in_tar
             FROM sh ORDER BY image_id
+        """,
+        "sitemap_expand": """
+            -- mirrors functions/sitemap.expand_sitemaps: the SAME
+            -- lenient block+field regexes (shared Java/RE2 subset)
+            -- over the SAME synthesized XML
+            WITH x AS (
+              SELECT 'https://h' || (doc_id % 7) || '.org/sitemap.xml' AS src,
+                     '<urlset><url><loc> https://h' || (doc_id % 7) ||
+                     '.org/p' || doc_id || ' </loc><lastmod>2024-01-0' ||
+                     (1 + doc_id % 9) || '</lastmod><priority>0.' ||
+                     (doc_id % 10) ||
+                     '</priority></url><url><loc>https://h' ||
+                     (doc_id % 7) || '.org/q' || doc_id ||
+                     '</loc></url></urlset>' AS xml
+              FROM documents
+            ),
+            blocks AS (
+              SELECT src, unnest(regexp_extract_all(
+                       xml, '(?s)<url\\s*>(.*?)</url\\s*>', 1)) AS blk
+              FROM x
+            )
+            SELECT src AS source_sitemap,
+                   'url' AS kind,
+                   nullif(regexp_extract(
+                     blk, '(?s)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>', 1),
+                     '') AS loc,
+                   nullif(regexp_extract(
+                     blk,
+                     '(?s)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod\\s*>', 1),
+                     '') AS lastmod,
+                   TRY_CAST(nullif(regexp_extract(
+                     blk,
+                     '(?s)<priority\\s*>\\s*([^<]*?)\\s*</priority\\s*>',
+                     1), '') AS DOUBLE) AS priority
+            FROM blocks
+            WHERE nullif(regexp_extract(
+                    blk, '(?s)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>', 1),
+                    '') IS NOT NULL
+            ORDER BY loc
         """,
         "epoch_shuffle": """
             -- mirrors operators/packing.epoch_shuffle: rank of
