@@ -1,0 +1,97 @@
+"""robots.txt parsing goldens (RFC 9309 semantics) + the Spark adapter."""
+
+from __future__ import annotations
+
+import pytest
+
+from publicationsretriever_spark.functions.robots import (
+    parse_robots,
+    robots_rules_df,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+BODY = """# global comment
+Sitemap: https://ex.org/sitemap.xml
+
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/
+Disallow:
+Crawl-delay: 10
+
+User-agent: GoodBot
+Disallow: /extra/
+
+Sitemap: https://ex.org/sitemap-news.xml
+"""
+
+
+def test_exact_agent_union_beats_star():
+    r = parse_robots(BODY, "goodbot")
+    assert r["disallow"] == ["/private/", "/extra/"]  # both exact groups
+    assert r["allow"] == ["/private/ok"]
+    assert r["crawl_delay"] == 2.5
+    assert r["sitemaps"] == [
+        "https://ex.org/sitemap.xml",
+        "https://ex.org/sitemap-news.xml",
+    ]
+
+
+def test_star_fallback_and_empty_disallow_noop():
+    r = parse_robots(BODY, "unknownbot")
+    assert r["disallow"] == ["/tmp/"]  # empty Disallow recorded nowhere
+    assert r["crawl_delay"] == 10.0
+
+
+def test_shared_group_feeds_both_exact_and_star():
+    body = "User-agent: a\nUser-agent: *\nDisallow: /x/\n"
+    assert parse_robots(body, "a")["disallow"] == ["/x/"]
+    assert parse_robots(body, "b")["disallow"] == ["/x/"]
+
+
+def test_ua_after_rules_starts_new_group():
+    body = (
+        "User-agent: a\nDisallow: /a/\n"
+        "User-agent: b\nDisallow: /b/\n"
+    )
+    assert parse_robots(body, "a")["disallow"] == ["/a/"]
+    assert parse_robots(body, "b")["disallow"] == ["/b/"]
+
+
+def test_lenient_on_garbage_and_empty():
+    assert parse_robots(None)["disallow"] == []
+    assert parse_robots("")["disallow"] == []
+    r = parse_robots(
+        "nonsense line\nDisallow /noseparator\nCrawl-delay: soon\n"
+        "User-agent: *\nCrawl-delay: nan-ish\nDisallow: /d/\n", "x"
+    )
+    assert r["disallow"] == ["/d/"] and r["crawl_delay"] is None
+
+
+def test_rules_before_any_group_are_ignored():
+    assert parse_robots("Disallow: /early/\nUser-agent: *\nDisallow: /x/\n")[
+        "disallow"
+    ] == ["/x/"]
+
+
+def test_spark_adapter_matches_plain_python(spark):
+    rows = [("ex.org", BODY), ("empty.org", ""), ("none.org", None)]
+    df = spark.createDataFrame(rows, "domain string, body string")
+    got = {
+        r["domain"]: (
+            list(r["disallow"]), list(r["allow"]),
+            r["crawl_delay"], list(r["sitemaps"]),
+        )
+        for r in robots_rules_df(df, agent="GoodBot").collect()
+    }
+    for dom, body in rows:
+        p = parse_robots(body, "GoodBot")
+        assert got[dom] == (
+            p["disallow"], p["allow"], p["crawl_delay"], p["sitemaps"]
+        ), dom
