@@ -232,6 +232,7 @@ class CrawlEngine:
         sharded_threshold: int | None = None,
         use_mla: bool = False,
         mla_gate: "ST.MlaGate | None" = None,
+        robots_df: DataFrame | None = None,
     ):
         self.spark = spark
         self.web = web
@@ -295,8 +296,24 @@ class CrawlEngine:
             self._make_resolver = _BroadcastResolver(
                 spark.sparkContext.broadcast(web.responses)
             )
-        # small dimension tables reused every round: build + cache once
-        self._robots_df = web.robots_df(spark).cache()
+        # small dimension tables reused every round: build + cache once.
+        # robots_df override: production parses raw robots.txt bodies
+        # via functions/robots.robots_rules_df — its optional
+        # crawl_delay column (RFC-era Crawl-delay, seconds) becomes a
+        # per-host override of the POLITENESS_MS clock; absent column
+        # (the synthetic web's default table) = reference behavior.
+        rob = robots_df if robots_df is not None else web.robots_df(spark)
+        if "crawl_delay" in rob.columns:
+            rob = rob.select(
+                "domain", "disallow",
+                F.col("crawl_delay").cast("double").alias("_cdel_s"),
+            )
+        else:
+            rob = rob.select(
+                "domain", "disallow",
+                F.lit(None).cast("double").alias("_cdel_s"),
+            )
+        self._robots_df = rob.cache()
         self._payload_meta = web.payloads_df(spark).select(
             "image_id", F.col("phash").alias("_phash"),
             F.length("bytes").alias("_fsize"),
@@ -389,8 +406,16 @@ class CrawlEngine:
                 out_rows = []
                 for row in pdf.itertuples(index=False):
                     host = row.host or ""
+                    # robots Crawl-delay override (per host, ms);
+                    # nullable long arrives as NaN through pandas
+                    _cd = getattr(row, "crawl_delay_ms", None)
+                    delay_ms = (
+                        POLITENESS_MS
+                        if _cd is None or pd.isnull(_cd)
+                        else int(_cd)
+                    )
                     t = last_fetch_ms.get(host)
-                    planned = 0 if t is None else t + POLITENESS_MS
+                    planned = 0 if t is None else t + delay_ms
                     last_fetch_ms[host] = planned
 
                     max_hops = (
@@ -450,7 +475,7 @@ class CrawlEngine:
                     if _ra:
                         last_fetch_ms[host] = max(
                             last_fetch_ms[host],
-                            planned + _ra - POLITENESS_MS,
+                            planned + _ra - delay_ms,
                         )
                     # handle.net returns 500 where it means 404
                     # (ConnSupportUtils.java:642-645). Keyed on the
@@ -867,6 +892,9 @@ class CrawlEngine:
                 "id", "url", "canon_url", "url_hash",
                 F.col("top3").alias("host"), "host_bucket", "depth", "kind",
                 "fetch_url", "page_final", "structure", "link_phase",
+                (F.col("_cdel_s") * 1000).cast("long").alias(
+                    "crawl_delay_ms"
+                ),
             )
             # no repartition: the quota window already co-located each
             # host; this sort makes the politeness slot order a

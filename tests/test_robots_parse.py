@@ -95,3 +95,49 @@ def test_spark_adapter_matches_plain_python(spark):
         assert got[dom] == (
             p["disallow"], p["allow"], p["crawl_delay"], p["sitemaps"]
         ), dom
+
+
+def test_crawl_delay_overrides_politeness_clock(spark):
+    """A robots table carrying crawl_delay spaces a host's planned
+    fetch slots by its own delay; hosts without one keep the
+    reference's POLITENESS_MS. Absent column = reference behavior
+    (covered by the whole conformance suite)."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.plans.rounds import (
+        POLITENESS_MS,
+        CrawlEngine,
+    )
+    from publicationsretriever_spark.sources.synthetic_web import (
+        SyntheticWeb,
+    )
+
+    web = SyntheticWeb(seed=11, n_hosts=4, pages_per_host_max=8)
+    base = web.robots_df(spark)
+    hosts = sorted(r["domain"] for r in base.select("domain").collect())
+    slow = hosts[0]
+    rob = base.withColumn(
+        "crawl_delay",
+        F.when(F.col("domain") == slow, F.lit(9.0)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
+    state = CrawlEngine(
+        spark, web, num_buckets=4, host_quota=8,
+        record_order=True, robots_df=rob,
+    ).crawl(web.seeds_df(spark), max_rounds=3)
+    rows = state.order_log.collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r["round"], r["host"]), []).append(
+            r["planned_fetch_ms"]
+        )
+    deltas = {}
+    for (rnd, host), slots in per.items():
+        slots = sorted(slots)
+        for a, b in zip(slots, slots[1:]):
+            deltas.setdefault(host, set()).add(b - a)
+    assert slow in deltas, "need >=2 same-round fetches on the slow host"
+    assert deltas[slow] == {9000}
+    others = set().union(*(v for h, v in deltas.items() if h != slow))
+    assert others == {POLITENESS_MS}
