@@ -119,14 +119,21 @@ def wds_shard_plan(
         "shard",
         (F.col("_start") / F.lit(int(shard_max_bytes))).cast("long"),
     )
-    shard_starts = started.groupBy("shard").agg(
-        F.min("_start").alias("_shard_start")
-    )
-    return started.join(F.broadcast(shard_starts), "shard").select(
+    # shard start via a window min over the shard partition: ONE
+    # evaluation of the prefix-sum subtree (a groupBy + join-back
+    # would re-run its shuffles for the aggregate side — measured 11
+    # exchanges vs 5), and a shard's partition is bounded by
+    # shard_max_bytes / min_sample_bytes rows
+    from pyspark.sql import Window
+
+    w_sh = Window.partitionBy("shard")
+    return started.select(
         F.col(id_col),
         F.col("_sz").alias("sample_bytes"),
         F.col("shard"),
-        (F.col("_start") - F.col("_shard_start")).alias("offset_in_tar"),
+        (F.col("_start") - F.min("_start").over(w_sh)).alias(
+            "offset_in_tar"
+        ),
     )
 
 
