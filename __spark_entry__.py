@@ -573,6 +573,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (operators/dedup.
+    incremental_components + apply_component_update): the corpus
+    (doc_id % 5 != 0) carries a PRE-EXISTING assignment from its own
+    pairs; the batch's pairs (>=1 batch end) fold in through the
+    collapsed mapped graph — CC re-runs over O(batch + touched reps)
+    nodes only, the corpus relabels through one broadcast join. The
+    oracle is the FULL-graph transitive closure: incremental must be
+    bit-identical to recomputing from scratch."""
+    from publicationsretriever_spark.operators.dedup import (
+        apply_component_update,
+        connected_components,
+        hamming_neardup_pairs,
+        incremental_components,
+        simhash64,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    sims = simhash64(docs, "text", "doc_id")
+    pairs = hamming_neardup_pairs(
+        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    )
+    is_batch_a = F.col("id_a") % 5 == 0
+    is_batch_b = F.col("id_b") % 5 == 0
+    corpus_pairs = pairs.filter(~is_batch_a & ~is_batch_b)
+    batch_pairs = pairs.filter(is_batch_a | is_batch_b)
+    assign = connected_components(corpus_pairs, "id_a", "id_b")
+    upd = incremental_components(assign, batch_pairs)
+    batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    updated = apply_component_update(assign, batch_ids, upd, "doc_id")
+    # corpus singletons are absent from `assign` (the CC contract):
+    # coalesce them back in for the all-docs output
+    return (
+        docs.select("doc_id")
+        .join(updated.withColumnRenamed("doc_id", "_uid"),
+              F.col("doc_id") == F.col("_uid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_caption_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster metadata resolution (operators/dedup.
     canonicalize_clusters — the caption-vote step of
@@ -1272,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_clusters": q_dedup_incremental_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_phash_hamming": q_dedup_phash_hamming,
@@ -1667,6 +1716,33 @@ def oracle_sql() -> dict[str, str]:
         # quadratic-verified pair list — the Spark side must produce an
         # identical per-document cluster assignment via label
         # propagation.
+        # the incremental path's contract IS full-recompute equality:
+        # same closure oracle as dedup_clusters
+        "dedup_incremental_clusters": _SIMHASH_SQL_CTE.replace(
+            "WITH", "WITH RECURSIVE", 1
+        ) + """
+            , prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id,
+                   coalesce(lab.label, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+            ORDER BY d.doc_id
+        """,
         "dedup_clusters": _SIMHASH_SQL_CTE.replace(
             "WITH", "WITH RECURSIVE", 1
         ) + """

@@ -1097,3 +1097,112 @@ def decontaminate(
             (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def incremental_components(
+    assign: DataFrame,
+    new_pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch's near-dup
+    pairs (batch-batch and batch-corpus, e.g.
+    :func:`incremental_neardup_pairs` output) into an EXISTING
+    cluster assignment without re-running CC over the corpus.
+
+    Key identity: collapsing each existing cluster to its canonical
+    min-id representative preserves connectivity, so CC over the
+    MAPPED edge set — every endpoint replaced by its current cluster
+    id (its own id if unassigned) — yields exactly the full graph's
+    new components. That mapped graph has O(|batch| + touched
+    clusters) nodes, not O(corpus): the 10^10-node assignment is
+    read once in a keyed join and never iterated over.
+
+    Because cluster ids are component-MIN member ids (the
+    :func:`connected_components` contract) and mapping substitutes a
+    cluster's min for its members, the labels that come out are again
+    true min-member ids over the merged components — the incremental
+    result is bit-identical to a full recompute (property-tested).
+
+    Returns (node, cluster_id) over the mapped ids: batch ids and the
+    canonical reps of touched clusters. Feed it to
+    :func:`apply_component_update` for the full updated assignment.
+    """
+    e = new_pairs.select(
+        F.col(src_col).alias("_ea"), F.col(dst_col).alias("_eb")
+    )
+    a1 = assign.select(
+        F.col(node_col).alias("_n1"), F.col(cluster_col).alias("_c1")
+    )
+    a2 = assign.select(
+        F.col(node_col).alias("_n2"), F.col(cluster_col).alias("_c2")
+    )
+    mapped = (
+        e.join(a1, e["_ea"] == a1["_n1"], "left")
+        .join(a2, e["_eb"] == a2["_n2"], "left")
+        .select(
+            F.coalesce(F.col("_c1"), F.col("_ea")).alias("a"),
+            F.coalesce(F.col("_c2"), F.col("_eb")).alias("b"),
+        )
+    )
+    return connected_components(mapped, "a", "b", max_iters)
+
+
+def apply_component_update(
+    assign: DataFrame,
+    batch_ids: DataFrame,
+    update: DataFrame,
+    id_col: str,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Materialize :func:`incremental_components` output as the full
+    updated assignment: corpus rows relabel through the (tiny,
+    broadcast) update keyed on their OLD cluster id; batch rows take
+    their update label or stay singletons. Returns (id_col,
+    cluster_id) for corpus + batch."""
+    upd = F.broadcast(
+        update.select(
+            F.col(node_col).alias("_old"),
+            F.col(cluster_col).alias("_new"),
+        )
+    )
+    corpus = (
+        assign.join(upd, assign[cluster_col] == F.col("_old"), "left")
+        .select(
+            F.col(node_col).alias(id_col),
+            F.coalesce(F.col("_new"), F.col(cluster_col)).alias(
+                cluster_col
+            ),
+        )
+    )
+    batch = (
+        batch_ids.select(id_col)
+        .join(upd, F.col(id_col) == F.col("_old"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_new"), F.col(id_col)).alias(cluster_col),
+        )
+    )
+    # corpus SINGLETONS touched by a batch pair: absent from `assign`
+    # (the CC contract omits singletons) and not batch ids, yet they
+    # appear in `update` mapped as their own rep — without this branch
+    # they silently keep their singleton label (caught by the
+    # full-recompute oracle). Both anti-joins are keyed with the tiny
+    # update frame as the probe side.
+    singles = (
+        update.select(
+            F.col(node_col).alias(id_col),
+            F.col(cluster_col).alias(cluster_col),
+        )
+        .join(
+            assign.select(F.col(node_col).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+        .join(batch_ids.select(id_col), id_col, "left_anti")
+    )
+    return corpus.unionByName(batch).unionByName(singles)

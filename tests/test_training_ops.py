@@ -2133,3 +2133,73 @@ def test_aspect_batch_hash_layout_string_ids(spark):
     )
     for r in naive.collect():
         assert got[r["image_id"]] == (r["bucket_idx"], r["rk"], r["rk"] // 4)
+
+
+# ------------------------------------------------------------ incremental CC
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """The hard case: a batch node BRIDGES two existing corpus
+    clusters, plus batch-batch chains — the incremental path must
+    produce exactly the labels of a full CC over the union graph."""
+    from publicationsretriever_spark.operators.dedup import (
+        apply_component_update,
+        connected_components,
+        incremental_components,
+    )
+
+    # 40 is a corpus SINGLETON (no corpus pair) pulled in by a batch
+    # pair - the case the oracle caught: it is absent from `assign`
+    corpus_pairs = [(10, 11), (11, 12), (15, 16), (18, 19)]
+    batch_pairs = [(1, 11), (1, 16), (2, 3), (3, 12), (7, 7), (2, 40)]
+    cp = spark.createDataFrame(corpus_pairs, ["id_a", "id_b"])
+    bp = spark.createDataFrame(batch_pairs, ["id_a", "id_b"])
+    assign = connected_components(cp, "id_a", "id_b")
+
+    batch_ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7)], ["doc_id"]
+    )
+    upd = incremental_components(assign, bp)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in apply_component_update(
+            assign, batch_ids, upd, "doc_id"
+        ).collect()
+    }
+    full = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            cp.unionByName(bp), "id_a", "id_b"
+        ).collect()
+    }
+    for n, lbl in got.items():
+        assert lbl == full.get(n, n), (n, lbl, full.get(n))
+    # every full-graph node is covered by corpus-assign + batch ids
+    covered = set(got)
+    assert {n for n in full} <= covered | {10}  # 10 in corpus assign
+    # bridged: 1,2,3,10..12,15,16 all collapse to min=1
+    for n in (1, 2, 3, 11, 12, 15, 16):
+        assert got[n] == 1, (n, got[n])
+    assert got[7] == 7  # self-loop batch node stays singleton
+    assert got[18] == 18 and got[19] == 18  # untouched cluster intact
+    assert got[40] == 1  # corpus singleton joined the merged cluster
+
+
+def test_incremental_components_small_graph_only(spark):
+    """Scale contract: the CC iteration runs over the MAPPED graph —
+    its node set is batch ids + touched cluster reps, never corpus
+    members. With a 3-cluster corpus and one touching pair, the
+    update table has exactly the touched rep + the batch id."""
+    from publicationsretriever_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    cp = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31)], ["id_a", "id_b"]
+    )
+    assign = connected_components(cp, "id_a", "id_b")
+    bp = spark.createDataFrame([(5, 21)], ["id_a", "id_b"])
+    upd = incremental_components(assign, bp)
+    rows = {(r["node"], r["cluster_id"]) for r in upd.collect()}
+    assert rows == {(5, 5), (20, 5)}  # rep 20 remaps; 10/30 untouched
