@@ -1218,6 +1218,27 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (residual) IVF-PQ ANN: same pruning as ann_ivfpq_topk
+    but the shared PQ codebook is trained on per-cell residuals
+    r = x - centroid(x) and the stored payload is
+    centroid + recon(residual) (operators/similarity.ivfpq_topk with
+    residual=True; Jégou et al. TPAMI'11). Residual magnitudes span
+    only the within-cell spread, so the same m x n_codes budget
+    quantizes finer — the production IVF-PQ form."""
+    from publicationsretriever_spark.operators.similarity import ivfpq_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivfpq_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4, m=4, n_codes=16,
+        refine_iters=1, residual=True,
+    ).orderBy("query_id", "rank")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
     exact cosine verify (operators/similarity.embedding_neardup_pairs).
@@ -1353,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "embedding_stats": q_embedding_stats,
@@ -2954,6 +2976,173 @@ def oracle_sql() -> dict[str, str]:
               FROM assign a
               JOIN probe p USING (cell_id)
               JOIN recon r ON r.vec_id = a.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, adc_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_ivfpq_residual_topk": f"""
+            -- mirrors operators/similarity.ivfpq_topk(residual=True)
+            -- (IVFADC): the ann_ivfpq_topk coarse quantizer prunes to
+            -- nprobe=4 cells, but the PQ codebooks (m=4 x 16 codes,
+            -- one Lloyd pass) are trained on RESIDUALS
+            -- r = x - centroid(x) and candidates are scored against
+            -- centroid + recon(residual).
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 16
+            ),
+            samp AS (
+              SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 256
+            ),
+            -- IVF coarse quantizer (identical to ann_ivfpq_topk) --
+            cent0 AS (
+              SELECT vec_id AS cell_id, embedding AS cv FROM base
+            ),
+            sassign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT s.vec_id, s.embedding, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY {_cos6('s.embedding', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM samp s CROSS JOIN cent0 c) t
+              WHERE rn = 1
+            ),
+            cmeans AS (
+              SELECT cell_id, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+              FROM sassign, range(1, 65) t(i)
+              GROUP BY cell_id, i
+            ),
+            cent1 AS (
+              SELECT cell_id, list(mv ORDER BY i) AS cv
+              FROM cmeans GROUP BY cell_id
+            ),
+            cent AS (
+              SELECT c0.cell_id,
+                     COALESCE(c1.cv,
+                              list_transform(c0.cv, x -> CAST(x AS DOUBLE))) AS cv
+              FROM cent0 c0 LEFT JOIN cent1 c1 USING (cell_id)
+            ),
+            assign AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY {_cos6('v.embedding', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM embeddings v CROSS JOIN cent c) t
+              WHERE rn = 1
+            ),
+            -- residuals: r = x - centroid(x), already DOUBLE --
+            resid AS (
+              SELECT v.vec_id, a.cell_id,
+                     list_transform(list_zip(v.embedding, c.cv),
+                       x -> CAST(x[1] AS DOUBLE) - x[2]) AS rv
+              FROM embeddings v
+              JOIN assign a USING (vec_id)
+              JOIN cent c USING (cell_id)
+            ),
+            -- PQ codebooks trained on residual slices --
+            subs AS (SELECT CAST(i AS INT) AS sub_id FROM range(0, 4) t(i)),
+            rbase AS (
+              SELECT vec_id, rv FROM resid ORDER BY vec_id ASC LIMIT 16
+            ),
+            rsamp AS (
+              SELECT vec_id, rv FROM resid ORDER BY vec_id ASC LIMIT 256
+            ),
+            pcb0 AS (
+              SELECT s.sub_id, b.vec_id AS code_id,
+                     b.rv[s.sub_id*16 + 1 : s.sub_id*16 + 16] AS cw
+              FROM rbase b CROSS JOIN subs s
+            ),
+            psslice AS (
+              SELECT s.vec_id, b.sub_id,
+                     s.rv[b.sub_id*16 + 1 : b.sub_id*16 + 16] AS sv
+              FROM rsamp s CROSS JOIN subs b
+            ),
+            psassign AS (
+              SELECT sub_id, vec_id, sv, code_id FROM (
+                SELECT t.sub_id, t.vec_id, t.sv, c.code_id,
+                       row_number() OVER (
+                         PARTITION BY t.sub_id, t.vec_id
+                         ORDER BY {_l2sq6('t.sv', 'c.cw')} ASC,
+                                  c.code_id ASC) AS rn
+                FROM psslice t JOIN pcb0 c USING (sub_id)) z
+              WHERE rn = 1
+            ),
+            pcmeans AS (
+              SELECT sub_id, code_id, i, avg(sv[i]) AS mv
+              FROM psassign, range(1, 17) t(i)
+              GROUP BY sub_id, code_id, i
+            ),
+            pcb1 AS (
+              SELECT sub_id, code_id, list(mv ORDER BY i) AS cw
+              FROM pcmeans GROUP BY sub_id, code_id
+            ),
+            pcb AS (
+              SELECT c0.sub_id, c0.code_id, COALESCE(c1.cw, c0.cw) AS cw
+              FROM pcb0 c0 LEFT JOIN pcb1 c1 USING (sub_id, code_id)
+            ),
+            pvslice AS (
+              SELECT r.vec_id, b.sub_id,
+                     r.rv[b.sub_id*16 + 1 : b.sub_id*16 + 16] AS sv
+              FROM resid r CROSS JOIN subs b
+            ),
+            passign AS (
+              SELECT vec_id, sub_id, cw FROM (
+                SELECT t.vec_id, t.sub_id, c.cw,
+                       row_number() OVER (
+                         PARTITION BY t.vec_id, t.sub_id
+                         ORDER BY {_l2sq6('t.sv', 'c.cw')} ASC,
+                                  c.code_id ASC) AS rn
+                FROM pvslice t JOIN pcb c USING (sub_id)) z
+              WHERE rn = 1
+            ),
+            precon AS (
+              SELECT vec_id, flatten(list(cw ORDER BY sub_id)) AS rv
+              FROM passign GROUP BY vec_id
+            ),
+            -- full reconstruction: centroid + recon(residual) --
+            recon AS (
+              SELECT a.vec_id, a.cell_id,
+                     list_transform(list_zip(c.cv, pr.rv),
+                       x -> x[1] + x[2]) AS rv
+              FROM assign a
+              JOIN cent c USING (cell_id)
+              JOIN precon pr ON pr.vec_id = a.vec_id
+            ),
+            -- probe + ADC scoring --
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            probe AS (
+              SELECT query_id, qv, cell_id FROM (
+                SELECT q.query_id, q.qv, c.cell_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_cos6('q.qv', 'c.cv')} DESC,
+                                  c.cell_id ASC) AS rn
+                FROM q CROSS JOIN cent c) t
+              WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT p.query_id, r.vec_id,
+                     round(list_sum(list_transform(list_zip(r.rv, p.qv),
+                             x -> x[1] * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(r.rv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(p.qv,
+                            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                       6) AS adc_sim
+              FROM recon r
+              JOIN probe p USING (cell_id)
             ),
             ranked AS (
               SELECT query_id, vec_id, adc_sim,

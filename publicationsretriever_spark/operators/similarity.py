@@ -904,30 +904,74 @@ def build_ivfpq_index(
     refine_iters: int = 1,
     sample_n: int = 256,
     materialize: bool = False,
+    residual: bool = False,
 ) -> IvfPqIndex:
     """Train the IVF coarse quantizer and the PQ codebooks (both
     driver-side Lloyd over the same bounded deterministic sample
     recipe), then build the compressed inverted list in one pass: cell
     assignment uses the RAW vector (full precision where it matters —
     routing), the stored payload is the PQ reconstruction + its norm.
-    This is the flat-quantizer IVF-PQ variant (codewords trained on
-    raw slices, not per-cell residuals): residual training couples the
-    codebook to the cell and needs per-cell codebooks at this n_cells —
-    the flat form keeps ONE broadcastable codebook table and stays
-    ANSI-SQL-expressible for the oracle."""
+
+    ``residual=False`` (the flat variant): codewords are trained on
+    raw vector slices. ``residual=True`` is classic IVFADC (Jégou et
+    al., TPAMI'11): ONE shared codebook is trained on the residuals
+    ``r = x - centroid(x)`` and the stored payload is
+    ``centroid + recon(residual)``. Residual magnitudes span only the
+    within-cell spread, so the same m x n_codes budget quantizes far
+    finer — on clustered data flat PQ collapses every cell member to
+    near the cell center while the residual form keeps within-cell
+    order (see test_ivfpq_residual_beats_flat_on_clusters). The
+    codebook stays a single broadcastable literal (residual training
+    does NOT need per-cell codebooks) and every step remains
+    ANSI-SQL-expressible for the oracle: residual = zip_with(x, cv,
+    '-') after assignment, reconstruction = zip_with(cv, recon, '+').
+    The residual build pins the assignment (the residual pass and the
+    inverted-list build both consume it) and materializes eagerly so
+    the pin can be dropped before returning."""
     from pyspark import StorageLevel
 
     cent = ivf_centroids(
         vectors, vec_col, id_col, n_cells,
         refine_iters=nprobe_refine_iters, sample_n=sample_n,
     )
+    assigned = ivf_assign(vectors, cent, vec_col, id_col)
+    if residual:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        resid = assigned.join(F.broadcast(cent), "cell_id").select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("_cv"),
+                lambda x, y: x.cast("double") - y,
+            ).alias(vec_col),
+        )
+        cbs = pq_codebooks(
+            resid, vec_col, id_col, m=m, n_codes=n_codes,
+            refine_iters=refine_iters, sample_n=sample_n,
+        )
+        rrec = pq_reconstruct_fused(resid, cbs, m, vec_col, id_col)
+        inv = (
+            assigned.select(id_col, "cell_id")
+            .join(rrec, id_col)
+            .join(F.broadcast(cent), "cell_id")
+            .select(
+                "cell_id", id_col,
+                F.zip_with(
+                    F.col("_cv"), F.col("recon"), lambda x, y: x + y
+                ).alias("recon"),
+            )
+            .withColumn("_n", l2_norm(F.col("recon")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        inv.count()  # eager: safe to drop the assignment pin below
+        assigned.unpersist()
+        return IvfPqIndex(cent, inv, id_col)
     cbs = pq_codebooks(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
     )
     recon = pq_reconstruct_fused(vectors, cbs, m, vec_col, id_col)
     inv = (
-        ivf_assign(vectors, cent, vec_col, id_col)
+        assigned
         .select(id_col, "cell_id")
         .join(recon, id_col)
         .withColumn("_n", l2_norm(F.col("recon")))
@@ -951,6 +995,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     refine_iters: int = 1,
     sample_n: int = 256,
+    residual: bool = False,
 ) -> DataFrame:
     """One-shot IVF-PQ ANN (build_ivfpq_index + topk): candidates are
     pruned to the query's nprobe nearest cells AND scored against the
@@ -959,11 +1004,13 @@ def ivfpq_topk(
     nprobe == n_cells the pruning is a no-op and the result is
     row-identical to pq_topk (equivalence-tested); recall < 1 twice
     over otherwise (probe misses + quantization), traded via nprobe
-    and m/n_codes. Ties broken by id."""
+    and m/n_codes. ``residual=True`` selects the IVFADC form (codes on
+    per-cell residuals — see build_ivfpq_index). Ties broken by id."""
     ix = build_ivfpq_index(
         vectors, vec_col, id_col, n_cells,
         nprobe_refine_iters=refine_iters, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
+        residual=residual,
     )
     out = ix.topk(queries, vec_col, query_id_col, k=k, nprobe=nprobe)
     ix.inverted.unpersist()
