@@ -1239,6 +1239,23 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization ANN (operators/similarity.sq_topk):
+    per-dimension (min, max) trained in one map-side pass, corpus
+    scored through its quantize->dequantize image (1 byte/coord at
+    rest — a fixed 4x scan cut with NO codebook join), asymmetric
+    cosine vs the exact query. The third compression lever next to
+    IVF (read fewer rows) and PQ (16-64x bytes via codebook)."""
+    from publicationsretriever_spark.operators.similarity import sq_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sq_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
     exact cosine verify (operators/similarity.embedding_neardup_pairs).
@@ -1375,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_sq_topk": q_ann_sq_topk,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "embedding_stats": q_embedding_stats,
@@ -2984,6 +3002,56 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_sq_topk": """
+            -- mirrors operators/similarity.sq_topk: per-dimension
+            -- (min, max) over the corpus, code = round((x - mn) * 255
+            -- / span) clamped (constant dims -> 0), score = cosine of
+            -- the exact query vs mn + code * span / 255, @6dp.
+            WITH dims AS (
+              SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)
+            ),
+            stats AS (
+              SELECT d.i,
+                     min(CAST(v.embedding[d.i] AS DOUBLE)) AS mn,
+                     max(CAST(v.embedding[d.i] AS DOUBLE)) AS mx
+              FROM embeddings v CROSS JOIN dims d
+              GROUP BY d.i
+            ),
+            deq AS (
+              SELECT v.vec_id,
+                     list(CASE WHEN s.mx = s.mn THEN s.mn
+                          ELSE s.mn +
+                            least(255, greatest(0,
+                              CAST(round((CAST(v.embedding[s.i] AS DOUBLE)
+                                - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)))
+                            * (s.mx - s.mn) / 255.0
+                          END ORDER BY s.i) AS dv
+              FROM embeddings v CROSS JOIN stats s
+              GROUP BY v.vec_id
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            scored AS (
+              SELECT q.query_id, d.vec_id,
+                     round(list_sum(list_transform(list_zip(d.dv, q.qv),
+                             x -> x[1] * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(d.dv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(q.qv,
+                            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                       6) AS sq_sim
+              FROM deq d CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sq_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sq_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sq_sim
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "ann_ivfpq_residual_topk": f"""

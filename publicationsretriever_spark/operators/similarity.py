@@ -1017,6 +1017,148 @@ def ivfpq_topk(
     return out
 
 
+def sq_stats(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the training step of
+    int8 scalar quantization (SQ8, the FAISS ScalarQuantizer /
+    vector-DB default). ONE map-side pass: 2*dim agg columns combine
+    partially per partition, the driver receives a single row — no
+    shuffle of vectors, no explode (an explode would multiply the scan
+    by dim). min/max are order-insensitive, so the result is exact and
+    engine-independent (what keeps the operator oracle-checkable)."""
+    row = vectors.select(
+        F.first(F.size(F.col(vec_col))).alias("d")
+    ).head()
+    dim = int(row["d"]) if row is not None and row["d"] is not None else 0
+    if dim == 0:
+        raise ValueError("empty corpus or null vectors")
+    aggs = []
+    for i in range(dim):
+        x = F.get(F.col(vec_col), i).cast("double")
+        aggs.append(F.min(x).alias(f"_mn{i}"))
+        aggs.append(F.max(x).alias(f"_mx{i}"))
+    r = vectors.agg(*aggs).head()
+    mins = [float(r[f"_mn{i}"]) for i in range(dim)]
+    maxs = [float(r[f"_mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def _sq_code(x: Column, mn: Column, mx: Column) -> Column:
+    """code = round((x - mn) * 255 / (mx - mn)) clamped to [0, 255];
+    constant dimensions (mx == mn) code to 0. HALF_UP round — the
+    argument is non-negative, so Spark's F.round and DuckDB's
+    half-away-from-zero round() agree."""
+    span = mx - mn
+    return F.when(span == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(255).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round(
+                    (x.cast("double") - mn) * F.lit(255.0) / span, 0
+                ).cast("long"),
+            ),
+        )
+    )
+
+
+def sq_encode(
+    vectors: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to dim uint8 codes (stored as array<long>
+    here; a 100 TB deployment writes them as BINARY — 1 byte/coord,
+    a 4x scan cut vs float32 and the dequantized scan needs no
+    codebook join at all, unlike PQ). Pure per-row projection: no
+    shuffle, stays inside whole-stage codegen."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    return vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: _sq_code(x, F.get(mn, i), F.get(mx, i)),
+        ).alias("codes"),
+    )
+
+
+def sq_dequantize(
+    codes: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reconstruct: x' = mn + code * (mx - mn) / 255 per dimension —
+    the asymmetric-scoring payload (query stays exact)."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    return codes.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.get(mn, i)
+            + c * (F.get(mx, i) - F.get(mn, i)) / F.lit(255.0),
+        ).alias("dv"),
+    )
+
+
+def sq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Int8 scalar-quantization ANN top-k: train per-dimension
+    (min, max) in one map-side pass, score queries by asymmetric
+    cosine — exact query vs the quantize->dequantize image of the
+    corpus vector, fused into ONE projection (encode and dequantize
+    never materialize separately; at 100 TB the encoded table is what
+    persists and this scan reads 1 byte/coord). Third compression
+    lever next to IVF (rows) and PQ (bytes via codebook): SQ costs no
+    codebook join and keeps per-dimension resolution, at a fixed 4x
+    (not 16-64x) byte cut. Quantization error <= span/510 per
+    dimension, so recall degrades gracefully; ties broken by id."""
+    mins, maxs = sq_stats(vectors, vec_col, id_col)
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    deq = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.get(mn, i)
+            + _sq_code(x, F.get(mn, i), F.get(mx, i))
+            * (F.get(mx, i) - F.get(mn, i)) / F.lit(255.0),
+        ).alias("dv"),
+    ).withColumn("_n", l2_norm(F.col("dv")))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    scored = deq.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            dot(F.col("dv"), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
+            6,
+        ).alias("sq_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sq_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "sq_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

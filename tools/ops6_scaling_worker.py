@@ -96,9 +96,17 @@ def main() -> None:
         ),
     )
     # fetch history: ~16 fetches per URL, hash-derived outcome mix and
-    # minute-spaced timestamps — all JVM-side projections of doc_id
-    n_urls = max(64, n_rows2 // 16)
-    hist = rows2.select(
+    # minute-spaced timestamps — all JVM-side projections of doc_id.
+    # 256x rows: recrawl_schedule is one url_id hash exchange over
+    # 4 slim columns — at 64x rows its 4N wall (~1.7s) was ~30%
+    # scheduler floor and the ratio measured Spark overhead, not the
+    # operator (same floor-vs-slope reading as wdsplan's 512x)
+    n_rows_r = n_docs * 256
+    rows_r = spark.range(0, n_rows_r, 1, 32).select(
+        F.col("id").alias("doc_id")
+    )
+    n_urls = max(64, n_rows_r // 16)
+    hist = rows_r.select(
         (F.col("doc_id") % n_urls).alias("url_id"),
         F.timestamp_add(
             "MINUTE",
