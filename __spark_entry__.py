@@ -1256,6 +1256,43 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit Hamming ANN (operators/similarity.binary_topk): per-dim
+    midrange threshold from the order-insensitive min/max pass, sign
+    bits packed 63/long, rank by sum(bit_count(xor)) asc. The 32x
+    compression rung of the ladder (binary < PQ < SQ8 < float); the
+    oracle counts sign-disagreeing dims directly, so parity also
+    proves the bit packing."""
+    from publicationsretriever_spark.operators.similarity import binary_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return binary_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncate-then-rerank (operators/similarity.
+    mrl_rerank_topk): coarse cosine over the first 16 dims -> top-32
+    candidates -> exact full-dim rerank. Both stages round @6dp with
+    id tie-breaks so the CANDIDATE SET is engine-independent, not
+    just the final order."""
+    from publicationsretriever_spark.operators.similarity import (
+        mrl_rerank_topk,
+    )
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return mrl_rerank_topk(
+        emb, queries, d_prime=16, candidates=32, k=5
+    ).orderBy("query_id", "rank")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
     exact cosine verify (operators/similarity.embedding_neardup_pairs).
@@ -1393,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_binary_topk": q_ann_binary_topk,
+        "ann_mrl_topk": q_ann_mrl_topk,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "embedding_stats": q_embedding_stats,
@@ -3052,6 +3091,101 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sq_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_binary_topk": """
+            -- mirrors operators/similarity.binary_topk: per-dim
+            -- midrange (mn+mx)/2 threshold, Hamming = #dims whose
+            -- sign bit disagrees (the Spark side packs 63 bits/long
+            -- and bit_count(xor)s — equal counts prove the packing),
+            -- rank asc with id tie-break.
+            WITH dims AS (
+              SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)
+            ),
+            stats AS (
+              SELECT d.i,
+                     (min(CAST(v.embedding[d.i] AS DOUBLE))
+                      + max(CAST(v.embedding[d.i] AS DOUBLE))) / 2.0
+                       AS mid
+              FROM embeddings v CROSS JOIN dims d
+              GROUP BY d.i
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            scored AS (
+              SELECT q.query_id, v.vec_id,
+                     sum(CASE WHEN
+                           (CAST(v.embedding[s.i] AS DOUBLE) > s.mid)
+                           != (CAST(q.qv[s.i] AS DOUBLE) > s.mid)
+                         THEN 1 ELSE 0 END) AS hamming
+              FROM embeddings v CROSS JOIN q CROSS JOIN stats s
+              GROUP BY q.query_id, v.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, hamming,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_mrl_topk": """
+            -- mirrors operators/similarity.mrl_rerank_topk: coarse
+            -- cosine over dims 1..16 (@6dp, id tie-break) -> top-32
+            -- candidates -> exact full-dim cosine rerank (@6dp).
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            coarse AS (
+              SELECT q.query_id, v.vec_id,
+                     round(list_sum(list_transform(
+                             list_zip(v.embedding[1:16], q.qv[1:16]),
+                             x -> CAST(x[1] AS DOUBLE)
+                               * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(
+                             v.embedding[1:16],
+                             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(
+                             q.qv[1:16],
+                             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                       6) AS c
+              FROM embeddings v CROSS JOIN q
+            ),
+            cand AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY c DESC, vec_id ASC) AS cr
+                FROM coarse
+              ) WHERE cr <= 32
+            ),
+            rescored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_sum(list_transform(
+                             list_zip(v.embedding, q.qv),
+                             x -> CAST(x[1] AS DOUBLE)
+                               * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(v.embedding,
+                             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qv,
+                             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                       6) AS cos_sim
+              FROM cand c
+              JOIN embeddings v ON v.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM rescored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "ann_ivfpq_residual_topk": f"""

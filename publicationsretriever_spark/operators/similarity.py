@@ -1159,6 +1159,156 @@ def sq_topk(
     )
 
 
+def binarize(
+    vectors: DataFrame,
+    thresholds: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Sign-bit binarization: bit_i = (x_i > t_i), packed 63 bits per
+    signed long (bit 63 unused — packing stays in non-negative long
+    territory, no sign gymnastics). dim-d vectors become
+    ceil(d/63) longs: 1 bit/coord, a 32x byte cut vs float32 — the
+    cheapest rung of the compression ladder (binary < PQ < SQ8 <
+    float). The pack is a static per-word expression tree (dim known
+    up front), pure projection, whole-stage codegen, no shuffle. For
+    dims in the thousands the when-chain grows the plan — chunk the
+    projection through intermediate columns if Janino complains
+    (same pattern as functions/urls.with_special_rewrite)."""
+    dim = len(thresholds)
+    n_words = (dim + 62) // 63
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for j in range(63):
+            i = w * 63 + j
+            if i >= dim:
+                break
+            bit = F.get(F.col(vec_col), i).cast("double") > F.lit(
+                float(thresholds[i])
+            )
+            acc = acc + F.when(bit, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        words.append(acc)
+    return vectors.select(F.col(id_col), F.array(*words).alias(out_col))
+
+
+def binary_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """1-bit Hamming ANN: threshold each dimension at its midrange
+    (mn+mx)/2 — midrange is built from the order-insensitive sq_stats
+    min/max pass, so the threshold is bit-identical across engines
+    (a float MEAN would not be: its value depends on summation order)
+    — pack sign bits 63/long, rank by Hamming distance
+    sum(bit_count(xor)) ascending, ties by id. At 100 TB the
+    persisted code table is 1 bit/coord and the scan is d/63
+    bit_count(xor) longs per row — the standard first stage of a
+    binary-coarse -> exact-rerank ladder (mrl_rerank_topk is the
+    prefix-dim flavor of the same ladder). Hamming on midrange sign
+    bits approximates angular distance (Charikar 2002 sign-LSH, here
+    with ALL dims as planes instead of a sampled few)."""
+    mins, maxs = sq_stats(vectors, vec_col, id_col)
+    mids = [(a + b) / 2.0 for a, b in zip(mins, maxs)]
+    codes = binarize(vectors, mids, vec_col, id_col)
+    qcodes = binarize(
+        queries, mids, vec_col, query_id_col, out_col="_qc"
+    )
+    scored = codes.crossJoin(F.broadcast(qcodes)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("_qc"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "hamming")
+    )
+
+
+def mrl_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    d_prime: int = 16,
+    candidates: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka truncate-then-rerank ANN (Kusupati et al. 2022):
+    coarse-rank every row by cosine over the FIRST d_prime dimensions
+    (MRL-trained embeddings front-load information, so a prefix is a
+    valid low-d embedding), keep top `candidates` per query, then
+    exact full-dim cosine only on those. At 100 TB the coarse scan
+    reads a d_prime-dim prefix column (store it as its own parquet
+    column — column pruning then skips the full vector entirely) and
+    the rerank fetches full vectors for #queries*candidates rows via
+    a broadcast semi-join: the big table never shuffles in either
+    stage. Both stages round @6dp before ranking with id tie-breaks,
+    so the candidate set — not just the final order — is deterministic
+    and engine-independent."""
+    prefix_q = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, d_prime).alias("_qp"),
+        F.col(vec_col).alias("_qv"),
+    )
+    coarse = vectors.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, d_prime).alias("_vp")
+    ).crossJoin(
+        F.broadcast(prefix_q.select(query_id_col, "_qp"))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_vp"), F.col("_qp")), 6).alias("_coarse"),
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("_coarse").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        coarse.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= candidates)
+        .select(query_id_col, id_col)
+    )
+    # semi-join fetch: candidates are tiny (#queries * candidates),
+    # broadcast them INTO the vectors scan — no shuffle of the corpus
+    full = vectors.join(F.broadcast(cand), on=id_col)
+    rescored = full.join(
+        F.broadcast(prefix_q.select(query_id_col, "_qv")),
+        on=query_id_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -88,6 +88,26 @@ def main() -> None:
                 emb, queries, k=k, n_cells=16, nprobe=8, m=8,
                 n_codes=16, refine_iters=1, residual=True,
             ),
+        # SQ8 scans every row (no candidate pruning) through a
+        # 1-byte/coord quantize->dequantize image: error <= span/510
+        # per dim, so recall should sit at/near 1.0 — the high-recall
+        # fixed-4x-compression end of the trade curve
+        "sq_topk(int8 per-dim)": lambda: S.sq_topk(emb, queries, k=k),
+        # 1 bit/dim full-scan Hamming: the 32x-compression rung —
+        # recall floor on isotropic data, distances collapse to a
+        # narrow band around d/2
+        "binary_topk(1-bit midrange)": lambda: S.binary_topk(
+            emb, queries, k=k
+        ),
+        # Matryoshka prefix coarse -> exact rerank: recall is bounded
+        # by whether the true top-k survive the prefix gate; the d'
+        # knob must buy recall
+        "mrl_rerank_topk(d'=16, C=32)": lambda: S.mrl_rerank_topk(
+            emb, queries, d_prime=16, candidates=32, k=k
+        ),
+        "mrl_rerank_topk(d'=32, C=32)": lambda: S.mrl_rerank_topk(
+            emb, queries, d_prime=32, candidates=32, k=k
+        ),
     }
     rows = {}
     for name, fn in variants.items():
@@ -129,7 +149,16 @@ def main() -> None:
         "the residual form is bit-exact), but on THIS isotropic corpus "
         "the cells barely shrink the residual spread, so flat and "
         "residual sit within noise of each other at m=4 and residual "
-        "pulls ahead only at m=8."
+        "pulls ahead only at m=8. The sq_topk row is the opposite end "
+        "of the trade: full scan, fixed 4x compression, per-dim error "
+        "<= span/510 — its recall is the quality ceiling a compressed "
+        "representation can hold. binary_topk is the 1-bit/32x rung: "
+        "on isotropic data Hamming distances collapse into a narrow "
+        "band around d/2, so its floor is the lowest — production use "
+        "is as the coarse stage of a rerank ladder, not standalone. "
+        "mrl_rerank_topk's d' knob is the ladder in prefix-dim form: "
+        "recall must rise with d' (here 16 -> 32 dims) or the prefix "
+        "gate is broken."
     )
     lines.append("")
     lines.append("| variant | recall@k | min per-query |")
