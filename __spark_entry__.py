@@ -740,6 +740,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (operators/search.bm25_topk):
+    query vocabulary broadcast-semi-joins the exploded token stream
+    BEFORE any shuffle, so only matched (doc, term) pairs exchange;
+    N and avgdl come from one bounded single-row collect with an
+    integer-sum numerator (engine-exact). Scores @6dp, doc-id
+    tie-breaks."""
+    from publicationsretriever_spark.operators.search import bm25_topk
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    queries = spark.createDataFrame(
+        [
+            (0, "spark hash join"),
+            (1, "window agg scan"),
+            (2, "customer order query"),
+        ],
+        "query_id long, query string",
+    )
+    return bm25_topk(docs, queries, k=5).orderBy("query_id", "rank")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID marker-word vote (operators/textstats.lang_id)."""
     from publicationsretriever_spark.operators import textstats as TS
@@ -1405,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_quality": q_repetition_quality,
         "text_quality": q_text_quality,
+        "bm25_search": q_bm25_search,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
