@@ -2056,6 +2056,77 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(stopword_ratio > 0.01 AS INT)) / 3.0, 6) AS quality
             FROM m ORDER BY doc_id
         """,
+        "bm25_search": """
+            -- mirrors operators/search.bm25_topk: Okapi BM25 with
+            -- idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75,
+            -- distinct query terms, @6dp, doc-id tie-breaks. Every
+            -- arithmetic chain is anchored in DOUBLE (DuckDB bare
+            -- decimal literals are DECIMAL-typed) and mirrors the
+            -- Spark expression's association order.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t != '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM toks
+            ),
+            q(query_id, query) AS (
+              VALUES (CAST(0 AS BIGINT), 'spark hash join'),
+                     (CAST(1 AS BIGINT), 'window agg scan'),
+                     (CAST(2 AS BIGINT), 'customer order query')
+            ),
+            qterms AS (
+              SELECT query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(query), '[^a-z0-9]+'),
+                       t -> t != ''))) AS term
+              FROM q
+            ),
+            posting AS (
+              SELECT t.doc_id, len(t.toks) AS dl, u.term
+              FROM toks t, unnest(t.toks) AS u(term)
+              WHERE u.term IN (SELECT DISTINCT term FROM qterms)
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+              FROM posting GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ),
+            scores AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5)
+                                / (CAST(d.df AS DOUBLE) + 0.5))
+                       * ((CAST(tf.tf AS DOUBLE)
+                           * (CAST(1.2 AS DOUBLE) + 1.0))
+                          / (CAST(tf.tf AS DOUBLE)
+                             + CAST(1.2 AS DOUBLE)
+                               * ((1.0 - CAST(0.75 AS DOUBLE))
+                                  + CAST(0.75 AS DOUBLE) * tf.dl
+                                    / s.avgdl)))
+                     ), 6) AS bm25
+              FROM tf
+              JOIN dfreq d USING (term)
+              JOIN qterms qt USING (term)
+              CROSS JOIN stats s
+              GROUP BY qt.query_id, tf.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM scores
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "lang_id": """
             WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
             sc AS (
