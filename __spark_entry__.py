@@ -412,6 +412,27 @@ def q_dup_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority scoring for frontier prioritization
+    (operators/graph.pagerank): 3 fixed iterations, damping 0.85,
+    over a deterministic 37-host link graph projected from lineitem
+    (src = l_suppkey mod 37, dst = l_partkey mod 37; 60k multi-edges).
+    Iterates are rounded @9dp so both engines advance from identical
+    inputs each round — at ~1600 float contributions per node a 12dp
+    boundary would sit inside cross-engine summation-order noise."""
+    from publicationsretriever_spark.operators.graph import pagerank
+
+    _load(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % 37).alias("src"),
+        (F.col("l_partkey") % 37).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85, iter_round=9).orderBy(
+        "node"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30min starts a new session (window lag +
     running sum) — the round/batch barrier analog on the event stream."""
@@ -1462,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dup_log": q_dup_log,
+        "host_pagerank": q_host_pagerank,
         "sessionize": q_sessionize,
         "tumbling_agg": q_tumbling_agg,
     }
@@ -3537,6 +3559,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, count(*) AS times
             FROM events GROUP BY user_id, event_type
             HAVING count(*) > 1 ORDER BY user_id, event_type
+        """,
+        "host_pagerank": """
+            -- mirrors operators/graph.pagerank iters=3 d=0.85
+            -- iter_round=9: rank_0 = 1/N, rank_{i+1}(v) = (1-d)/N
+            -- + d * sum(rank_i(u)/out_deg(u)), each iterate rounded
+            -- @9dp, final @6dp; dangling mass leaks (documented).
+            WITH edges AS (
+              SELECT l_suppkey % 37 AS src, l_partkey % 37 AS dst
+              FROM lineitem
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              )
+            ),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            outd AS (
+              SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+            ),
+            r0 AS (
+              SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+              FROM nodes CROSS JOIN nn
+            ),
+            c1 AS (
+              SELECT e.dst AS node, sum(r.pr / o.deg) AS s
+              FROM edges e
+              JOIN r0 r ON e.src = r.node
+              JOIN outd o ON r.node = o.node
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(c1.s, CAST(0 AS DOUBLE)), 9) AS pr
+              FROM nodes CROSS JOIN nn LEFT JOIN c1 USING (node)
+            ),
+            c2 AS (
+              SELECT e.dst AS node, sum(r.pr / o.deg) AS s
+              FROM edges e
+              JOIN r1 r ON e.src = r.node
+              JOIN outd o ON r.node = o.node
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(c2.s, CAST(0 AS DOUBLE)), 9) AS pr
+              FROM nodes CROSS JOIN nn LEFT JOIN c2 USING (node)
+            ),
+            c3 AS (
+              SELECT e.dst AS node, sum(r.pr / o.deg) AS s
+              FROM edges e
+              JOIN r2 r ON e.src = r.node
+              JOIN outd o ON r.node = o.node
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(c3.s, CAST(0 AS DOUBLE)), 9) AS pr
+              FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node)
+            )
+            SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node
         """,
         "sessionize": """
             WITH g AS (

@@ -1,0 +1,83 @@
+"""Link-graph authority scoring — fixed-iteration PageRank.
+
+Crawl-engine use: the reference crawls in seed order with per-host
+politeness (PublicationsRetriever has no authority model); at
+10^10-frontier scale the frontier MUST be prioritized, and
+link authority is the standard signal — `plans/rounds.py`'s priority
+frontier orders by (depth, score), and a host-level PageRank over the
+observed link graph is the natural score source between rounds.
+
+Scale shape: each iteration is ONE shuffle — edges join ranks on src
+(both sides hash-partitioned on the node key; pre-partition the edge
+list once and every iteration reuses the exchange), then a map-side-
+combined sum on dst. Rank vectors are |V| rows, edges |E|; nothing is
+ever collected. For deep iteration counts, localCheckpoint every few
+rounds to cut lineage (the engine's connected-components operators
+set the precedent); the default 3 iterations keeps the plan flat.
+
+Determinism: ranks are rounded per iteration (12dp default) so both
+engines iterate on IDENTICAL inputs — cross-engine drift cannot
+compound across iterations; the per-iteration sum itself is the one
+float reduction, same accepted surface as every other aggregating
+query in the contract. Dangling-node mass is NOT redistributed (rank
+leaks, the common simplification — Twitter's Cassovary did the same);
+scores still order hosts correctly, which is all a frontier needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    iter_round: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (multi-edges
+    count as parallel links, matching a link graph where a page links
+    a host twice). Returns (node, pr) with pr rounded @6dp.
+
+    rank_0 = 1/N;  rank_{i+1}(v) = (1-d)/N + d * sum over in-edges
+    (u,v) of rank_i(u)/out_deg(u), rounded @iter_round each step.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("empty graph")
+    base = (1.0 - damping) / n_nodes
+
+    out_deg = edges.groupBy(src.alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    ranks = nodes.withColumn(
+        "pr", F.round(F.lit(1.0 / n_nodes), iter_round)
+    )
+    edge = edges.select(src.alias("_src"), dst.alias("_dst"))
+    for _ in range(iters):
+        contribs = (
+            edge.join(ranks, edge["_src"] == ranks["node"])
+            .join(out_deg, ranks["node"] == out_deg["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("pr") / F.col("_deg")).alias("_c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = nodes.join(sums, on="node", how="left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                iter_round,
+            ).alias("pr"),
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
