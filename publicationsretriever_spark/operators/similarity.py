@@ -458,6 +458,30 @@ class IvfIndex:
             .select(query_id_col, "rank", id_col, "cos_sim")
         )
 
+    def append(self, new_vectors: DataFrame) -> "IvfIndex":
+        """Fold a new batch into the index WITHOUT retraining: assign
+        against the FROZEN quantizer (the FAISS add() contract — a
+        retrain is a rebuild, not an append; centroids drift only on
+        explicit rebuild), compute norms once, union into the
+        inverted list and re-persist. The batch-sized assignment is
+        the only new work — the existing list is reused from cache,
+        so a daily-ingest append costs O(batch), not O(corpus). The
+        trade (documented, same as FAISS): cells go stale if the
+        data distribution drifts far from the training sample —
+        rebuild on a drift signal, don't retrain per batch."""
+        from pyspark import StorageLevel
+
+        add = ivf_assign(
+            new_vectors, self.centroids, self.vec_col, self.id_col
+        ).withColumn("_n", l2_norm(F.col(self.vec_col)))
+        old = self.inverted
+        self.inverted = old.unionByName(add).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self.inverted.count()  # materialize union before dropping old
+        old.unpersist()
+        return self
+
     def unpersist(self) -> None:
         self.inverted.unpersist()
 
@@ -837,10 +861,18 @@ class IvfPqIndex:
     asymmetric cosine (``adc_sim``), same contract as pq_topk."""
 
     def __init__(self, centroids: DataFrame, inverted: DataFrame,
-                 id_col: str):
+                 id_col: str, codebooks=None, m: int = 0,
+                 vec_col: str = "embedding", residual: bool = False):
         self.centroids = centroids
         self.inverted = inverted  # (cell_id, id, recon, _n)
         self.id_col = id_col
+        # frozen encode parameters, kept so append() can quantize new
+        # batches without retraining (None on hand-built indexes —
+        # append then raises)
+        self.codebooks = codebooks
+        self.m = m
+        self.vec_col = vec_col
+        self.residual = residual
 
     def topk(
         self,
@@ -888,6 +920,70 @@ class IvfPqIndex:
             .filter(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col, "adc_sim")
         )
+
+    def append(self, new_vectors: DataFrame) -> "IvfPqIndex":
+        """Fold a new batch in WITHOUT retraining: assign against the
+        frozen coarse quantizer, encode through the FROZEN codebooks
+        (flat: recon(x); residual/IVFADC: centroid + recon(x -
+        centroid)), union into the compressed inverted list. Batch-
+        sized work only; the quantizer/codebooks drift trade is the
+        same as IvfIndex.append — rebuild on drift, don't retrain
+        per batch."""
+        from pyspark import StorageLevel
+
+        if self.codebooks is None:
+            raise ValueError(
+                "index was built without encode parameters; rebuild "
+                "via build_ivfpq_index to enable append"
+            )
+        vec_col, id_col = self.vec_col, self.id_col
+        assigned = ivf_assign(
+            new_vectors, self.centroids, vec_col, id_col
+        )
+        if self.residual:
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+            resid = assigned.join(
+                F.broadcast(self.centroids), "cell_id"
+            ).select(
+                F.col(id_col),
+                F.zip_with(
+                    F.col(vec_col), F.col("_cv"),
+                    lambda x, y: x.cast("double") - y,
+                ).alias(vec_col),
+            )
+            rrec = pq_reconstruct_fused(
+                resid, self.codebooks, self.m, vec_col, id_col
+            )
+            add = (
+                assigned.select(id_col, "cell_id")
+                .join(rrec, id_col)
+                .join(F.broadcast(self.centroids), "cell_id")
+                .select(
+                    "cell_id", id_col,
+                    F.zip_with(
+                        F.col("_cv"), F.col("recon"), lambda x, y: x + y
+                    ).alias("recon"),
+                )
+                .withColumn("_n", l2_norm(F.col("recon")))
+            )
+        else:
+            recon = pq_reconstruct_fused(
+                new_vectors, self.codebooks, self.m, vec_col, id_col
+            )
+            add = (
+                assigned.select(id_col, "cell_id")
+                .join(recon, id_col)
+                .withColumn("_n", l2_norm(F.col("recon")))
+            )
+        old = self.inverted
+        self.inverted = old.unionByName(add).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self.inverted.count()
+        if self.residual:
+            assigned.unpersist()
+        old.unpersist()
+        return self
 
     def unpersist(self) -> None:
         self.inverted.unpersist()
@@ -964,7 +1060,10 @@ def build_ivfpq_index(
         )
         inv.count()  # eager: safe to drop the assignment pin below
         assigned.unpersist()
-        return IvfPqIndex(cent, inv, id_col)
+        return IvfPqIndex(
+            cent, inv, id_col, codebooks=cbs, m=m, vec_col=vec_col,
+            residual=True,
+        )
     cbs = pq_codebooks(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
@@ -979,7 +1078,10 @@ def build_ivfpq_index(
     )
     if materialize:
         inv.count()
-    return IvfPqIndex(cent, inv, id_col)
+    return IvfPqIndex(
+        cent, inv, id_col, codebooks=cbs, m=m, vec_col=vec_col,
+        residual=False,
+    )
 
 
 def ivfpq_topk(
