@@ -1122,6 +1122,38 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators/packing.zorder_key):
+    the Iceberg/Delta OPTIMIZE ZORDER key — one bounded min/max
+    aggregation then a pure bit-interleaving projection, engine-exact
+    because the scale arithmetic is the same IEEE-double term order
+    in both engines. Row-level parity over all 10k events."""
+    from publicationsretriever_spark.operators.packing import zorder_key
+
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").select("event_id", "value", "user_id")
+    return zorder_key(ev, ["value", "user_id"], bits=10).select(
+        "event_id", F.col("_z").alias("z")
+    )
+
+
+def q_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file stats manifest of a z-ordered layout
+    (operators/packing.zorder_layout + zorder_manifest): file = top 6
+    z bits (equal-width, deterministic), stats = count + min/max of
+    both clustered dims — the table a scan planner prunes against.
+    The oracle recomputes the z key and file split in SQL."""
+    from publicationsretriever_spark.operators.packing import (
+        zorder_layout,
+        zorder_manifest,
+    )
+
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").select("event_id", "value", "user_id")
+    laid = zorder_layout(ev, ["value", "user_id"], bits=10, file_bits=6)
+    return zorder_manifest(laid, ["value", "user_id"])
+
+
 def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed expansion (functions/sitemap.expand_sitemaps):
     each document becomes a deterministic two-entry sitemap XML; both
@@ -1466,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_shard_plan": q_wds_shard_plan,
         "recrawl_schedule": q_recrawl_schedule,
         "epoch_shuffle": q_epoch_shuffle,
+        "zorder_key": q_zorder_key,
+        "zorder_manifest": q_zorder_manifest,
         "sitemap_expand": q_sitemap_expand,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1487,6 +1521,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tumbling_agg": q_tumbling_agg,
     }
+
+
+def _zorder_events_cte(bits: int) -> str:
+    """Shared CTE for the zorder oracle queries: min/max bounds of
+    (value, user_id) then the per-dim scaled integers s0, s1 — the
+    exact IEEE term order of operators/packing.zorder_key."""
+    top = f"{float((1 << bits) - 1)!r}"
+
+    def scaled(col: str, i: int) -> str:
+        return (
+            f"CAST(floor(least(greatest((CAST({col} AS DOUBLE) - mn{i}) / "
+            f"(CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END) * "
+            f"{top}, 0.0), {top})) AS BIGINT) AS s{i}"
+        )
+
+    return f"""
+            WITH b AS (
+              SELECT min(CAST(value AS DOUBLE)) AS mn0,
+                     max(CAST(value AS DOUBLE)) AS mx0,
+                     min(CAST(user_id AS DOUBLE)) AS mn1,
+                     max(CAST(user_id AS DOUBLE)) AS mx1
+              FROM events
+            ),
+            s AS (
+              SELECT event_id, value, user_id,
+                     {scaled('value', 0)},
+                     {scaled('user_id', 1)}
+              FROM events, b
+            ),
+            z AS (
+              SELECT event_id, value, user_id,
+                     CAST({_zorder_terms_sql(['s0', 's1'], bits)}
+                          AS BIGINT) AS z
+              FROM s
+            )"""
+
+
+def _zorder_terms_sql(svars: list[str], bits: int) -> str:
+    """Bit-interleave as a SQL sum: mirrors zorder_key's
+    ((s_d >> b) & 1) * 2^(b*ndims + d) terms."""
+    nd = len(svars)
+    return " + ".join(
+        f"(({sv} >> {b}) & 1) * {1 << (b * nd + d)}"
+        for b in range(bits)
+        for d, sv in enumerate(svars)
+    )
 
 
 def _cos6(a: str, b: str) -> str:
@@ -2707,6 +2787,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, epoch_pos,
                    CAST(epoch_pos // 64 AS BIGINT) AS shard
             FROM r ORDER BY doc_id
+        """,
+        "zorder_key": f"""
+            -- mirrors operators/packing.zorder_key(bits=10) over
+            -- (value, user_id): min-max scale each dim to 10 bits,
+            -- interleave; identical IEEE term order -> the KEY is
+            -- bit-identical, not merely order-equivalent.
+            {_zorder_events_cte(10)}
+            SELECT event_id, z FROM z
+        """,
+        "zorder_manifest": f"""
+            -- mirrors zorder_layout(bits=10, file_bits=6) +
+            -- zorder_manifest: file = top 6 of the 20 z bits,
+            -- per-file count and min/max of both clustered dims.
+            {_zorder_events_cte(10)}
+            SELECT (z >> 14) AS file,
+                   count(*) AS cnt,
+                   min(value) AS min_value, max(value) AS max_value,
+                   min(user_id) AS min_user_id,
+                   max(user_id) AS max_user_id
+            FROM z GROUP BY 1
         """,
         "recrawl_schedule": """
             -- mirrors operators/recrawl.recrawl_schedule: integer

@@ -187,3 +187,136 @@ def epoch_shuffle(
             (F.col("epoch_pos") / F.lit(int(shard_size))).cast("long"),
         )
     return out
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "_z",
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Morton/Z-order key over 2-4 numeric columns: the multi-dim
+    clustering key behind Iceberg/Delta ``OPTIMIZE ZORDER BY`` — rows
+    close in z are close in EVERY listed dimension, so per-file
+    min/max stats stay tight on all of them at once and a predicate
+    on ANY dimension prunes files. A lexicographic sort gives that
+    only for its leading column; at 100 TB the difference is reading
+    2^file_bits files vs a handful for a selective second-dim filter
+    (quantified in tests/test_zorder.py).
+
+    Shape: ONE bounded map-side min/max aggregation (2*len(cols)
+    partial cells, a single collected row — the ivf/sq "train stats
+    driver-side, apply distributed" recipe), then the key is a PURE
+    PROJECTION: each column min-max-scales to a ``bits``-bit integer
+    and the integers bit-interleave into one int64. No shuffle; the
+    expression stays inside scan codegen. Pass ``bounds`` to freeze
+    the scale (incremental appends must reuse the ORIGINAL layout's
+    bounds or z-neighborhoods drift between batches — same frozen-
+    quantizer contract as IvfIndex.append); out-of-bounds values
+    clamp to the edge bucket.
+
+    Engine-portable by construction: scaled_d =
+    floor(least(greatest((x-mn)/denom*(2^bits-1), 0), 2^bits-1)) in
+    IEEE doubles, identical term order in the DuckDB oracle, so the
+    KEY (not just the ordering) is bit-identical across engines.
+    ``bits*len(cols)`` must fit an int64 (<= 62)."""
+    ndims = len(cols)
+    if not 2 <= ndims <= 4:
+        raise ValueError("zorder_key needs 2-4 columns")
+    if bits * ndims > 62:
+        raise ValueError("bits*len(cols) must be <= 62")
+    top = float((1 << bits) - 1)
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        bounds = {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        mn, mx = (float(bounds[c][0]), float(bounds[c][1]))
+        denom = (mx - mn) if mx > mn else 1.0
+        scaled = F.floor(
+            F.least(
+                F.greatest(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(denom)
+                    * F.lit(top),
+                    F.lit(0.0),
+                ),
+                F.lit(top),
+            )
+        ).cast("long")
+        sc = f"_s_{d}"
+        df = df.withColumn(sc, scaled)
+        for b in range(bits):
+            z = z + (
+                F.shiftright(F.col(sc), b)
+                .bitwiseAND(F.lit(1).cast("long"))
+                * F.lit(1 << (b * ndims + d)).cast("long")
+            )
+    return df.withColumn(out_col, z).drop(
+        *[f"_s_{d}" for d in range(ndims)]
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    file_bits: int = 6,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Cluster rows into z-contiguous "files": _file = the top
+    ``file_bits`` bits of the z-key (equal-WIDTH z ranges — a pure
+    function of the row, so the file assignment is deterministic and
+    oracle-checkable; production layouts that need equal-SIZE files
+    use repartitionByRange on _z instead — sampled bounds, same
+    pruning bboxes, just not replayable across engines). One shuffle
+    (hash on _file) + a within-partition sort; the z-key projection
+    itself adds none."""
+    zspan = bits * len(cols)
+    if file_bits > zspan:
+        raise ValueError("file_bits exceeds z width")
+    keyed = zorder_key(df, cols, bits, bounds=bounds).withColumn(
+        "_file", F.shiftright(F.col("_z"), zspan - file_bits)
+    )
+    return keyed.repartition(1 << file_bits, F.col("_file")).sortWithinPartitions(
+        "_file", "_z"
+    )
+
+
+def zorder_manifest(
+    df_laid: DataFrame,
+    cols: list[str],
+    file_col: str = "_file",
+) -> DataFrame:
+    """The Iceberg-manifest analog for a z-ordered table: per-file row
+    count + min/max of every clustered column — the stats a scan
+    planner prunes against. Map-side-combined groupBy over at most
+    2^file_bits groups; the result is planner-sized (KBs), never
+    corpus-sized."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df_laid.groupBy(F.col(file_col).alias("file")).agg(*aggs)
+
+
+def prune_manifest(
+    manifest: DataFrame,
+    predicates: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """Files a box predicate must read: keep file f iff
+    [min_c, max_c] intersects [lo_c, hi_c] for EVERY predicated
+    column (min/max stats can only prove absence — the standard
+    Iceberg/Parquet row-group skipping rule). Runs on the tiny
+    manifest; the payoff is the corpus-sized scan it avoids."""
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (
+            F.col(f"min_{c}") <= F.lit(hi)
+        )
+    return manifest.filter(cond)
