@@ -1448,6 +1448,30 @@ def q_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alignment_gate(img, cap, threshold=0.05).orderBy("pair_id")
 
 
+def q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval evaluation (operators/similarity.
+    retrieval_recall_at_k): recall@{1,5,10} of caption->image
+    retrieval over the alignment pairing (even vec_id = image corpus,
+    odd = caption query, pair_id = vec_id // 2). Rank of the true
+    match is COUNTED (1 + rows beating it, @6dp cosine, id
+    tie-break) — one corpus scan, broadcast queries, no sort."""
+    from publicationsretriever_spark.operators.similarity import (
+        retrieval_recall_at_k,
+    )
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    cap = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    return retrieval_recall_at_k(cap, img, [1, 5, 10]).orderBy("k")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1514,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "embedding_stats": q_embedding_stats,
         "image_text_alignment": q_image_text_alignment,
+        "retrieval_recall": q_retrieval_recall,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dup_log": q_dup_log,
@@ -3630,6 +3655,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair_id, align_score, align_score >= 0.05 AS keep
             FROM s ORDER BY pair_id
+        """,
+        "retrieval_recall": f"""
+            -- mirrors operators/similarity.retrieval_recall_at_k:
+            -- rank(true match) = 1 + #corpus rows beating it
+            -- (@6dp cosine desc, corpus-id-asc tie-break);
+            -- recall@k = fraction of queries with rank <= k.
+            WITH img AS (
+              SELECT vec_id // 2 AS cid, embedding AS iv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            cap AS (
+              SELECT (vec_id - 1) // 2 AS qid, embedding AS cv
+              FROM embeddings WHERE vec_id % 2 = 1
+            ),
+            scored AS (
+              SELECT c.qid, i.cid, {_cos6('iv', 'cv')} AS s
+              FROM cap c, img i
+            ),
+            truth AS (
+              SELECT qid, s AS ts FROM scored WHERE cid = qid
+            ),
+            ranks AS (
+              SELECT sc.qid,
+                     1 + SUM(CASE WHEN sc.s > t.ts
+                                  OR (sc.s = t.ts AND sc.cid < sc.qid)
+                             THEN 1 ELSE 0 END) AS r
+              FROM scored sc JOIN truth t USING (qid)
+              GROUP BY sc.qid
+            )
+            SELECT k,
+                   count(*) AS n_queries,
+                   CAST(SUM(CASE WHEN r <= k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                   round(CAST(SUM(CASE WHEN r <= k THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS recall
+            FROM ranks, (VALUES (CAST(1 AS BIGINT)), (5), (10)) ks(k)
+            GROUP BY k ORDER BY k
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1621,3 +1621,83 @@ def semdedup(
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+
+
+def retrieval_recall_at_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    ks: list[int],
+    query_id_col: str = "pair_id",
+    id_col: str = "pair_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal retrieval evaluation — recall@k of caption->image
+    (or any query->corpus) retrieval over paired embeddings, the
+    metric that tunes the alignment_gate threshold and audits an
+    embedding model before it curates a corpus (CLIP-benchmark /
+    DataComp eval shape).
+
+    A query's TRUE match is the corpus row sharing its id. Instead of
+    materializing a top-k per query (sort/window over the score
+    matrix), the true match's rank is COUNTED: rank = 1 + #corpus
+    rows that beat it, where "beats" = higher rounded cosine, id
+    ascending on ties — so the whole evaluation is one corpus scan
+    with a map-side-combined groupBy on the bounded query set.
+    recall@k = fraction of queries with rank <= k.
+
+    Scale shape: ``queries`` is the eval sample (bounded by
+    construction — retrieval evals run on 10^3-10^5 queries, never
+    the corpus) and is BROADCAST twice — once to fetch each query's
+    true-match similarity via an equi-join on id, once joined against
+    the full corpus for the beat count. The corpus is scanned once,
+    never shuffled (agg partials only), and never sorted. Queries
+    whose id has no corpus row are dropped (inner join) — recall is
+    undefined for them.
+
+    Returns one row per k: (k, n_queries, hits, recall@6dp)."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    truth = (
+        c.join(F.broadcast(q), F.col("_cid") == F.col("_qid"))
+        .select(
+            "_qid",
+            "_qv",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("_ts"),
+        )
+    )
+    scored = c.crossJoin(F.broadcast(truth)).select(
+        "_qid",
+        (
+            (F.round(cosine(F.col("_cv"), F.col("_qv")), 6) > F.col("_ts"))
+            | (
+                (F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
+                 == F.col("_ts"))
+                & (F.col("_cid") < F.col("_qid"))
+            )
+        ).cast("long").alias("_beat"),
+    )
+    ranks = scored.groupBy("_qid").agg(
+        (F.sum("_beat") + F.lit(1)).alias("_rank")
+    )
+    ks_df = ranks.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k long"
+    )
+    return (
+        ranks.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("_rank") <= F.col("k")).cast("long")).alias(
+                "hits"
+            ),
+            F.round(
+                F.sum((F.col("_rank") <= F.col("k")).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
