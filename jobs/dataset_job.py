@@ -80,6 +80,15 @@ def main() -> int:
                          "subdirs, hash layout for string ids)")
     ap.add_argument("--wds-shard-bytes", type=int, default=1 << 28,
                     help="max data bytes per tar shard (default 256 MB)")
+    ap.add_argument("--zorder", default=None,
+                    help="comma-separated numeric pair columns (e.g. "
+                         "'phash,w') to Z-order-cluster the committed "
+                         "pairs table by; also commits a "
+                         "pairs_manifest table of per-file min/max "
+                         "stats for box-predicate scan pruning")
+    ap.add_argument("--zorder-file-bits", type=int, default=4,
+                    help="log2 of the z-range file count (default 16 "
+                         "files; production ~2^6-2^10)")
     args = ap.parse_args()
 
     from publicationsretriever_spark.plans.dataset import (
@@ -155,6 +164,24 @@ def main() -> int:
         ]
         tables["pairs"] = parts[0].unionByName(parts[1])
 
+    if args.zorder:
+        # cluster the committed layout so per-file min/max stats stay
+        # tight on every listed dim (phash prefix probes, dimension
+        # gates); the manifest is committed alongside — the
+        # Iceberg-stats analog a scan planner prunes against
+        from publicationsretriever_spark.operators.packing import (
+            zorder_layout,
+            zorder_manifest,
+        )
+
+        zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        laid = zorder_layout(
+            tables["pairs"], zcols, bits=15,
+            file_bits=args.zorder_file_bits,
+        )
+        tables["pairs"] = laid
+        tables["pairs_manifest"] = zorder_manifest(laid, zcols)
+
     catalog = SnapshotCatalog(args.out)
     snap_id, meta, _ = catalog.write_tables(spark, tables)
     catalog.finish_commit(
@@ -171,6 +198,7 @@ def main() -> int:
             "decontaminate_w": args.decontaminate_w,
             "alignment_embeddings": args.alignment_embeddings,
             "alignment_threshold": args.alignment_threshold,
+            "zorder": args.zorder,
         },
     )
     wds_manifest = None

@@ -326,3 +326,47 @@ def test_dataset_alignment_gate(spark):
     }
     assert pair_ids == {"img-0", "img-2"}
     assert rejects.get("img-1") == "misaligned"
+
+
+def test_dataset_job_zorder_stage(spark, tmp_path, monkeypatch, capsys):
+    """--zorder phash,w commits a z-clustered pairs table plus a
+    pairs_manifest stats table whose per-file min/max bboxes cover
+    every pair and prune soundly (a phash box predicate never loses
+    a matching row to a pruned file)."""
+    import jobs.dataset_job as dataset_job
+
+    out_dir = str(tmp_path / "dataset_z")
+    monkeypatch.setattr(sys, "argv", [
+        "dataset_job.py", "--out", out_dir,
+        "--hosts", "3", "--pages-max", "6",
+        "--zorder", "phash,w", "--zorder-file-bits", "3",
+    ])
+    assert dataset_job.main() == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["tables"]["pairs"] > 0
+    assert summary["tables"]["pairs_manifest"] > 0
+
+    from publicationsretriever_spark.operators.packing import (
+        prune_manifest,
+    )
+    from publicationsretriever_spark.sources.catalog import SnapshotCatalog
+
+    _, tables = SnapshotCatalog(out_dir).load(spark)
+    pairs = tables["pairs"]
+    man = tables["pairs_manifest"]
+    assert "_file" in pairs.columns and "_z" in pairs.columns
+    rows = pairs.select("phash", "w", "_file").collect()
+    stats = {r["file"]: r for r in man.collect()}
+    # manifest bboxes cover the data they claim to cover
+    for r in rows:
+        s = stats[r["_file"]]
+        assert s["min_phash"] <= r["phash"] <= s["max_phash"]
+        assert s["min_w"] <= r["w"] <= s["max_w"]
+    # pruning soundness on a phash box predicate
+    lo = min(r["phash"] for r in rows)
+    hi = lo + max(1, (max(r["phash"] for r in rows) - lo) // 8)
+    kept = {r["file"] for r in
+            prune_manifest(man, {"phash": (lo, hi)}).collect()}
+    for r in rows:
+        if lo <= r["phash"] <= hi:
+            assert r["_file"] in kept
