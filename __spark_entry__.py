@@ -1122,6 +1122,53 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_revalidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET revalidation merge (operators/recrawl.
+    apply_revalidation): stored (payload_hash, validators, ts) state
+    folded with a revalidation round's outcomes — kept / revalidated
+    (304) / replaced (2xx, changed vs unchanged by payload hash) /
+    error. Scenario carved deterministically from documents:
+    doc_id%10 in 0-2 not due, 3-4 -> 304, 5 -> 200 same bytes,
+    6-7 -> 200 changed bytes, 8 -> 404, 9 -> 503."""
+    from publicationsretriever_spark.operators.recrawl import (
+        apply_revalidation,
+    )
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    h = F.md5(F.col("text"))
+    prior = docs.select(
+        F.col("doc_id").alias("url_id"),
+        h.alias("payload_hash"),
+        F.concat(F.lit('W/"'), h, F.lit('"')).alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+        (F.col("doc_id") * 1000).cast("long").alias("fetched_at_ms"),
+    )
+    m = F.col("doc_id") % 10
+    new_hash = F.when(m == 5, h).otherwise(
+        F.md5(F.reverse(F.col("text")))
+    )
+    fetched = docs.filter(m >= 3).select(
+        F.col("doc_id").alias("url_id"),
+        F.when(m <= 4, 304)
+        .when(m <= 7, 200)
+        .when(m == 8, 404)
+        .otherwise(503)
+        .cast("int")
+        .alias("status"),
+        F.when((m >= 5) & (m <= 7), new_hash).alias("payload_hash"),
+        F.when(
+            (m >= 5) & (m <= 7),
+            F.concat(F.lit('W/"'), new_hash, F.lit('"')),
+        ).alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+        (F.col("doc_id") * 1000 + 500).cast("long").alias(
+            "fetched_at_ms"
+        ),
+    )
+    return apply_revalidation(prior, fetched)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key (operators/packing.zorder_key):
     the Iceberg/Delta OPTIMIZE ZORDER key — one bounded min/max
@@ -1522,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_shard_plan": q_wds_shard_plan,
         "recrawl_schedule": q_recrawl_schedule,
         "epoch_shuffle": q_epoch_shuffle,
+        "revalidation_merge": q_revalidation_merge,
         "zorder_key": q_zorder_key,
         "zorder_manifest": q_zorder_manifest,
         "sitemap_expand": q_sitemap_expand,
@@ -2812,6 +2860,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, epoch_pos,
                    CAST(epoch_pos // 64 AS BIGINT) AS shard
             FROM r ORDER BY doc_id
+        """,
+        "revalidation_merge": """
+            -- mirrors operators/recrawl.apply_revalidation over the
+            -- deterministic doc_id%10 scenario carving (see
+            -- q_revalidation_merge)
+            WITH prior AS (
+              SELECT doc_id AS url_id, md5(text) AS payload_hash,
+                     'W/"' || md5(text) || '"' AS etag,
+                     CAST(NULL AS VARCHAR) AS last_modified,
+                     CAST(doc_id * 1000 AS BIGINT) AS fetched_at_ms
+              FROM documents
+            ),
+            fetched AS (
+              SELECT doc_id AS url_id,
+                     CASE WHEN doc_id % 10 <= 4 THEN 304
+                          WHEN doc_id % 10 <= 7 THEN 200
+                          WHEN doc_id % 10 = 8 THEN 404
+                          ELSE 503 END AS status,
+                     CASE WHEN doc_id % 10 BETWEEN 5 AND 7 THEN
+                       CASE WHEN doc_id % 10 = 5 THEN md5(text)
+                            ELSE md5(reverse(text)) END
+                     END AS f_hash,
+                     CASE WHEN doc_id % 10 BETWEEN 5 AND 7 THEN
+                       'W/"' ||
+                       CASE WHEN doc_id % 10 = 5 THEN md5(text)
+                            ELSE md5(reverse(text)) END || '"'
+                     END AS f_etag,
+                     CAST(NULL AS VARCHAR) AS f_lm,
+                     CAST(doc_id * 1000 + 500 AS BIGINT) AS f_at
+              FROM documents WHERE doc_id % 10 >= 3
+            )
+            SELECT p.url_id,
+                   CASE WHEN f.status IS NULL THEN 'kept'
+                        WHEN f.status = 304 THEN 'revalidated'
+                        WHEN f.status BETWEEN 200 AND 299
+                          THEN 'replaced'
+                        ELSE 'error' END AS action,
+                   CASE WHEN f.status BETWEEN 200 AND 299 THEN f.f_hash
+                        ELSE p.payload_hash END AS payload_hash,
+                   CASE WHEN f.status BETWEEN 200 AND 299 THEN f.f_etag
+                        WHEN f.status = 304
+                          THEN COALESCE(f.f_etag, p.etag)
+                        ELSE p.etag END AS etag,
+                   CASE WHEN f.status BETWEEN 200 AND 299 THEN f.f_lm
+                        WHEN f.status = 304
+                          THEN COALESCE(f.f_lm, p.last_modified)
+                        ELSE p.last_modified END AS last_modified,
+                   CASE WHEN f.status = 304
+                          OR f.status BETWEEN 200 AND 299 THEN f.f_at
+                        ELSE p.fetched_at_ms END AS fetched_at_ms,
+                   CASE WHEN f.status IS NULL THEN NULL
+                        WHEN f.status = 304 THEN 'unchanged'
+                        WHEN f.status BETWEEN 200 AND 299 THEN
+                          CASE WHEN f.f_hash = p.payload_hash
+                               THEN 'unchanged' ELSE 'changed' END
+                        ELSE 'error' END AS outcome
+            FROM prior p LEFT JOIN fetched f USING (url_id)
         """,
         "zorder_key": f"""
             -- mirrors operators/packing.zorder_key(bits=10) over

@@ -106,3 +106,93 @@ def recrawl_schedule(
             "next_fetch_ts"
         ),
     )
+
+
+def apply_revalidation(
+    prior: DataFrame,
+    fetched: DataFrame,
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Fold a revalidation round's fetch outcomes back into the stored
+    per-URL state — the batch half of conditional-GET recrawling
+    (sources/livehttp.LiveHttpResolver.resolve_conditional is the wire
+    half). Beyond-reference: the reference fetches once per run and
+    keeps no validator state.
+
+    ``prior``: one row per stored URL —
+    (id, payload_hash, etag, last_modified, fetched_at_ms).
+    ``fetched``: this round's conditional-GET results (same columns
+    plus status); URLs not due this round simply have no row.
+
+    Per URL (pure CASE logic — the DuckDB oracle runs it verbatim):
+
+    - no fetch row        -> action 'kept': state unchanged, no outcome
+    - status 304          -> 'revalidated': payload kept, validators
+                             refreshed when the response carried new
+                             ones (coalesce), timestamp advanced;
+                             outcome 'unchanged'
+    - 2xx                 -> 'replaced': new payload + validators;
+                             outcome 'changed' iff the payload hash
+                             moved, else 'unchanged' (origin without
+                             validator support re-sent equal bytes)
+    - anything else       -> 'error': stored state kept verbatim;
+                             outcome 'error'
+
+    The (id, fetched_at_ms, outcome) triple of the non-kept rows is
+    exactly the history row :func:`recrawl_schedule` consumes, so a
+    recrawl loop is: schedule -> conditional fetch -> this merge ->
+    append history -> schedule.
+
+    Scale shape: ONE equi-join on the id (fetched is round-sized —
+    only due URLs — so it broadcasts under AQE when small; at equal
+    sizes it is a co-partitioned hash join), then a projection. No
+    window, no second shuffle."""
+    f = fetched.select(
+        F.col(id_col),
+        F.col("status").alias("_f_status"),
+        F.col("payload_hash").alias("_f_hash"),
+        F.col("etag").alias("_f_etag"),
+        F.col("last_modified").alias("_f_lm"),
+        F.col("fetched_at_ms").alias("_f_at"),
+    )
+    j = prior.join(f, id_col, "left")
+    ok2xx = (F.col("_f_status") >= 200) & (F.col("_f_status") <= 299)
+    action = (
+        F.when(F.col("_f_status").isNull(), F.lit("kept"))
+        .when(F.col("_f_status") == 304, F.lit("revalidated"))
+        .when(ok2xx, F.lit("replaced"))
+        .otherwise(F.lit("error"))
+    )
+    outcome = (
+        F.when(F.col("_f_status").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_f_status") == 304, F.lit("unchanged"))
+        .when(
+            ok2xx,
+            F.when(
+                F.col("_f_hash") == F.col("payload_hash"),
+                F.lit("unchanged"),
+            ).otherwise(F.lit("changed")),
+        )
+        .otherwise(F.lit("error"))
+    )
+    keep_new = ok2xx
+    reval = F.col("_f_status") == 304
+    return j.select(
+        F.col(id_col),
+        action.alias("action"),
+        F.when(keep_new, F.col("_f_hash"))
+        .otherwise(F.col("payload_hash"))
+        .alias("payload_hash"),
+        F.when(keep_new, F.col("_f_etag"))
+        .when(reval, F.coalesce(F.col("_f_etag"), F.col("etag")))
+        .otherwise(F.col("etag"))
+        .alias("etag"),
+        F.when(keep_new, F.col("_f_lm"))
+        .when(reval, F.coalesce(F.col("_f_lm"), F.col("last_modified")))
+        .otherwise(F.col("last_modified"))
+        .alias("last_modified"),
+        F.when(keep_new | reval, F.col("_f_at"))
+        .otherwise(F.col("fetched_at_ms"))
+        .alias("fetched_at_ms"),
+        outcome.alias("outcome"),
+    )

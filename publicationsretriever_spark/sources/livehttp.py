@@ -353,11 +353,14 @@ class LiveHttpResolver:
 
     # -- one request, no ladder -------------------------------------------
 
-    def _request(self, url: str, method: str, domain: str):
+    def _request(self, url: str, method: str, domain: str,
+                 extra_headers: dict | None = None):
         headers = dict(BASE_HEADERS)
         headers["Accept-Encoding"] = _accept_encoding()
         if domain not in self.no_accept_language:
             headers["Accept-Language"] = ACCEPT_LANGUAGE
+        if extra_headers:
+            headers.update(extra_headers)
         req = urllib.request.Request(url, headers=headers, method=method)
         timeout = (
             self.head_timeout_s if method == "HEAD" else self.get_timeout_s
@@ -382,15 +385,47 @@ class LiveHttpResolver:
             with self._inflight_lock:
                 self._inflight.pop(_th.get_ident(), None)
 
-    def _resolve(self, url: str) -> dict:
+    def resolve_conditional(
+        self,
+        url: str,
+        etag: str | None = None,
+        last_modified: str | None = None,
+    ) -> dict:
+        """Conditional revalidation GET (RFC 9110 §13.1): send the
+        STORED validators as If-None-Match / If-Modified-Since; a 304
+        answer means the stored payload is still fresh and NO body
+        crossed the wire — the recrawl job keeps its copy and only
+        refreshes the fetch timestamp. HEAD-first is skipped: for
+        revalidation a conditional GET strictly dominates HEAD+GET
+        (one round trip, body only when actually changed). The
+        response's own 'etag'/'last_modified' keys carry the NEW
+        validators to store. Beyond-reference: the reference fetches
+        each URL once per run and has no revisit path."""
+        import threading as _th
+
+        extra: dict[str, str] = {}
+        if etag:
+            extra["If-None-Match"] = etag
+        if last_modified:
+            extra["If-Modified-Since"] = last_modified
+        try:
+            return self._resolve(url, extra_headers=extra or None,
+                                 force_get=True)
+        finally:
+            with self._inflight_lock:
+                self._inflight.pop(_th.get_ident(), None)
+
+    def _resolve(self, url: str, extra_headers: dict | None = None,
+                 force_get: bool = False) -> dict:
         domain = _domain_of(url)
         method = (
             "GET"
-            if (not self.head_first or domain in self.head_unsupported)
+            if (force_get or not self.head_first
+                or domain in self.head_unsupported)
             else "HEAD"
         )
         try:
-            resp = self._request(url, method, domain)
+            resp = self._request(url, method, domain, extra_headers)
             status = resp.status
             # 405/501 on HEAD: domain can't HEAD — remember + GET
             # (HttpConnUtils.java:433-450)
@@ -398,14 +433,14 @@ class LiveHttpResolver:
                 self.head_unsupported.add(domain)
                 resp.close()
                 method = "GET"
-                resp = self._request(url, method, domain)
+                resp = self._request(url, method, domain, extra_headers)
                 status = resp.status
             # 406: retry once without Accept-Language and remember
             # (HttpConnUtils.java:415-432)
             if status == 406 and domain not in self.no_accept_language:
                 self.no_accept_language.add(domain)
                 resp.close()
-                resp = self._request(url, method, domain)
+                resp = self._request(url, method, domain, extra_headers)
                 status = resp.status
         except (TimeoutError, socket.timeout):
             return self._status_only(-1)  # conn_timeout (retryable)
@@ -439,7 +474,7 @@ class LiveHttpResolver:
                 if head_mime in ("text/html", "application/xhtml+xml", ""):
                     resp.close()
                     method = "GET"
-                    resp = self._request(url, method, domain)
+                    resp = self._request(url, method, domain, extra_headers)
                     status = resp.status
         except (TimeoutError, socket.timeout):
             return self._status_only(-1)
@@ -534,6 +569,9 @@ class LiveHttpResolver:
             "html_links": [],  # extraction happens in the page stage
             "html_body": html_body,
             "retry_after_ms": _retry_after_ms(h.get("Retry-After")),
+            # cache validators for conditional revalidation on recrawl
+            "etag": h.get("ETag"),
+            "last_modified": h.get("Last-Modified"),
         }
 
     @staticmethod
@@ -542,7 +580,7 @@ class LiveHttpResolver:
             "status": status, "location": None, "content_type": None,
             "content_disposition": None, "content_length": 0,
             "body_kind": "error", "image_id": None, "html_links": [],
-            "html_body": None,
+            "html_body": None, "etag": None, "last_modified": None,
         }
 
 

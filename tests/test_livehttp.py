@@ -101,6 +101,17 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             import time
             time.sleep(30)
+        elif self.path.startswith("/etag"):
+            # conditional revalidation endpoint: version v2 is current
+            if self.headers.get("If-None-Match") == '"v2"':
+                self._send(304, {"ETag": '"v2"'})
+            else:
+                self._send(
+                    200,
+                    {"Content-Type": "text/html", "ETag": '"v2"',
+                     "Last-Modified": "Wed, 19 Aug 2026 00:00:00 GMT"},
+                    b"<html><body>fresh v2</body></html>",
+                )
         else:
             self._send(200, {"Content-Type": "text/html"},
                        b"<html><body>plain</body></html>")
@@ -455,3 +466,36 @@ def test_zstd_corrupt_vs_overflow(monkeypatch):
     with pytest.raises(livehttp.DecompressOverflow):
         livehttp.decompress(b"\x41" * 10_000, "zstd", max_out=1_000_000)
     assert livehttp.decompress(b"\x41", "zstd", max_out=2000) == b"\x41" * 1000
+
+
+def test_conditional_revalidation_304_and_validator_capture(server):
+    """resolve_conditional sends If-None-Match/If-Modified-Since and
+    surfaces 304 without a body; a plain resolve captures the
+    response's ETag/Last-Modified so the catalog can store them.
+    Beyond-reference: the reference has no revisit path."""
+    r = LiveHttpResolver(head_timeout_s=5.0, get_timeout_s=5.0)
+    REQUESTS.clear()
+    # first contact: normal resolve captures validators
+    rec = r.resolve(f"{server}/etag")
+    assert rec["status"] == 200
+    assert rec["etag"] == '"v2"'
+    assert rec["last_modified"] == "Wed, 19 Aug 2026 00:00:00 GMT"
+    assert rec["html_body"] and "fresh v2" in rec["html_body"]
+    # revalidation with the stored validator: 304, no body read
+    REQUESTS.clear()
+    rec2 = r.resolve_conditional(
+        f"{server}/etag", etag=rec["etag"],
+        last_modified=rec["last_modified"],
+    )
+    assert rec2["status"] == 304
+    assert rec2["html_body"] is None
+    assert rec2["etag"] == '"v2"'
+    # one conditional GET, never a HEAD, validators on the wire
+    assert [m for m, _, _ in REQUESTS] == ["GET"]
+    hdrs = REQUESTS[0][2]
+    assert hdrs.get("If-None-Match") == '"v2"'
+    assert hdrs.get("If-Modified-Since") == "Wed, 19 Aug 2026 00:00:00 GMT"
+    # stale validator: full 200 body comes back
+    rec3 = r.resolve_conditional(f"{server}/etag", etag='"v1"')
+    assert rec3["status"] == 200
+    assert rec3["html_body"] and "fresh v2" in rec3["html_body"]

@@ -105,3 +105,96 @@ def test_recrawl_single_fetch_histories(spark):
     assert out[1] == (0, 100)       # 100*1//2=50 -> clamp to base
     assert out[2] == (1, 200)       # 100*1//1=100, <<1
     assert out[3] == (0, 200)       # 100*2//1=200
+
+
+def _reval_frames(spark):
+    prior = spark.createDataFrame(
+        [
+            # url_id, payload_hash, etag, last_modified, fetched_at_ms
+            (1, "h1", '"e1"', "lm1", 1000),
+            (2, "h2", '"e2"', None, 2000),
+            (3, "h3", None, "lm3", 3000),
+            (4, "h4", '"e4"', "lm4", 4000),
+            (5, "h5", '"e5"', "lm5", 5000),
+        ],
+        "url_id long, payload_hash string, etag string, "
+        "last_modified string, fetched_at_ms long",
+    )
+    fetched = spark.createDataFrame(
+        [
+            # 304: keep payload, refresh ts, coalesce validators
+            (2, 304, None, '"e2b"', None, 2500),
+            # 2xx changed payload
+            (3, 200, "h3-new", '"e3"', "lm3b", 3500),
+            # 2xx equal payload (origin ignored validators)
+            (4, 200, "h4", None, None, 4500),
+            # error: stored state untouched
+            (5, 503, None, None, None, 5500),
+        ],
+        "url_id long, status int, payload_hash string, etag string, "
+        "last_modified string, fetched_at_ms long",
+    )
+    return prior, fetched
+
+
+def test_apply_revalidation_case_table(spark):
+    from publicationsretriever_spark.operators.recrawl import (
+        apply_revalidation,
+    )
+
+    prior, fetched = _reval_frames(spark)
+    out = {r["url_id"]: r.asDict()
+           for r in apply_revalidation(prior, fetched).collect()}
+    assert out[1] == {"url_id": 1, "action": "kept",
+                      "payload_hash": "h1", "etag": '"e1"',
+                      "last_modified": "lm1", "fetched_at_ms": 1000,
+                      "outcome": None}
+    assert out[2] == {"url_id": 2, "action": "revalidated",
+                      "payload_hash": "h2", "etag": '"e2b"',
+                      "last_modified": None, "fetched_at_ms": 2500,
+                      "outcome": "unchanged"}
+    assert out[3] == {"url_id": 3, "action": "replaced",
+                      "payload_hash": "h3-new", "etag": '"e3"',
+                      "last_modified": "lm3b", "fetched_at_ms": 3500,
+                      "outcome": "changed"}
+    assert out[4] == {"url_id": 4, "action": "replaced",
+                      "payload_hash": "h4", "etag": None,
+                      "last_modified": None, "fetched_at_ms": 4500,
+                      "outcome": "unchanged"}
+    assert out[5] == {"url_id": 5, "action": "error",
+                      "payload_hash": "h5", "etag": '"e5"',
+                      "last_modified": "lm5", "fetched_at_ms": 5000,
+                      "outcome": "error"}
+
+
+def test_revalidation_feeds_recrawl_schedule(spark):
+    """The composition contract: the merge's (id, ts, outcome) rows
+    append to the history recrawl_schedule consumes — an unchanged
+    streak stretches the delay, an error streak backs off."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.recrawl import (
+        apply_revalidation,
+        recrawl_schedule,
+    )
+
+    prior, fetched = _reval_frames(spark)
+    merged = apply_revalidation(prior, fetched)
+    hist = (
+        merged.filter(F.col("outcome").isNotNull())
+        .select(
+            "url_id",
+            F.timestamp_millis(F.col("fetched_at_ms")).alias("ts"),
+            "outcome",
+        )
+    )
+    sched = {r["url_id"]: r for r in
+             recrawl_schedule(hist, base_delay_s=60).collect()}
+    assert set(sched) == {2, 3, 4, 5}
+    # changed page stays at base; unchanged page doubles (1+1)//1
+    assert sched[3]["delay_s"] == 60
+    assert sched[2]["delay_s"] == 120
+    # error: fail_streak 1 -> (base*2) <<1 = 240? no prior ok fetch:
+    # staleness (1+0)//(1+0)=1 -> 60 << 1 = 120
+    assert sched[5]["fail_streak"] == 1
+    assert sched[5]["delay_s"] == 120
