@@ -1519,6 +1519,30 @@ def q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_recall_at_k(cap, img, [1, 5, 10]).orderBy("k")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): per caption query, top-3 most-similar images
+    EXCLUDING its own pair (@6dp cosine, id tie-break). Queries =
+    every 5th caption of the alignment pair carving."""
+    from publicationsretriever_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    cap = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding"),
+    )
+    return hard_negatives(
+        cap.filter(F.col("pair_id") % 5 == 0), img, k=3
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1587,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "image_text_alignment": q_image_text_alignment,
         "retrieval_recall": q_retrieval_recall,
+        "hard_negatives": q_hard_negatives,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "dup_log": q_dup_log,
@@ -2860,6 +2885,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, epoch_pos,
                    CAST(epoch_pos // 64 AS BIGINT) AS shard
             FROM r ORDER BY doc_id
+        """,
+        "hard_negatives": f"""
+            -- mirrors operators/similarity.hard_negatives: per
+            -- sampled caption query, top-3 images by @6dp cosine
+            -- with the query's own pair excluded before ranking
+            WITH img AS (
+              SELECT vec_id // 2 AS cid, embedding AS iv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            cap AS (
+              SELECT (vec_id - 1) // 2 AS qid, embedding AS cv
+              FROM embeddings
+              WHERE vec_id % 2 = 1 AND ((vec_id - 1) // 2) % 5 = 0
+            ),
+            scored AS (
+              SELECT c.qid, i.cid, {_cos6('iv', 'cv')} AS s
+              FROM cap c, img i WHERE i.cid <> c.qid
+            ),
+            ranked AS (
+              SELECT qid, cid, s,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY s DESC, cid ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+                   cid AS neg_id, s AS cos_sim
+            FROM ranked WHERE rank <= 3
+            ORDER BY query_id, rank
         """,
         "revalidation_merge": """
             -- mirrors operators/recrawl.apply_revalidation over the

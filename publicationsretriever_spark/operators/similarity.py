@@ -1701,3 +1701,47 @@ def retrieval_recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "pair_id",
+    id_col: str = "pair_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    (caption), the top-k most-similar corpus rows (images) EXCLUDING
+    its own pair — the negatives CLIP-style batches are seeded with
+    (highest-loss non-matches). Identical scale shape to
+    brute_force_topk (queries are the bounded mining sample,
+    broadcast; corpus streams through one codegen'd stage; the only
+    shuffle is the per-query top-k window on #queries keys) plus the
+    one-row self-pair filter BEFORE the window, so the true match
+    never occupies a negative slot. @6dp cosine, id-asc tie-break —
+    engine-deterministic ranks. Output columns are renamed
+    (query_id, rank, neg_id, cos_sim) because query and corpus
+    usually share the pair-id namespace."""
+    q = queries.select(
+        F.col(query_id_col).alias("_hq"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_hq"))
+        .select(
+            F.col("_hq").alias("query_id"),
+            F.col(id_col).alias("neg_id"),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neg_id", "cos_sim")
+    )

@@ -111,3 +111,63 @@ def test_recall_plan_has_no_sort_merge_join(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "Broadcast" in plan
+
+
+def test_hard_negatives_excludes_true_pair_and_ranks(spark):
+    from publicationsretriever_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    corpus = _mk(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.5, 0.5]),
+    ])
+    queries = _mk(spark, [(0, [1.0, 0.05]), (2, [0.1, 1.0])])
+    out = hard_negatives(queries, corpus, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert all(r["neg_id"] != qid for r in rows)  # never the pair
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, len(rows) + 1))
+        assert len(rows) == 2
+    # q0 points at corpus0: hardest negative must be corpus1
+    assert sorted(by_q[0], key=lambda r: r["rank"])[0]["neg_id"] == 1
+
+
+def test_hard_negatives_python_parity(spark):
+    import random
+
+    from publicationsretriever_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = random.Random(11)
+    cvecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)}
+    qvecs = {i: [v + rng.uniform(-0.4, 0.4) for v in cvecs[i]]
+             for i in range(0, 30, 4)}
+    corpus = _mk(spark, list(cvecs.items()))
+    queries = _mk(spark, list(qvecs.items()))
+    out = hard_negatives(queries, corpus, k=3).collect()
+    cv32 = {r["pair_id"]: r["embedding"] for r in corpus.collect()}
+    qv32 = {r["pair_id"]: r["embedding"] for r in queries.collect()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(d / (na * nb), 6)
+
+    for qid, qv in qv32.items():
+        want = sorted(
+            ((cos(cv, qv), cid) for cid, cv in cv32.items() if cid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got = sorted(
+            [r for r in out if r["query_id"] == qid],
+            key=lambda r: r["rank"],
+        )
+        assert [(r["cos_sim"], r["neg_id"]) for r in got] == want, qid
