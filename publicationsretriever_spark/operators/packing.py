@@ -320,3 +320,27 @@ def prune_manifest(
             F.col(f"min_{c}") <= F.lit(hi)
         )
     return manifest.filter(cond)
+
+
+def pruned_scan(
+    df_laid: DataFrame,
+    manifest: DataFrame,
+    predicates: dict[str, tuple[float, float]],
+    file_col: str = "_file",
+) -> DataFrame:
+    """The planner rule prune_manifest exists for, as an executable
+    operator: restrict the scan to the files a box predicate can
+    touch (broadcast semi-join on the tiny pruned manifest — at 100
+    TB this is the partition-pruning step that keeps whole z-range
+    files unread), then apply the exact row-level predicate inside
+    the surviving files. Sound AND complete by construction: min/max
+    intersection never drops a file containing a match (soundness is
+    prune_manifest's rule; completeness is the row filter) — pytest
+    asserts equality with the naive full-scan filter."""
+    kept = prune_manifest(manifest, predicates).select(
+        F.col("file").alias(file_col)
+    )
+    out = df_laid.join(F.broadcast(kept), file_col, "semi")
+    for c, (lo, hi) in predicates.items():
+        out = out.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+    return out

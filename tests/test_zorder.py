@@ -136,3 +136,24 @@ def test_zorder_key_is_shuffle_free_projection(spark):
         df, ["x", "y"], bits=8, bounds={"x": (0.0, 997.0), "y": (0.0, 997.0)}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pruned_scan_equals_full_scan_filter(spark):
+    """Completeness + soundness in one assertion: scanning only the
+    manifest-kept files then row-filtering returns EXACTLY the rows
+    a full-scan filter returns."""
+    from publicationsretriever_spark.operators.packing import pruned_scan
+
+    df = _grid(spark, 2048, seed_mod=983)
+    cols = ["x", "y"]
+    laid = zorder_layout(df, cols, bits=10, file_bits=5)
+    man = zorder_manifest(laid, cols)
+    preds = {"x": (200.0, 420.0), "y": (50.0, 300.0)}
+    got = {r["id"] for r in pruned_scan(laid, man, preds).collect()}
+    want = {
+        r["id"] for r in df.filter(
+            (F.col("x") >= 200.0) & (F.col("x") <= 420.0)
+            & (F.col("y") >= 50.0) & (F.col("y") <= 300.0)
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -69,16 +69,19 @@ def main() -> None:
     )
 
     # zorder: one min/max agg + Morton projection + one slim-row hash
-    # shuffle — 64x rows to clear the per-job floor
-    zrows = spark.range(0, n_docs * 64, 1, 32).select(
+    # shuffle — 1024x rows to clear the per-job floor (64x left a 4s
+    # N-wall = scheduler floor, raw 0.44; 512x still carried ~2.5s of
+    # floor in a 14s wall, raw 0.70 — same floor artifact ops6 hit)
+    zrows = spark.range(0, n_docs * 1024, 1, 32).select(
         F.col("id").alias("row_id"),
         ((F.col("id") * 2654435761) % 1000003).cast("double").alias("x"),
         ((F.col("id") * 40503) % 999983).cast("double").alias("y"),
     )
 
     # recall: corpus scan x N_QUERIES broadcast queries, DIM-dim
-    # cosines — the heavy op runs at 4x rows
-    corpus = spark.range(0, n_docs * 4, 1, 32).select(
+    # cosines — 512x rows (4x and 64x cuts hit the floor: 1.8s/4.2s
+    # N-walls, raw 0.33/0.52 with identical counts)
+    corpus = spark.range(0, n_docs * 512, 1, 32).select(
         F.col("id").alias("pair_id"), _vec("id").alias("embedding")
     )
     queries = spark.range(0, N_QUERIES, 1, 4).select(
@@ -86,8 +89,9 @@ def main() -> None:
         _vec("id * 7 + 1").alias("embedding"),
     )
 
-    # revalidation: slim equi-join + CASE projection — 256x rows
-    n_r = n_docs * 256
+    # revalidation: slim equi-join + CASE projection — 1024x rows
+    # (256x: 12s N-wall raw 0.76; 512x: 24s raw 0.88 — floor receding)
+    n_r = n_docs * 1024
     prior = spark.range(0, n_r, 1, 32).select(
         F.col("id").alias("url_id"),
         F.md5(F.col("id").cast("string")).alias("payload_hash"),
