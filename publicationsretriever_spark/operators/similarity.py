@@ -462,28 +462,39 @@ class IvfIndex:
         """Fold a new batch into the index WITHOUT retraining: assign
         against the FROZEN quantizer (the FAISS add() contract — a
         retrain is a rebuild, not an append; centroids drift only on
-        explicit rebuild), compute norms once, union into the
-        inverted list and re-persist. The batch-sized assignment is
-        the only new work — the existing list is reused from cache,
-        so a daily-ingest append costs O(batch), not O(corpus). The
-        trade (documented, same as FAISS): cells go stale if the
-        data distribution drifts far from the training sample —
-        rebuild on a drift signal, don't retrain per batch."""
+        explicit rebuild), compute norms once, and stack the batch as
+        a persisted DELTA under a lazy union — the catalog's
+        append-only delta-table shape. ONLY the batch is assigned,
+        persisted and counted; the existing list is neither
+        recomputed nor copied, so a daily-ingest append costs
+        O(batch), not O(corpus) (the first cut re-persisted the
+        union and its count() walked the whole corpus per append —
+        measured 16s->71s as the base grew 4x, BENCH/index_append).
+        Repeated appends build a shallow union tree over cached
+        deltas; compaction IS a rebuild. The trade (documented, same
+        as FAISS): cells go stale if the data distribution drifts
+        far from the training sample — rebuild on a drift signal,
+        don't retrain per batch."""
         from pyspark import StorageLevel
 
-        add = ivf_assign(
-            new_vectors, self.centroids, self.vec_col, self.id_col
-        ).withColumn("_n", l2_norm(F.col(self.vec_col)))
-        old = self.inverted
-        self.inverted = old.unionByName(add).persist(
-            StorageLevel.MEMORY_AND_DISK
+        add = (
+            ivf_assign(
+                new_vectors, self.centroids, self.vec_col, self.id_col
+            )
+            .withColumn("_n", l2_norm(F.col(self.vec_col)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        self.inverted.count()  # materialize union before dropping old
-        old.unpersist()
+        add.count()  # batch-sized job: the whole append cost
+        if not hasattr(self, "_base"):
+            self._base = self.inverted  # the persisted build output
+        self._deltas = getattr(self, "_deltas", []) + [add]
+        self.inverted = self.inverted.unionByName(add)
         return self
 
     def unpersist(self) -> None:
-        self.inverted.unpersist()
+        for d in getattr(self, "_deltas", []):
+            d.unpersist()
+        getattr(self, "_base", self.inverted).unpersist()
 
 
 def build_ivf_index(
@@ -925,10 +936,11 @@ class IvfPqIndex:
         """Fold a new batch in WITHOUT retraining: assign against the
         frozen coarse quantizer, encode through the FROZEN codebooks
         (flat: recon(x); residual/IVFADC: centroid + recon(x -
-        centroid)), union into the compressed inverted list. Batch-
-        sized work only; the quantizer/codebooks drift trade is the
-        same as IvfIndex.append — rebuild on drift, don't retrain
-        per batch."""
+        centroid)), and stack the encoded batch as a persisted DELTA
+        under a lazy union (see IvfIndex.append — the re-persisted
+        union of the first cut walked the whole corpus per append).
+        Batch-sized work only; the quantizer/codebooks drift trade is
+        the same — rebuild on drift, don't retrain per batch."""
         from pyspark import StorageLevel
 
         if self.codebooks is None:
@@ -975,18 +987,20 @@ class IvfPqIndex:
                 .join(recon, id_col)
                 .withColumn("_n", l2_norm(F.col("recon")))
             )
-        old = self.inverted
-        self.inverted = old.unionByName(add).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        self.inverted.count()
+        add = add.persist(StorageLevel.MEMORY_AND_DISK)
+        add.count()  # batch-sized job: the whole append cost
         if self.residual:
             assigned.unpersist()
-        old.unpersist()
+        if not hasattr(self, "_base"):
+            self._base = self.inverted
+        self._deltas = getattr(self, "_deltas", []) + [add]
+        self.inverted = self.inverted.unionByName(add)
         return self
 
     def unpersist(self) -> None:
-        self.inverted.unpersist()
+        for d in getattr(self, "_deltas", []):
+            d.unpersist()
+        getattr(self, "_base", self.inverted).unpersist()
 
 
 def build_ivfpq_index(

@@ -32,9 +32,12 @@ def _vecs(spark, n: int, offset: int = 0):
     return spark.range(0, n, 1, 32).select(
         (F.col("id") + offset).alias("vec_id"),
         F.expr(
+            # +i+1 inside the hash: no id can produce the all-zero
+            # vector (zero norm crashes cosine, as it should — real
+            # embedding tables gate those out via embedding_stats)
             f"transform(sequence(0, {DIM - 1}), i -> "
-            f"CAST(pmod((id + {offset}) * (i + 3) * 2654435761, "
-            f"1000003) AS FLOAT) / 1000003.0)"
+            f"CAST(pmod((id + {offset}) * (i + 3) * 2654435761 "
+            f"+ i + 1, 1000003) AS FLOAT) / 1000003.0)"
         ).alias("embedding"),
     )
 
@@ -58,11 +61,16 @@ def main() -> None:
         batch = _vecs(spark, batch_rows, offset=n_base)
         row = {}
         for kind, build in (
+            # materialize=True: a lazy build would hand its whole
+            # corpus-sized job to whatever action runs first and the
+            # walls would measure laziness, not the operators (the
+            # first cut of this harness did exactly that)
             ("ivf", lambda df: build_ivf_index(
-                df, n_cells=64, vec_col="embedding", id_col="vec_id")),
+                df, n_cells=64, vec_col="embedding", id_col="vec_id",
+                materialize=True)),
             ("ivfpq", lambda df: build_ivfpq_index(
                 df, n_cells=64, m=4, vec_col="embedding",
-                id_col="vec_id")),
+                id_col="vec_id", materialize=True)),
         ):
             t0 = time.time()
             idx = build(base)
