@@ -303,14 +303,22 @@ class CrawlEngine:
         # per-host override of the POLITENESS_MS clock; absent column
         # (the synthetic web's default table) = reference behavior.
         rob = robots_df if robots_df is not None else web.robots_df(spark)
+        # optional allow column (functions/robots.robots_rules_df
+        # emits it): carried into the gate for RFC 9309 longest-match
+        # precedence; absent (the synthetic web's default table) =
+        # disallow-prefix-only, the original north-rule gate
+        allow_col = (
+            F.col("allow") if "allow" in rob.columns
+            else F.lit(None).cast("array<string>")
+        ).alias("allow")
         if "crawl_delay" in rob.columns:
             rob = rob.select(
-                "domain", "disallow",
+                "domain", "disallow", allow_col,
                 F.col("crawl_delay").cast("double").alias("_cdel_s"),
             )
         else:
             rob = rob.select(
-                "domain", "disallow",
+                "domain", "disallow", allow_col,
                 F.lit(None).cast("double").alias("_cdel_s"),
             )
         self._robots_df = rob.cache()
@@ -789,15 +797,28 @@ class CrawlEngine:
         ).drop(bp["domain"]).drop("_bp_path")
 
         # robots gate (north rule; no reference equivalent): broadcast
-        # robots_rules(domain, disallow[]) joined on host; a fetch_url
-        # whose path starts with a disallowed prefix is dropped with a
-        # result row instead of fetched.
+        # robots_rules(domain, disallow[], allow[]) joined on host.
+        # RFC 9309 §2.2.2 longest-match precedence: among the prefix
+        # rules matching the path, the one with the most octets wins,
+        # and on a length tie Allow wins — blocked iff the longest
+        # matching Disallow is STRICTLY longer than the longest
+        # matching Allow (the classic 'Disallow: /private/' +
+        # 'Allow: /private/pub/' carve-out). A null/absent allow array
+        # degenerates to the original disallow-prefix gate.
         robots = self._robots_df
         sched = sched.join(
             F.broadcast(robots), sched["top3"] == robots["domain"], "left"
         ).drop(robots["domain"])
+
         # path projected into an attribute: an inline expression read
-        # inside the exists() lambda re-runs per disallow prefix
+        # inside the filter/aggregate lambdas re-runs per prefix
+        def _longest_match(arr):
+            return F.aggregate(
+                F.filter(arr, lambda p: F.col("_upath").startswith(p)),
+                F.lit(0),
+                lambda acc, p: F.greatest(acc, F.length(p)),
+            )
+
         sched = sched.withColumn(
             "_upath",
             F.regexp_replace(F.col("fetch_url"), "^https?://[^/]*", ""),
@@ -805,12 +826,13 @@ class CrawlEngine:
             "_rob",
             F.when(
                 F.col("disallow").isNotNull(),
-                F.exists(
-                    "disallow",
-                    lambda pre: F.col("_upath").startswith(pre),
-                ),
+                _longest_match(F.col("disallow"))
+                > F.when(
+                    F.col("allow").isNotNull(),
+                    _longest_match(F.col("allow")),
+                ).otherwise(F.lit(0)),
             ).otherwise(F.lit(False)),
-        ).drop("disallow", "_upath")
+        ).drop("disallow", "allow", "_upath")
 
         # P11: offline https/slash redirects learned in prior rounds
         # (HttpConnUtils.java:326-334) — applied AFTER the gate ladder

@@ -141,3 +141,55 @@ def test_crawl_delay_overrides_politeness_clock(spark):
     assert deltas[slow] == {9000}
     others = set().union(*(v for h, v in deltas.items() if h != slow))
     assert others == {POLITENESS_MS}
+
+
+def test_allow_carveout_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2 in the engine gate: 'Disallow: /article' +
+    'Allow: /article/1' blocks every article EXCEPT the /article/1
+    carve-out (longest matching rule wins). Hosts without an allow
+    array keep the original disallow-prefix behavior."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.plans.rounds import CrawlEngine
+    from publicationsretriever_spark.sources.synthetic_web import (
+        SyntheticWeb,
+    )
+
+    web = SyntheticWeb(seed=5, n_hosts=3, pages_per_host_max=6)
+    hosts = sorted(web.robots.keys())
+    carved = hosts[0]
+    rob = spark.createDataFrame(
+        [
+            (carved, ["/article"], ["/article/1"]),
+            (hosts[1], ["/article"], None),  # no carve-out: all blocked
+        ],
+        "domain string, disallow array<string>, allow array<string>",
+    )
+    state = CrawlEngine(
+        spark, web, num_buckets=4, host_quota=16, robots_df=rob,
+    ).crawl(web.seeds_df(spark), max_rounds=2)
+    res = state.results.filter(
+        F.col("error") == "robots disallowed"
+    ).select("sourceUrl").collect()
+    blocked = {r["sourceUrl"] for r in res}
+    # the carve-out article was never robots-blocked...
+    assert not any(
+        carved in u and "/article/1" in u for u in blocked
+    ), blocked
+    # ...but sibling articles of the SAME host were
+    assert any(
+        carved in u and "/article/" in u and "/article/1" not in u
+        for u in blocked
+    ), blocked
+    # and the no-allow host blocks /article/1 like everything else
+    assert any(hosts[1] in u and "/article/1" in u for u in blocked) or \
+        not any(hosts[1] in u and "/article/" in u
+                for u in {r for r in blocked})  # host may have <2 articles
+    # fetched set confirms the carve-out was actually crawled
+    fetched = {
+        r["sourceUrl"]
+        for r in state.results.filter(
+            F.col("error") != "robots disallowed"
+        ).select("sourceUrl").collect()
+    }
+    assert any(carved in u and "/article/1" in u for u in fetched)
