@@ -80,6 +80,12 @@ def main() -> int:
                          "subdirs, hash layout for string ids)")
     ap.add_argument("--wds-shard-bytes", type=int, default=1 << 28,
                     help="max data bytes per tar shard (default 256 MB)")
+    ap.add_argument("--strip-exif", action="store_true",
+                    help="byte-level JPEG EXIF excision on committed "
+                         "pair payloads (GPS/serial/timestamp privacy "
+                         "hygiene; PNG and corrupt bytes pass through "
+                         "untouched, no re-encode) — adds an "
+                         "exif_removed count column")
     ap.add_argument("--zorder", default=None,
                     help="comma-separated numeric pair columns (e.g. "
                          "'phash,w') to Z-order-cluster the committed "
@@ -163,6 +169,13 @@ def main() -> int:
             for split in ("train", "test")
         ]
         tables["pairs"] = parts[0].unionByName(parts[1])
+
+    if args.strip_exif:
+        from publicationsretriever_spark.operators.multimodal import (
+            strip_exif,
+        )
+
+        tables["pairs"] = strip_exif(tables["pairs"])
 
     if args.zorder:
         # cluster the committed layout so per-file min/max stats stay

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.imagecodec import decode_png, dct_phash64, phash64, psnr
 
@@ -549,3 +550,69 @@ def aspect_batch_assign(
         )
         .drop("_blk", "_off", *( ["_ak"] if layout == "hash" else []))
     )
+
+
+def strip_exif_bytes(b: bytes | None) -> tuple[bytes | None, int]:
+    """Byte-level JPEG EXIF excision — drop every APP1/'Exif\\0\\0'
+    segment from the marker stream, leave all other bytes verbatim.
+    Works WITHOUT a codec (JPEG segments are self-delimiting: marker
+    FFxx + 2-byte big-endian length through SOS, entropy data after),
+    so it is real even in this container where JPEG DECODE is a
+    declared stub. Training-data privacy hygiene: EXIF routinely
+    carries GPS positions, serial numbers and timestamps that must
+    not ship in a corpus even though no pixel changes. Non-JPEG bytes
+    (PNG payloads), truncated or corrupt streams pass through
+    UNTOUCHED (never crash the batch, never re-encode)."""
+    if not b or b[:2] != b"\xff\xd8":
+        return b, 0
+    out = bytearray(b[:2])
+    i, n, removed = 2, len(b), 0
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            break  # desynced/corrupt: keep the remainder verbatim
+        marker = b[i + 1]
+        if marker in (0xDA, 0xD9):  # SOS/EOI: entropy data follows
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            out += b[i : i + 2]
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            break  # bad length: keep the remainder verbatim
+        seg = b[i : i + 2 + seglen]
+        if marker == 0xE1 and seg[4:10] == b"Exif\x00\x00":
+            removed += 1  # dropped
+        else:
+            out += seg
+        i += 2 + seglen
+    out += b[i:]
+    return bytes(out), removed
+
+
+def strip_exif(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """EXIF scrubbing over the payload table: Arrow-batched
+    mapInPandas (binary surgery is genuinely non-expressible as
+    built-ins), same schema plus an ``exif_removed`` count column.
+    Pure projection — no shuffle; at 100 TB this rides the same scan
+    as the decode audit."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("exif_removed", T.IntegerType())]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cleaned, counts = [], []
+            for v in pdf[bytes_col]:
+                nb, k = strip_exif_bytes(
+                    bytes(v) if v is not None else None
+                )
+                cleaned.append(nb)
+                counts.append(k)
+            pdf = pdf.copy()
+            pdf[bytes_col] = cleaned
+            pdf["exif_removed"] = pd.array(counts, dtype="int32")
+            yield pdf[names + ["exif_removed"]]
+
+    return df.mapInPandas(op, schema=out_schema)
