@@ -811,10 +811,34 @@ class CrawlEngine:
         ).drop(robots["domain"])
 
         # path projected into an attribute: an inline expression read
-        # inside the filter/aggregate lambdas re-runs per prefix
+        # inside the filter/aggregate lambdas re-runs per prefix.
+        # RFC 9309 §2.2.3: '*' (any chars) and a TRAILING '$' (end
+        # anchor) MUST be supported — rules carrying either take the
+        # regex branch (escape regex specials, '*' -> '.*', '$' kept
+        # as the anchor); plain rules stay on the cheap startswith
+        # path. Rule specificity (the longest-match ranking) counts
+        # the RULE's own octets either way.
+        def _rule_matches(p):
+            anchored = p.endswith("$")
+            base = F.when(
+                anchored, F.substring(p, 1, F.length(p) - 1)
+            ).otherwise(p)
+            esc = F.regexp_replace(
+                base, r"([.^$+?(){}\[\]\\|])", r"\\$1"
+            )
+            pat = F.concat(
+                F.lit("^"),
+                F.replace(esc, F.lit("*"), F.lit(".*")),
+                F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+            )
+            return F.when(
+                p.contains("*") | p.endswith("$"),
+                F.regexp_like(F.col("_upath"), pat),
+            ).otherwise(F.col("_upath").startswith(p))
+
         def _longest_match(arr):
             return F.aggregate(
-                F.filter(arr, lambda p: F.col("_upath").startswith(p)),
+                F.filter(arr, _rule_matches),
                 F.lit(0),
                 lambda acc, p: F.greatest(acc, F.length(p)),
             )

@@ -193,3 +193,48 @@ def test_allow_carveout_longest_match_precedence(spark):
         ).select("sourceUrl").collect()
     }
     assert any(carved in u and "/article/1" in u for u in fetched)
+
+
+def test_wildcard_and_anchor_rules_in_gate(spark):
+    """RFC 9309 §2.2.3: '*' and a trailing '$' in rules MUST be
+    supported. '/article/1$' blocks exactly /article/1 (not
+    /article/10, /article/11); '/article/*0' blocks the articles
+    whose path contains a 0 after the prefix. Plain rules keep the
+    prefix path."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.plans.rounds import CrawlEngine
+    from publicationsretriever_spark.sources.synthetic_web import (
+        SyntheticWeb,
+    )
+
+    web = SyntheticWeb(seed=5, n_hosts=2, pages_per_host_max=12)
+    host0 = sorted(web.robots.keys())[0]  # 12 articles: /article/0..11
+    rob = spark.createDataFrame(
+        [(host0, ["/article/1$", "/article/*0"], None)],
+        "domain string, disallow array<string>, allow array<string>",
+    )
+    state = CrawlEngine(
+        spark, web, num_buckets=4, host_quota=32, robots_df=rob,
+    ).crawl(web.seeds_df(spark), max_rounds=2)
+    blocked = {
+        r["sourceUrl"]
+        for r in state.results.filter(
+            F.col("error") == "robots disallowed"
+        ).collect()
+        if host0 in r["sourceUrl"]
+    }
+    import re
+
+    blocked_ids = {
+        m.group(1)
+        for u in blocked
+        for m in [re.search(r"/article/(\d+)", u)]
+        if m
+    }
+    # $ anchor: exactly 1; wildcard: 0 and 10 (contain a 0 after
+    # /article/); 11 must NOT be blocked
+    assert "1" in blocked_ids
+    assert "10" in blocked_ids and "0" in blocked_ids
+    assert "11" not in blocked_ids, blocked_ids
+    assert "2" not in blocked_ids
