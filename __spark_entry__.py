@@ -2970,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN f.status = 304
                           OR f.status BETWEEN 200 AND 299 THEN f.f_at
                         ELSE p.fetched_at_ms END AS fetched_at_ms,
+                   f.f_at AS attempt_at_ms,
                    CASE WHEN f.status IS NULL THEN NULL
                         WHEN f.status = 304 THEN 'unchanged'
                         WHEN f.status BETWEEN 200 AND 299 THEN

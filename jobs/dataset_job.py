@@ -181,12 +181,17 @@ def main() -> int:
         # cluster the committed layout so per-file min/max stats stay
         # tight on every listed dim (phash prefix probes, dimension
         # gates); the manifest is committed alongside — the
-        # Iceberg-stats analog a scan planner prunes against
+        # Iceberg-stats analog a scan planner prunes against.
+        # Eager cut first (the repo's fan-out convention): without it
+        # the full pairs lineage — dedup windows, vote joins, the
+        # strip_exif Python pass — runs THREE times (zorder_key's
+        # bounds collect, the pairs write, the manifest write).
         from publicationsretriever_spark.operators.packing import (
             zorder_layout,
             zorder_manifest,
         )
 
+        tables["pairs"] = tables["pairs"].localCheckpoint(eager=True)
         zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         laid = zorder_layout(
             tables["pairs"], zcols, bits=15,
@@ -212,6 +217,8 @@ def main() -> int:
             "alignment_embeddings": args.alignment_embeddings,
             "alignment_threshold": args.alignment_threshold,
             "zorder": args.zorder,
+            "zorder_file_bits": args.zorder_file_bits,
+            "strip_exif": args.strip_exif,
         },
     )
     wds_manifest = None

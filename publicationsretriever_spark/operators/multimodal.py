@@ -570,6 +570,14 @@ def strip_exif_bytes(b: bytes | None) -> tuple[bytes | None, int]:
     while i + 4 <= n:
         if b[i] != 0xFF:
             break  # desynced/corrupt: keep the remainder verbatim
+        if b[i + 1] == 0xFF:
+            # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+            # pad before a marker — copy and keep scanning, else the
+            # parser desyncs and an EXIF segment behind the padding
+            # ships verbatim with exif_removed=0
+            out += b"\xff"
+            i += 1
+            continue
         marker = b[i + 1]
         if marker in (0xDA, 0xD9):  # SOS/EOI: entropy data follows
             break

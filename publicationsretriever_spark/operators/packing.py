@@ -233,6 +233,12 @@ def zorder_key(
             aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
         row = df.agg(*aggs).collect()[0]
+        if any(row[f"_mn_{c}"] is None for c in cols):
+            raise ValueError(
+                "zorder_key: empty input (or all-null column) and no "
+                "explicit bounds= given — pass bounds to key an "
+                "empty/append frame against an existing layout"
+            )
         bounds = {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):

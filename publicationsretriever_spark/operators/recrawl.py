@@ -138,9 +138,16 @@ def apply_revalidation(
     - anything else       -> 'error': stored state kept verbatim;
                              outcome 'error'
 
-    The (id, fetched_at_ms, outcome) triple of the non-kept rows is
-    exactly the history row :func:`recrawl_schedule` consumes, so a
-    recrawl loop is: schedule -> conditional fetch -> this merge ->
+    Two clocks, deliberately distinct: ``fetched_at_ms`` is STATE
+    (when the stored payload was last obtained/confirmed — it must
+    NOT advance on errors), while ``attempt_at_ms`` records this
+    round's fetch time for every attempted row, errors included. The
+    history feed for :func:`recrawl_schedule` is the non-kept rows'
+    (id, attempt_at_ms, outcome) — feeding the STATE clock instead
+    would pin an erroring URL's history at its last success, zero
+    its fail_streak, and defeat the error backoff entirely (a
+    permanently-503 URL would be re-fetched every round). The full
+    recrawl loop: schedule -> conditional fetch -> this merge ->
     append history -> schedule.
 
     Scale shape: ONE equi-join on the id (fetched is round-sized —
@@ -194,5 +201,6 @@ def apply_revalidation(
         F.when(keep_new | reval, F.col("_f_at"))
         .otherwise(F.col("fetched_at_ms"))
         .alias("fetched_at_ms"),
+        F.col("_f_at").alias("attempt_at_ms"),
         outcome.alias("outcome"),
     )

@@ -954,40 +954,10 @@ class IvfPqIndex:
         )
         if self.residual:
             assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-            resid = assigned.join(
-                F.broadcast(self.centroids), "cell_id"
-            ).select(
-                F.col(id_col),
-                F.zip_with(
-                    F.col(vec_col), F.col("_cv"),
-                    lambda x, y: x.cast("double") - y,
-                ).alias(vec_col),
-            )
-            rrec = pq_reconstruct_fused(
-                resid, self.codebooks, self.m, vec_col, id_col
-            )
-            add = (
-                assigned.select(id_col, "cell_id")
-                .join(rrec, id_col)
-                .join(F.broadcast(self.centroids), "cell_id")
-                .select(
-                    "cell_id", id_col,
-                    F.zip_with(
-                        F.col("_cv"), F.col("recon"), lambda x, y: x + y
-                    ).alias("recon"),
-                )
-                .withColumn("_n", l2_norm(F.col("recon")))
-            )
-        else:
-            recon = pq_reconstruct_fused(
-                new_vectors, self.codebooks, self.m, vec_col, id_col
-            )
-            add = (
-                assigned.select(id_col, "cell_id")
-                .join(recon, id_col)
-                .withColumn("_n", l2_norm(F.col("recon")))
-            )
-        add = add.persist(StorageLevel.MEMORY_AND_DISK)
+        add = _ivfpq_encode(
+            new_vectors, assigned, self.centroids, self.codebooks,
+            self.m, vec_col, id_col, residual=self.residual,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         add.count()  # batch-sized job: the whole append cost
         if self.residual:
             assigned.unpersist()
@@ -1001,6 +971,50 @@ class IvfPqIndex:
         for d in getattr(self, "_deltas", []):
             d.unpersist()
         getattr(self, "_base", self.inverted).unpersist()
+
+
+def _ivfpq_residual(assigned, cent, vec_col, id_col):
+    """r = x - centroid(x) per assigned row — the IVFADC residual."""
+    return assigned.join(F.broadcast(cent), "cell_id").select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col), F.col("_cv"),
+            lambda x, y: x.cast("double") - y,
+        ).alias(vec_col),
+    )
+
+
+def _ivfpq_encode(vectors, assigned, cent, cbs, m, vec_col, id_col,
+                  residual):
+    """Encode rows through FROZEN codebooks to the inverted-list
+    payload (cell_id, id, recon, _n). The ONE code path shared by
+    build_ivfpq_index and IvfPqIndex.append — a recipe change here
+    (cast order, join shape) reaches both, so append-encoded deltas
+    can never silently diverge from build-encoded rows in the same
+    list (the append==rebuild equivalence tests pin this)."""
+    if residual:
+        rrec = pq_reconstruct_fused(
+            _ivfpq_residual(assigned, cent, vec_col, id_col),
+            cbs, m, vec_col, id_col,
+        )
+        return (
+            assigned.select(id_col, "cell_id")
+            .join(rrec, id_col)
+            .join(F.broadcast(cent), "cell_id")
+            .select(
+                "cell_id", id_col,
+                F.zip_with(
+                    F.col("_cv"), F.col("recon"), lambda x, y: x + y
+                ).alias("recon"),
+            )
+            .withColumn("_n", l2_norm(F.col("recon")))
+        )
+    recon = pq_reconstruct_fused(vectors, cbs, m, vec_col, id_col)
+    return (
+        assigned.select(id_col, "cell_id")
+        .join(recon, id_col)
+        .withColumn("_n", l2_norm(F.col("recon")))
+    )
 
 
 def build_ivfpq_index(
@@ -1047,31 +1061,15 @@ def build_ivfpq_index(
     assigned = ivf_assign(vectors, cent, vec_col, id_col)
     if residual:
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        resid = assigned.join(F.broadcast(cent), "cell_id").select(
-            F.col(id_col),
-            F.zip_with(
-                F.col(vec_col), F.col("_cv"),
-                lambda x, y: x.cast("double") - y,
-            ).alias(vec_col),
-        )
         cbs = pq_codebooks(
-            resid, vec_col, id_col, m=m, n_codes=n_codes,
+            _ivfpq_residual(assigned, cent, vec_col, id_col),
+            vec_col, id_col, m=m, n_codes=n_codes,
             refine_iters=refine_iters, sample_n=sample_n,
         )
-        rrec = pq_reconstruct_fused(resid, cbs, m, vec_col, id_col)
-        inv = (
-            assigned.select(id_col, "cell_id")
-            .join(rrec, id_col)
-            .join(F.broadcast(cent), "cell_id")
-            .select(
-                "cell_id", id_col,
-                F.zip_with(
-                    F.col("_cv"), F.col("recon"), lambda x, y: x + y
-                ).alias("recon"),
-            )
-            .withColumn("_n", l2_norm(F.col("recon")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        inv = _ivfpq_encode(
+            vectors, assigned, cent, cbs, m, vec_col, id_col,
+            residual=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         inv.count()  # eager: safe to drop the assignment pin below
         assigned.unpersist()
         return IvfPqIndex(
@@ -1082,14 +1080,10 @@ def build_ivfpq_index(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
     )
-    recon = pq_reconstruct_fused(vectors, cbs, m, vec_col, id_col)
-    inv = (
-        assigned
-        .select(id_col, "cell_id")
-        .join(recon, id_col)
-        .withColumn("_n", l2_norm(F.col("recon")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    inv = _ivfpq_encode(
+        vectors, assigned, cent, cbs, m, vec_col, id_col,
+        residual=False,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if materialize:
         inv.count()
     return IvfPqIndex(

@@ -121,3 +121,17 @@ def test_dataset_job_strip_exif_stage(spark, tmp_path, monkeypatch,
     for r in pairs:
         assert r["exif_removed"] == 0  # PNG corpus: nothing to strip
         assert bytes(r["bytes"])[:4] == b"\x89PNG"
+
+
+def test_fill_bytes_before_marker_do_not_desync():
+    """ISO 10918-1 B.1.1.2 fill bytes: 0xFF padding before a marker
+    must not desync the parser — the EXIF segment behind the padding
+    is still found and dropped, and the padding itself is kept."""
+    dirty = (b"\xff\xd8" + b"\xff\xff" + EXIF + b"\xff\xff\xff" + APP0
+             + b"\xff\xda\x00\x04\x01\x00" + b"\x12\x34" + b"\xff\xd9")
+    clean, removed = strip_exif_bytes(dirty)
+    assert removed == 1
+    assert b"Exif" not in clean and b"GPS" not in clean
+    assert clean == (b"\xff\xd8" + b"\xff\xff" + b"\xff\xff\xff" + APP0
+                     + b"\xff\xda\x00\x04\x01\x00" + b"\x12\x34"
+                     + b"\xff\xd9")

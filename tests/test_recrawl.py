@@ -148,23 +148,24 @@ def test_apply_revalidation_case_table(spark):
     assert out[1] == {"url_id": 1, "action": "kept",
                       "payload_hash": "h1", "etag": '"e1"',
                       "last_modified": "lm1", "fetched_at_ms": 1000,
-                      "outcome": None}
+                      "attempt_at_ms": None, "outcome": None}
     assert out[2] == {"url_id": 2, "action": "revalidated",
                       "payload_hash": "h2", "etag": '"e2b"',
                       "last_modified": None, "fetched_at_ms": 2500,
-                      "outcome": "unchanged"}
+                      "attempt_at_ms": 2500, "outcome": "unchanged"}
     assert out[3] == {"url_id": 3, "action": "replaced",
                       "payload_hash": "h3-new", "etag": '"e3"',
                       "last_modified": "lm3b", "fetched_at_ms": 3500,
-                      "outcome": "changed"}
+                      "attempt_at_ms": 3500, "outcome": "changed"}
     assert out[4] == {"url_id": 4, "action": "replaced",
                       "payload_hash": "h4", "etag": None,
                       "last_modified": None, "fetched_at_ms": 4500,
-                      "outcome": "unchanged"}
+                      "attempt_at_ms": 4500, "outcome": "unchanged"}
+    # error: STATE clock pinned at 5000, ATTEMPT clock says 5500
     assert out[5] == {"url_id": 5, "action": "error",
                       "payload_hash": "h5", "etag": '"e5"',
                       "last_modified": "lm5", "fetched_at_ms": 5000,
-                      "outcome": "error"}
+                      "attempt_at_ms": 5500, "outcome": "error"}
 
 
 def test_revalidation_feeds_recrawl_schedule(spark):
@@ -180,11 +181,13 @@ def test_revalidation_feeds_recrawl_schedule(spark):
 
     prior, fetched = _reval_frames(spark)
     merged = apply_revalidation(prior, fetched)
+    # history feed uses the ATTEMPT clock — the state clock would pin
+    # erroring URLs at their last success and zero the fail streak
     hist = (
         merged.filter(F.col("outcome").isNotNull())
         .select(
             "url_id",
-            F.timestamp_millis(F.col("fetched_at_ms")).alias("ts"),
+            F.timestamp_millis(F.col("attempt_at_ms")).alias("ts"),
             "outcome",
         )
     )
@@ -198,3 +201,50 @@ def test_revalidation_feeds_recrawl_schedule(spark):
     # staleness (1+0)//(1+0)=1 -> 60 << 1 = 120
     assert sched[5]["fail_streak"] == 1
     assert sched[5]["delay_s"] == 120
+
+
+def test_error_after_success_backs_off_from_attempt_time(spark):
+    """The reviewer scenario the attempt clock exists for: success at
+    t=1.0s then a 503 attempt at t=1.5s. With the attempt clock the
+    error row is ts=1500 > _ok_max=1000, so fail_streak=1, the
+    backoff doubles the delay, and next_fetch_ts advances from the
+    ATTEMPT — the erroring URL is never hammered every round."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.recrawl import (
+        apply_revalidation,
+        recrawl_schedule,
+    )
+
+    prior = spark.createDataFrame(
+        [(9, "h9", None, None, 1000)],
+        "url_id long, payload_hash string, etag string, "
+        "last_modified string, fetched_at_ms long",
+    )
+    fetched = spark.createDataFrame(
+        [(9, 503, None, None, None, 1500)],
+        "url_id long, status int, payload_hash string, etag string, "
+        "last_modified string, fetched_at_ms long",
+    )
+    merged = apply_revalidation(prior, fetched)
+    row = merged.collect()[0]
+    assert row["fetched_at_ms"] == 1000  # state clock pinned
+    assert row["attempt_at_ms"] == 1500  # attempt clock advanced
+    hist = spark.createDataFrame(
+        [(9, datetime.datetime(1970, 1, 1, 0, 0, 1), "changed")],
+        "url_id long, ts timestamp, outcome string",
+    ).unionByName(
+        merged.select(
+            "url_id",
+            F.timestamp_millis(F.col("attempt_at_ms")).alias("ts"),
+            "outcome",
+        )
+    )
+    s = recrawl_schedule(hist, base_delay_s=60).collect()[0]
+    assert s["fail_streak"] == 1
+    # stale = 60*(1+0)//(1+1) = 30, <<1 = 60, clamped to base 60 —
+    # the backoff DID fire (without it stale alone would be 30)
+    assert s["delay_s"] == 60
+    assert s["last_ts"] == datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)
