@@ -1222,7 +1222,7 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</lastmod><priority>0."),
         (F.col("doc_id") % 10).cast("string"),
         F.lit("</priority></url><url><loc>https://h"), h,
-        F.lit(".org/q"), d, F.lit("</loc></url></urlset>"),
+        F.lit(".org/q?a=1&amp;b="), d, F.lit("</loc></url></urlset>"),
     )
     pages = docs.select(
         F.concat(F.lit("https://h"), h, F.lit(".org/sitemap.xml")).alias(
@@ -2843,7 +2843,7 @@ def oracle_sql() -> dict[str, str]:
                      (1 + doc_id % 9) || '</lastmod><priority>0.' ||
                      (doc_id % 10) ||
                      '</priority></url><url><loc>https://h' ||
-                     (doc_id % 7) || '.org/q' || doc_id ||
+                     (doc_id % 7) || '.org/q?a=1&amp;b=' || doc_id ||
                      '</loc></url></urlset>' AS xml
               FROM documents
             ),
@@ -2854,9 +2854,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS source_sitemap,
                    'url' AS kind,
-                   nullif(regexp_extract(
-                     blk, '(?s)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>', 1),
-                     '') AS loc,
+                   -- loc entity-unescape mirrors _xml_unescape
+                   -- (&amp; LAST, same replace order)
+                   replace(replace(replace(replace(replace(
+                     nullif(regexp_extract(
+                       blk, '(?s)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>',
+                       1), ''),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&apos;', ''''), '&amp;', '&') AS loc,
                    nullif(regexp_extract(
                      blk,
                      '(?s)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod\\s*>', 1),

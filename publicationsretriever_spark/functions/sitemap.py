@@ -37,6 +37,18 @@ def _field(block: Column, pat: str) -> Column:
     return F.when(v == "", F.lit(None)).otherwise(v)
 
 
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities; sitemaps.org REQUIRES loc
+    URLs to be entity-escaped, so a spec-compliant multi-parameter
+    URL arrives as ...?a=1&amp;b=2 and must be unescaped before it
+    can be fetched. &amp; LAST so double-escapes ('&amp;lt;')
+    resolve one level per pass, same order as html_to_text."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
 def sitemap_entries(xml: Column) -> Column:
     """Array of structs (kind, loc, lastmod, priority) from one
     sitemap XML document: kind='url' for urlset leaves, 'sitemap' for
@@ -47,7 +59,7 @@ def sitemap_entries(xml: Column) -> Column:
             blocks,
             lambda b: F.struct(
                 F.lit(kind).alias("kind"),
-                _field(b, _LOC).alias("loc"),
+                _xml_unescape(_field(b, _LOC)).alias("loc"),
                 _field(b, _LASTMOD).alias("lastmod"),
                 _field(b, _PRIORITY)
                 .try_cast("double")

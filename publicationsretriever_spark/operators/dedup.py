@@ -137,7 +137,14 @@ def incremental_neardup_pairs(
     ``vs='corpus'`` rows pair a batch doc with an indexed corpus doc
     and ``vs='batch'`` rows pair two batch docs (batch_id < match_id).
     """
-    b = minhash_band_index(batch, text_col, id_col, num_hashes, bands, k)
+    # the batch index feeds THREE plan subtrees (the corpus join's
+    # broadcast side and both sides of the batch self-join); an eager
+    # cut materializes the tokenize + shingle + 16-hash signature work
+    # once instead of three times per action. Batch-sized by the
+    # operator's own contract, so the checkpoint is small.
+    b = minhash_band_index(
+        batch, text_col, id_col, num_hashes, bands, k
+    ).localCheckpoint(eager=True)
     bl = F.broadcast(b) if broadcast_batch else b
     n, c = bl.alias("n"), index.alias("c")
     vs_corpus = (
@@ -1046,8 +1053,10 @@ def decontaminate(
     contract query passes hash_keys=False because DuckDB lacks
     xxhash64 — pytest pins hash/text equivalence instead."""
 
-    def span_keys(frame: DataFrame, text: str) -> Column:
-        # tokens projected to an attribute first (_words contract)
+    def span_keys() -> Column:
+        # reads the PROJECTED token attribute `_w` — both consumers
+        # select it first (the attribute-first discipline); the old
+        # (frame, text) parameters were dead and misleading
         words = F.col("_w")
         n = F.size(words) - F.lit(w) + 1
         span_text = lambda p: F.concat_ws(  # noqa: E731
@@ -1074,14 +1083,14 @@ def decontaminate(
         eval_df.select(
             _words(F.col(eval_text_col or text_col)).alias("_w")
         )
-        .select(F.explode(span_keys(eval_df, "_w")).alias("_key"))
+        .select(F.explode(span_keys()).alias("_key"))
         .distinct()
     )
     train_spans = df.select(
         F.col(id_col), _words(F.col(text_col)).alias("_w")
     ).select(
         F.col(id_col),
-        F.explode(span_keys(df, "_w")).alias("_key"),
+        F.explode(span_keys()).alias("_key"),
     )
     hits = (
         train_spans.join(F.broadcast(ev_keys), "_key", "inner")

@@ -375,7 +375,14 @@ def image_quality_gates(
     }
     out = df
     for name in IMAGE_GATE_ORDER:
-        out = out.withColumn(f"gate_{name}", gates[name])
+        # NULL metadata (NULL bytes -> NULL bpp, NULL w/h -> NULL
+        # aspect) must FAIL its gate, not evaluate to SQL NULL: a
+        # NULL keep passes neither filter(keep) nor filter(~keep),
+        # so the row would vanish from pairs AND audit_rejects —
+        # breaking the every-drop-is-audited contract
+        out = out.withColumn(
+            f"gate_{name}", F.coalesce(gates[name], F.lit(False))
+        )
     keep = F.lit(True)
     for name in IMAGE_GATE_ORDER:
         keep = keep & F.col(f"gate_{name}")

@@ -55,7 +55,11 @@ def bm25_topk(
     (doc, term) for tf, one tiny shuffle on term for df, one on
     (query, doc) for the score sum — each carries only matched rows.
     """
-    toks = docs.select(
+    # NULL-text docs are dropped up front: they can never match a
+    # term, but size(NULL array) is -1 under Spark's default
+    # sizeOfNull, so leaving them in SUBTRACTS from sumdl (skewing
+    # every doc's length normalization) and inflates N in the idf
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
     )
     row = toks.agg(

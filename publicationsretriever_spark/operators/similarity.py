@@ -419,43 +419,11 @@ class IvfIndex:
         k: int = 5,
         nprobe: int = 4,
     ) -> DataFrame:
-        vec_col, id_col = self.vec_col, self.id_col
-        qscored = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv")
-        ).crossJoin(F.broadcast(self.centroids)).select(
-            F.col(query_id_col),
-            F.col("_qv"),
-            F.col("cell_id"),
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
-        )
-        wq = Window.partitionBy(query_id_col).orderBy(
-            F.col("_sim").desc(), F.col("cell_id").asc()
-        )
-        probe = (
-            qscored.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= nprobe)
-            .select(
-                query_id_col, "_qv", "cell_id",
-                l2_norm(F.col("_qv")).alias("_qn"),
-            )
-        )
-        joined = self.inverted.join(F.broadcast(probe), "cell_id")
-        scored = joined.select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.round(
-                dot(F.col(vec_col), F.col("_qv"))
-                / (F.col("_n") * F.col("_qn")),
-                6,
-            ).alias("cos_sim"),
-        )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.col("cos_sim").desc(), F.col(id_col).asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "rank", id_col, "cos_sim")
+        return _probe_topk(
+            self.inverted, self.centroids, queries,
+            payload_col=self.vec_col, score_name="cos_sim",
+            id_col=self.id_col, vec_col=self.vec_col,
+            query_id_col=query_id_col, k=k, nprobe=nprobe,
         )
 
     def append(self, new_vectors: DataFrame) -> "IvfIndex":
@@ -862,6 +830,65 @@ def pq_topk(
     )
 
 
+def _probe_topk(
+    inverted: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    payload_col: str,
+    score_name: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The ONE probe/scan/rank pipeline behind IvfIndex.topk and
+    IvfPqIndex.topk (they differ only in the scored payload column
+    and the score's name): queries score all centroids (broadcast),
+    keep their nprobe best cells, the inverted list joins the probe
+    on cell_id (partition-pruning shape at scale), rows score by
+    cosine against the precomputed norm, per-query top-k with @6dp
+    rounding and id tie-breaks. A tie-break or rounding fix here
+    reaches both index families at once."""
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    ).crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col),
+        F.col("_qv"),
+        F.col("cell_id"),
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("cell_id").asc()
+    )
+    probe = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            query_id_col, "_qv", "cell_id",
+            l2_norm(F.col("_qv")).alias("_qn"),
+        )
+    )
+    joined = inverted.join(F.broadcast(probe), "cell_id")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            dot(F.col(payload_col), F.col("_qv"))
+            / (F.col("_n") * F.col("_qn")),
+            6,
+        ).alias(score_name),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_name).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, score_name)
+    )
+
+
 class IvfPqIndex:
     """Resident IVF-PQ index: IVF's partition pruning (each query
     scores only its nprobe probed cells) combined with PQ's compressed
@@ -893,43 +920,11 @@ class IvfPqIndex:
         k: int = 5,
         nprobe: int = 4,
     ) -> DataFrame:
-        id_col = self.id_col
-        qscored = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv")
-        ).crossJoin(F.broadcast(self.centroids)).select(
-            F.col(query_id_col),
-            F.col("_qv"),
-            F.col("cell_id"),
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_sim"),
-        )
-        wq = Window.partitionBy(query_id_col).orderBy(
-            F.col("_sim").desc(), F.col("cell_id").asc()
-        )
-        probe = (
-            qscored.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= nprobe)
-            .select(
-                query_id_col, "_qv", "cell_id",
-                l2_norm(F.col("_qv")).alias("_qn"),
-            )
-        )
-        joined = self.inverted.join(F.broadcast(probe), "cell_id")
-        scored = joined.select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.round(
-                dot(F.col("recon"), F.col("_qv"))
-                / (F.col("_n") * F.col("_qn")),
-                6,
-            ).alias("adc_sim"),
-        )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.col("adc_sim").desc(), F.col(id_col).asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "rank", id_col, "adc_sim")
+        return _probe_topk(
+            self.inverted, self.centroids, queries,
+            payload_col="recon", score_name="adc_sim",
+            id_col=self.id_col, vec_col=vec_col,
+            query_id_col=query_id_col, k=k, nprobe=nprobe,
         )
 
     def append(self, new_vectors: DataFrame) -> "IvfPqIndex":
@@ -1123,6 +1118,13 @@ def ivfpq_topk(
         residual=residual,
     )
     out = ix.topk(queries, vec_col, query_id_col, k=k, nprobe=nprobe)
+    if residual:
+        # the residual build materialized the inverted list eagerly
+        # (its count() covers the assignment-pin drop); unpersisting
+        # while `out` is still lazy would discard that cache and
+        # re-run the whole encode at the caller's action — cut the
+        # tiny top-k result eagerly first, then release the list
+        out = out.localCheckpoint(eager=True)
     ix.inverted.unpersist()
     return out
 

@@ -342,9 +342,20 @@ def text_quality_gates(
         better = score > best_score
         best_code = F.when(better, F.lit(code)).otherwise(best_code)
         best_score = F.when(better, score).otherwise(best_score)
-    stop_ratio = F.round(
-        F.col("_s_en") / F.greatest(n, F.lit(1)), 6
+    # stopword ratio against the ALLOWED languages' own marker lists
+    # (C4 filters with the target language's stopwords) — max across
+    # the allowlist so each doc is judged by its best-matching allowed
+    # language; hardcoding _s_en rejected every non-English corpus the
+    # lang gate had just admitted. Default ('en',) is unchanged.
+    _allowed = [
+        F.col(f"_s_{c}") for c in sorted(set(allowed_langs))
+        if c in LANG_MARKERS
+    ]
+    stop_cnt = (
+        F.greatest(*_allowed) if len(_allowed) > 1
+        else (_allowed[0] if _allowed else F.lit(0))
     )
+    stop_ratio = F.round(stop_cnt / F.greatest(n, F.lit(1)), 6)
     gates = {
         "lang": best_code.isin(*allowed_langs),
         "length": (F.col("_nc") >= min_chars)

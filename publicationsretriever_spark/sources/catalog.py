@@ -274,10 +274,21 @@ class SnapshotCatalog:
         from pyspark.sql import functions as F
 
         def keyed_hash(df: DataFrame) -> DataFrame:
+            # xxhash64 leaves its running seed UNCHANGED for NULL
+            # inputs, so ('x', NULL) and (NULL, 'x') would hash
+            # identically and a NULL-involving value shift would read
+            # as unchanged — the null bitmap disambiguates positions
             return df.select(
                 *key_cols,
                 F.xxhash64(
-                    *[F.col(c).cast("string") for c in val_cols]
+                    *[F.col(c).cast("string") for c in val_cols],
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(c).isNull().cast("int").cast("string")
+                            for c in val_cols
+                        ],
+                    ),
                 ).alias("_vh"),
             )
 
@@ -302,13 +313,25 @@ class SnapshotCatalog:
             ],
             change.alias("change"),
         ).filter(F.col("change").isNotNull())
-        added_changed = delta_keys.filter(
-            F.col("change") != "removed"
-        ).join(new, key_cols)
-        removed = delta_keys.filter(F.col("change") == "removed").join(
-            old, key_cols
+        # join-back must be null-safe too: the detection above paid
+        # for eqNullSafe, a plain name-equality join here would drop
+        # every NULL-keyed delta on the floor
+        def join_back(deltas: DataFrame, side_df: DataFrame) -> DataFrame:
+            d, s = deltas.alias("d"), side_df.alias("s")
+            jc = [
+                F.col(f"d.{k}").eqNullSafe(F.col(f"s.{k}"))
+                for k in key_cols
+            ]
+            return d.join(s, jc).select(
+                *[F.col(f"d.{k}").alias(k) for k in key_cols],
+                F.col("d.change").alias("change"),
+                *[F.col(f"s.{c}").alias(c) for c in val_cols],
+            )
+
+        added_changed = join_back(
+            delta_keys.filter(F.col("change") != "removed"), new
         )
-        cols = key_cols + ["change"] + val_cols
-        return added_changed.select(*cols).unionByName(
-            removed.select(*cols)
+        removed = join_back(
+            delta_keys.filter(F.col("change") == "removed"), old
         )
+        return added_changed.unionByName(removed)

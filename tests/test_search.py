@@ -98,3 +98,30 @@ def test_bm25_queries_are_isolated(spark):
     for r in out:
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     assert by_q == {0: {4}, 1: {5}}
+
+
+def test_bm25_null_text_docs_do_not_skew_constants(spark):
+    """size(NULL) = -1 under default sizeOfNull: NULL-text docs used
+    to SUBTRACT from sumdl and inflate N. Scores must be identical
+    with and without NULL-text rows in the corpus."""
+    from publicationsretriever_spark.operators.search import bm25_topk
+
+    clean = spark.createDataFrame(
+        [(1, "spark engine fast"), (2, "engine room"),
+         (3, "fast data engine")],
+        "doc_id long, text string",
+    )
+    noisy = clean.unionByName(spark.createDataFrame(
+        [(10, None), (11, None)], "doc_id long, text string"
+    ))
+    q = spark.createDataFrame([(0, "engine fast")],
+                              "query_id long, query string")
+    a = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(clean, q, k=3).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(noisy, q, k=3).collect()
+    )
+    assert a == b and len(a) == 3

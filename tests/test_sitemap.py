@@ -69,3 +69,26 @@ def test_expand_is_pure_projection(spark):
         expand_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_loc_entities_unescaped(spark):
+    """sitemaps.org REQUIRES entity-escaped loc URLs — '&amp;' in a
+    multi-parameter query string must come back as '&' or every such
+    URL is fetched at a wrong address; double-escapes resolve one
+    level."""
+    from publicationsretriever_spark.functions.sitemap import (
+        expand_sitemaps,
+    )
+
+    xml = ("<urlset><url><loc>https://e.org/p?a=1&amp;b=2</loc></url>"
+           "<url><loc>https://e.org/q?x=&quot;y&quot;&amp;z=%3C"
+           "</loc></url>"
+           "<url><loc>https://e.org/amp?lit=&amp;amp;</loc></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("https://e.org/s.xml", xml)],
+                               "url string, body string")
+    locs = {r["loc"] for r in expand_sitemaps(df).collect()}
+    assert "https://e.org/p?a=1&b=2" in locs
+    assert 'https://e.org/q?x="y"&z=%3C' in locs
+    # one unescape level only: '&amp;amp;' -> '&amp;'
+    assert "https://e.org/amp?lit=&amp;" in locs

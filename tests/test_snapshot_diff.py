@@ -107,3 +107,36 @@ def test_diff_identical_snapshots_is_empty(spark, tmp_path):
     s1 = _commit(cat, spark, [(1, "a", 10)], 0)
     s2 = _commit(cat, spark, [(1, "a", 10)], 1)
     assert cat.diff_table(spark, "t", ["k"], s1, s2).count() == 0
+
+
+def test_diff_detects_null_position_shift_and_null_keys(spark, tmp_path):
+    """Two NULL traps: (a) xxhash64 skips NULLs, so ('x', NULL) ->
+    (NULL, 'x') hashed identically and the change was missed; (b) the
+    join-back used plain equality, so NULL-keyed deltas vanished."""
+    from publicationsretriever_spark.sources.catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    schema = "k string, a string, b string"
+    t1 = spark.createDataFrame(
+        [("r1", "x", None), (None, "old-a", "old-b")], schema
+    )
+    sid1, meta, _ = cat.write_tables(spark, {"t": t1})
+    cat.finish_commit(sid1, meta, round_no=0, lineage={})
+    t2 = spark.createDataFrame(
+        [("r1", None, "x"), (None, "new-a", "old-b")], schema
+    )
+    sid2, meta2, _ = cat.write_tables(spark, {"t": t2})
+    cat.finish_commit(sid2, meta2, round_no=1, lineage={})
+
+    out = {
+        r["k"]: r
+        for r in cat.diff_table(spark, "t", ["k"], sid1, sid2).collect()
+    }
+    # (a) the NULL-position swap is a real change
+    assert "r1" in out and out["r1"]["change"] == "changed"
+    assert out["r1"]["a"] is None and out["r1"]["b"] == "x"
+    # (b) the NULL-keyed changed row survives the join-back
+    assert None in out and out[None]["change"] == "changed"
+    assert out[None]["a"] == "new-a"

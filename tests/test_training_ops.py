@@ -2203,3 +2203,57 @@ def test_incremental_components_small_graph_only(spark):
     upd = incremental_components(assign, bp)
     rows = {(r["node"], r["cluster_id"]) for r in upd.collect()}
     assert rows == {(5, 5), (20, 5)}  # rep 20 remaps; 10/30 untouched
+
+
+def test_text_gates_stopword_uses_allowed_language_markers(spark):
+    """allowed_langs=('de',): a plainly German document passes BOTH
+    the lang gate and the stopword gate (its ratio is computed from
+    German markers, not English ones — the hardcoded-_s_en bug made
+    every non-English corpus unusable)."""
+    from publicationsretriever_spark.operators.textstats import (
+        text_quality_gates,
+    )
+
+    de_text = ("Der Hund und die Katze sind nicht mit dem Vogel "
+               "im Garten, aber das Haus ist von einem Baum "
+               "umgeben und der Weg ist nicht zu einem Ende.")
+    df = spark.createDataFrame(
+        [(1, de_text)], "doc_id long, text string"
+    )
+    row = text_quality_gates(
+        df, "text", "doc_id", allowed_langs=("de",)
+    ).collect()[0]
+    assert row["gate_lang"] is True
+    assert row["gate_stopword"] is True, row
+    assert row["keep"] is True
+
+
+def test_image_gates_null_metadata_rejects_not_vanishes(spark):
+    """NULL bytes/w/h must FAIL a gate (and carry its reason), never
+    evaluate keep to SQL NULL — a NULL keep passed neither
+    filter(keep) nor filter(~keep), so the row vanished from pairs
+    AND audit_rejects."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.multimodal import (
+        image_quality_gates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("ok", 100, 100, "png", 4000, "a fine caption"),
+            ("null-bytes", 100, 100, "png", None, "a fine caption"),
+            ("null-dims", None, None, "png", 4000, "a fine caption"),
+        ],
+        "image_id string, w int, h int, fmt string, byte_len long, "
+        "caption string",
+    )
+    out = {r["image_id"]: r for r in image_quality_gates(df).collect()}
+    assert out["ok"]["keep"] is True
+    for bad in ("null-bytes", "null-dims"):
+        assert out[bad]["keep"] is False, out[bad]
+        assert out[bad]["reject_reason"] is not None
+    # both filters together cover every row — nothing vanishes
+    g = image_quality_gates(df)
+    assert g.filter(F.col("keep")).count() \
+        + g.filter(~F.col("keep")).count() == 3
