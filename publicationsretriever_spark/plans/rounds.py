@@ -765,8 +765,15 @@ class CrawlEngine:
                 F.min_by("mimeType", "id").alias("_orig_mime"),
             )
         )
+        # shuffle-hash, NOT broadcast: prior_docs is keyed by every
+        # distinct successful doc url in CUMULATIVE results — it grows
+        # with crawl age (O(#docs), not O(#domains)), so broadcasting
+        # it is the same driver-collect trap operators/seen.py:279
+        # documents for the seen table. The per-round frontier side is
+        # bounded; a shuffle-hash join keys both sides without ever
+        # collecting the growing table to the driver.
         sched = picked.join(
-            F.broadcast(prior_docs),
+            prior_docs.hint("shuffle_hash"),
             picked["canon_url"] == prior_docs["_hit_url"],
             "left",
         )
@@ -891,7 +898,13 @@ class CrawlEngine:
             "_fetchable",
             F.col("_orig_id").isNull() & F.col("_pblk").isNull() & ~F.col("_rob"),
         )
-        wq = Window.partitionBy("top3", "_fetchable").orderBy("priority", "url_hash")
+        # quota cut orders by url_hash ALONE — the oracle's contract
+        # (oracle.py quota sort key=(0, hash), priority const): ladder
+        # priority picks WHICH url represents an id, never which ids
+        # beat the host quota. The old (priority, url_hash) order
+        # diverged in round 0 whenever one host mixed priorities past
+        # its quota (conformance-tested with mixed seeds).
+        wq = Window.partitionBy("top3", "_fetchable").orderBy("url_hash")
         sched = _cut(sched.withColumn("_hq", F.row_number().over(wq)), "sched")
 
         recross_results = sched.filter(F.col("_orig_id").isNotNull()).select(
@@ -1042,8 +1055,15 @@ class CrawlEngine:
         # dynamic-link pages block their domain (F13,
         # DynamicInternalLinksFoundException, PageCrawler.java:610-611)
         has_dynamic = F.exists("_links", lambda x: x["signal"] == "dynamic")
+        # blocked domain = final url's top3, FALLING BACK to the row's
+        # own top3 when the final url defeats the domain regex — the
+        # oracle's `v.top3.get(url) or r['top3']`; a bare NULL here
+        # blocked nothing and the trap domain kept being fetched
         dynamic_blocked = pages.filter(~F.col("_restricted") & has_dynamic).select(
-            U.top3_domain(U.domain_of(F.col("final_url"))).alias("domain")
+            F.coalesce(
+                U.top3_domain(U.domain_of(F.col("final_url"))),
+                F.col("host"),
+            ).alias("domain")
         ).distinct()
         # live pages continue into link extraction; restricted-access
         # pages stop (MetadataHandler.java:77-120)
@@ -1381,15 +1401,57 @@ class CrawlEngine:
             new_staged_hashes = new_staged_hashes.join(
                 pool_hashes, "url_hash", "left_anti"
             )
+        # the final url's seen key is the hash of its CANONICALIZED
+        # form — the same key every staged frontier row carries and the
+        # oracle's xxh(url) = hash(canon(clean(url))). Hashing the raw
+        # Location string minted keys no frontier row could ever match
+        # (uppercase hosts, jsessionid, fragments) and omitted the
+        # canonical one, so a later link to the same page re-fetched
+        # where the oracle said 'duplicate url'.
         final_cand = (
-            classified.filter(U.url_hash64(F.col("final_url")) != F.col("url_hash"))
-            .select(U.url_hash64(F.col("final_url")).alias("url_hash"))
+            classified.select("final_url", "url_hash")
+            .withColumn(
+                "_fcanon",
+                U.canonicalize_udf(U.clean_url(F.col("final_url"))),
+            )
+            .filter(F.col("_fcanon").isNotNull())
+            .filter(U.url_hash64(F.col("_fcanon")) != F.col("url_hash"))
+            .select(U.url_hash64(F.col("_fcanon")).alias("url_hash"))
             .distinct()
         )
         final_new = final_cand.join(
             state.seen.hint("shuffle_hash"), "url_hash", "left_anti"
         ).join(new_staged_hashes, "url_hash", "left_anti")
-        seen_delta = new_staged_hashes.unionByName(final_new)
+        # (c) battery-REJECTED staged rows: the oracle adds every
+        # staged row's canonical hash to seen, rejects included
+        # (oracle.py: hash = url_hash if canon, before the reject
+        # split) — without them a url rejected under one battery but
+        # admitted under the other kind's battery later re-fetches
+        # where the oracle says duplicate. prepare_frontier skips the
+        # canonicalize UDF for rejected rows (perf), so compute it
+        # here over the (small) rejected slice only. Same discard
+        # semantics as the oracle's set: spilled/pool hashes knock a
+        # rejected contribution out for this round too.
+        rejected_hashes = (
+            staged.filter(F.col("reject_reason").isNotNull())
+            .select(
+                U.canonicalize_udf(F.col("clean_url")).alias("_rc")
+            )
+            .filter(F.col("_rc").isNotNull())
+            .select(U.url_hash64(F.col("_rc")).alias("url_hash"))
+            .distinct()
+            .join(state.seen.hint("shuffle_hash"), "url_hash", "left_anti")
+            .join(new_staged_hashes, "url_hash", "left_anti")
+            .join(final_new, "url_hash", "left_anti")
+            .join(spill.select("url_hash"), "url_hash", "left_anti")
+        )
+        if pool_hashes is not None:
+            rejected_hashes = rejected_hashes.join(
+                pool_hashes, "url_hash", "left_anti"
+            )
+        seen_delta = new_staged_hashes.unionByName(final_new).unionByName(
+            rejected_hashes
+        )
 
         # ---- A2/A3/A4: counter deltas + rule evaluation -------------------
         # one aggregation pass per source, unioned into the dimension

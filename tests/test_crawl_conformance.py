@@ -239,3 +239,59 @@ def test_observation_delta_counts_and_phase_ledger(crawl_setup):
         # close-phase walls exist for the in-memory (non-catalog) path
         assert "pooled_ckpt" in phases and "sketch" in phases
         assert isinstance(phases.get("cut_parts"), dict)
+
+
+def test_mixed_priority_quota_rejected_seed_and_noncanonical_redirect(spark):
+    """Three fixture-masked divergences pinned in one engine-vs-oracle
+    run: (1) the host-quota cut orders by url_hash alone (ladder
+    priority never decides which ids beat the quota), exercised by
+    mixing doc-like and page seeds past the quota on one host; (2) a
+    battery-REJECTED seed still contributes its canonical hash to the
+    seen set; (3) a redirect landing on a NON-canonical final url
+    ('#fragment') enters seen under its canonicalized hash."""
+    web = SyntheticWeb(seed=9, n_hosts=2, pages_per_host_max=12)
+    host = sorted(web.robots.keys())[0]
+    # non-canonical redirect target: /redir-nc 301s to article/1#frag
+    art1 = f"https://{host}/article/1"
+    frag = art1 + "#redir-frag"
+    web.responses[f"https://{host}/redir-nc"] = {
+        "status": 301, "location": frag, "content_type": None,
+        "content_disposition": None, "content_length": 0,
+        "body_kind": "redirect", "image_id": None, "html_links": [],
+    }
+    web.responses[frag] = dict(web.responses[art1])
+
+    seeds = []
+    for i in range(8):  # page seeds: ladder priority 2
+        seeds.append((f"pg{i:02d}", f"https://{host}/article/{i}"))
+    for i in range(6):  # doc-like seeds: ladder priority 0
+        seeds.append((f"dc{i:02d}", f"https://{host}/files/{i}/fulltext.pdf"))
+    seeds.append(("rej0", f"https://{host}/about"))       # F3 reject
+    seeds.append(("rd00", f"https://{host}/redir-nc"))
+    web.seeds = seeds
+
+    verdicts = compute_verdicts(spark, all_urls_of_web(web), web)
+    engine = CrawlEngine(spark, web, num_buckets=4, host_quota=5,
+                         record_order=True)
+    state = engine.crawl(web.seeds_df(spark), max_rounds=3)
+    triple = [(sid, n, u) for n, (sid, u) in enumerate(web.seeds)]
+    oracle = crawl_oracle(web, verdicts, triple, max_rounds=3,
+                          host_quota=5)
+
+    engine_rows = sorted(
+        (r["id"], r["sourceUrl"], r["docOrDatasetUrl"], r["round"])
+        for r in state.results.collect()
+    )
+    oracle_rows = sorted(
+        (r["id"], r["sourceUrl"], r["docOrDatasetUrl"], r["round"])
+        for r in oracle.results
+    )
+    assert engine_rows == oracle_rows
+    engine_seen = set(r[0] for r in state.seen.collect())
+    assert engine_seen == oracle.seen
+    # the scenario actually exercised its three targets:
+    assert any(r[0] == "rej0" and "Discarded" in str(r)
+               for r in [(x["id"], x) for x in oracle.results]) or any(
+        "Discarded" in (x["error"] or "") for x in oracle.results
+        if x["id"] == "rej0")
+    import publicationsretriever_spark.functions.urls  # noqa: F401
