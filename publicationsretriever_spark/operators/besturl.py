@@ -72,9 +72,21 @@ def pick_best_url_per_id(
     prio = priority_expr(
         F.lower(F.col(url_col)), F.col(url_col), retrieve_documents, retrieve_datasets
     )
-    # last-wins ranks order descending on input order
-    tie = F.when(prio == 0, F.col(order_col)).otherwise(-F.col(order_col))
-    w = Window.partitionBy(id_col).orderBy(prio.asc(), tie.asc())
+    w = Window.partitionBy(id_col).orderBy(
+        *ladder_order(prio, F.col(order_col))
+    )
     return df.withColumn("priority", prio).withColumn(
         "is_best", F.row_number().over(w) == 1
     )
+
+
+def ladder_order(prio: Column, order_in_id: Column) -> list[Column]:
+    """The candidate-ladder total order as sort expressions —
+    (priority asc, tie asc) with the reference's slot tie-breaks:
+    rank 0 first-wins (ascending input order), ranks 1-3 last-wins
+    (descending). THE single definition: pick_best_url_per_id uses it
+    for the winner and the engine's fallback-pool ranking
+    (plans/rounds.py round 0) reuses it for wave order, so a
+    tie-break fix propagates to both."""
+    tie = F.when(prio == 0, order_in_id).otherwise(-order_in_id)
+    return [prio.asc(), tie.asc()]

@@ -203,6 +203,29 @@ def merge_shard_sketches(
     )
 
 
+def _seen_marker(seen: DataFrame, key_col: str, out_col: str):
+    """The shared exact-confirm stage of mark_seen and
+    mark_seen_sharded: a distinct'd (key, True) marker with the
+    shuffle_hash hint (the seen table grows without bound — an
+    auto-broadcast is a driver-collect trap, see anti_join_seen), and
+    the left-join+coalesce that turns it into a boolean column.
+    One definition so neither dispatch path can lose the hint or the
+    distinct independently."""
+    marker = (
+        seen.select(key_col).distinct()
+        .withColumn(out_col, F.lit(True))
+        .hint("shuffle_hash")
+    )
+
+    def confirm(df: DataFrame) -> DataFrame:
+        j = df.join(marker, on=key_col, how="left")
+        return j.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(False))
+        )
+
+    return confirm
+
+
 def mark_seen_sharded(
     frontier: DataFrame,
     seen: DataFrame,
@@ -265,14 +288,7 @@ def mark_seen_sharded(
         .withColumn(out_col, F.lit(False))
     )
     maybe = probed.filter(F.col("_maybe")).drop("_maybe", "_shard")
-    marker = (
-        seen.select(key_col).distinct()
-        .withColumn(out_col, F.lit(True))
-        .hint("shuffle_hash")
-    )
-    confirmed = maybe.join(marker, on=key_col, how="left").withColumn(
-        out_col, F.coalesce(F.col(out_col), F.lit(False))
-    )
+    confirmed = _seen_marker(seen, key_col, out_col)(maybe)
     return definitely_new.unionByName(confirmed)
 
 
@@ -349,21 +365,11 @@ def mark_seen(
             frontier, seen, key_col, seen_count=seen_count,
             n_shards=shards_for(seen_count, fpp), fpp=fpp, out_col=out_col,
         )
-    # shuffle_hash hint: see anti_join_seen — the seen table must never
-    # be auto-broadcast (unbounded growth; driver-side collect
-    # serializes the round). The marker is distinct'd so the left join
-    # matches anti/semi-join semantics even when the caller's seen table
-    # carries duplicate keys (a single-column distinct on data already
-    # being shuffled for the join is map-side-combined and near-free).
-    marker = (
-        seen.select(key_col).distinct()
-        .withColumn(out_col, F.lit(True))
-        .hint("shuffle_hash")
-    )
-
-    def exact(df: DataFrame) -> DataFrame:
-        j = df.join(marker, on=key_col, how="left")
-        return j.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+    # marker construction + confirm join shared with the sharded path
+    # (_seen_marker): distinct'd so the left join matches anti/semi
+    # semantics under duplicate keys, shuffle_hash so the growing seen
+    # table is never auto-broadcast.
+    exact = _seen_marker(seen, key_col, out_col)
 
     if seen_count < bloom_threshold:
         return exact(frontier)

@@ -69,7 +69,7 @@ from ..functions import mime as M
 from ..functions import retry as R
 from ..functions import urls as U
 from ..operators import blocking as B
-from ..operators.besturl import pick_best_url_per_id
+from ..operators.besturl import ladder_order, pick_best_url_per_id
 from . import stats as ST
 from ..operators import seen as SEEN
 from ..operators.seen import mark_seen
@@ -731,10 +731,11 @@ class CrawlEngine:
         if round_no == 0:
             ranked = _cut(pick_best_url_per_id(unseen), "ranked")
             picked = ranked.filter(F.col("is_best")).drop("is_best")
-            _tie = F.when(
-                F.col("priority") == 0, F.col("order_in_id")
-            ).otherwise(-F.col("order_in_id"))
-            wp = Window.partitionBy("id").orderBy(F.col("priority").asc(), _tie.asc())
+            # pool wave order = THE ladder order (besturl.ladder_order
+            # — one definition shared with pick_best_url_per_id)
+            wp = Window.partitionBy("id").orderBy(
+                *ladder_order(F.col("priority"), F.col("order_in_id"))
+            )
             non_best = ranked.filter(~F.col("is_best"))
             pool = non_best.withColumn("rank", F.row_number().over(wp)).select(
                 "id", "rank", F.col("order_in_id").cast("long").alias("order_in_id"),
