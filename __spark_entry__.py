@@ -1840,14 +1840,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "temporal_id_strip": rf"""
-            WITH u AS ({urls})
+            -- group-wise '&'->'?' fix, the reference's exact recipe
+            -- (UrlUtils.java:294-297): fires only when GROUP2 starts
+            -- with '&' and GROUP1 has no '?', and replaces group2's
+            -- FIRST character — a regex over the rejoined string
+            -- rewrote the last '&' and fired on path '&'s
+            WITH u AS ({urls}),
+            g AS (
+              SELECT doc_id, url,
+                regexp_matches(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$') AS m,
+                regexp_extract(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$', 1) AS g1,
+                regexp_extract(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$', 2) AS g2
+              FROM u
+            )
             SELECT doc_id, url,
-              CASE WHEN regexp_matches(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$')
-                THEN regexp_replace(
-                       regexp_replace(url, '^(https?://.+)(?:(?:(?:\?|&|;|%3b)(?:.*token|jsessionid)(?:=|%3d))[^?&]+)([?&].+)?$', '\1\2'),
-                       '^([^?]+)&', '\1?')
-                ELSE url END AS clean_url
-            FROM u ORDER BY doc_id
+              CASE WHEN m THEN
+                CASE WHEN g2 LIKE '&%' AND position('?' IN g1) = 0
+                     THEN g1 || '?' || substr(g2, 2)
+                     ELSE g1 || g2 END
+              ELSE url END AS clean_url
+            FROM g ORDER BY doc_id
         """,
         "url_triple_split": f"""
             WITH u AS ({urls}),

@@ -121,6 +121,10 @@ def _structure(node: _Node) -> str:
     tag[_class] per ancestor, newline-separated, up to 50 levels."""
     parts = []
     el, count = node, 0
+    # inclusive bound ON PURPOSE: the reference's do-while appends
+    # BEFORE testing elementsCount <= 50 (PageStructureMLA.java:51-59),
+    # so it emits up to 51 ancestry lines despite the constant's name —
+    # parity means reproducing that off-by-one, not "fixing" it
     while el is not None and el.tag != "#root" and count <= STRUCTURE_DEPTH:
         cls = el.attr("class")
         parts.append(el.tag + ("_" + cls if cls else ""))
@@ -187,7 +191,8 @@ TURKJ_DOC_URL_RE = re.compile(
 
 
 def extract_links_one(
-    html: str | None, page_url: str, retrieve_documents: bool = True
+    html: str | None, page_url: str, retrieve_documents: bool = True,
+    retrieve_datasets: bool = False,
 ) -> list[dict]:
     """One page's extraction (G3). Returns [{link, structure, signal}].
 
@@ -265,7 +270,13 @@ def extract_links_one(
             if verdict == "skip":
                 continue
             if verdict == "docFound":
-                return stop(full_url(page_url, found_link), el, "docFound")
+                # raw-link fallback when resolution fails — a NULL
+                # doc link would mark the page resolved with no
+                # usable url (reference carries the raw link)
+                return stop(
+                    full_url(page_url, found_link) or found_link,
+                    el, "docFound",
+                )
             # link[type=doc-mime] fast path (:476-489)
             ltype = el.attr("type")
             if ltype and ltype in KNOWN_DOC_MIME_TYPES_EXTENDED:
@@ -273,7 +284,9 @@ def extract_links_one(
                 if not link or link == "#":
                     return stop(link, el, "docInvalid")
                 link = link.replace("/view/", "/download/", 1)
-                return stop(full_url(page_url, link), el, "docFound")
+                return stop(
+                    full_url(page_url, link) or link, el, "docFound"
+                )
 
         # getInternalLink (:477-503)
         link = el.attr("href")
@@ -284,9 +297,25 @@ def extract_links_one(
                 if not action or action == "#":
                     continue
                 low_action = action.lower()
-                if retrieve_documents and not DOC_URL_RE.fullmatch(low_action):
+                # the reference's form gate is the OR of both mode
+                # clauses (PageCrawler.java:485-488): docs-mode
+                # demands a doc-url action, datasets-mode a
+                # dataset-url action — the old doc-only clause let
+                # ANY form action stop the page in dataset mode
+                if (
+                    retrieve_documents
+                    and not DOC_URL_RE.fullmatch(low_action)
+                ) or (
+                    retrieve_datasets
+                    and not DATASET_URL_RE.fullmatch(low_action)
+                ):
                     continue
-                return stop(full_url(page_url, action), el, "docFound")
+                # unresolvable action: the reference throws
+                # DocLinkFound with the RAW link (getFullyFormedUrl
+                # null skips the invalid check), never a null link
+                return stop(
+                    full_url(page_url, action) or action, el, "docFound"
+                )
 
         # checkAndGatherInternalLink (:605-651)
         if link == "/":

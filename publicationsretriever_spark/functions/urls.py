@@ -78,10 +78,17 @@ def remove_temporal_identifier(url: Column) -> Column:
     group1+group2; if group2 starts with "&" and group1 has no "?",
     the first "&" becomes "?" (the stripped param was the first one).
     """
-    stripped = F.regexp_replace(url, _TEMPORAL, "$1$2")
-    # fix a leading "&" param separator when the removed param was first:
-    # applies only when no "?" precedes the first "&" in the result.
-    fixed = F.regexp_replace(stripped, r"^([^?]+)&", "$1?")
+    # the "&"->"?" fix applies to GROUP2's leading "&" only (the
+    # reference replaces the first "&" INSIDE afterTemporalIdStr,
+    # gated on group1 carrying no "?") — a regex over the rejoined
+    # string rewrote the LAST "&" before any "?" and even fired on
+    # "&" characters belonging to the path
+    g1 = F.regexp_extract(url, _TEMPORAL, 1)
+    g2 = F.regexp_extract(url, _TEMPORAL, 2)
+    fixed = F.when(
+        g2.startswith("&") & ~g1.contains("?"),
+        F.concat(g1, F.lit("?"), F.substring(g2, 2, 1 << 30)),
+    ).otherwise(F.concat(g1, g2))
     return F.when(url.rlike(_TEMPORAL), fixed).otherwise(url)
 
 
@@ -203,11 +210,9 @@ def canonicalize_one(url: str | None) -> str | None:
     u = url.strip()
     if not u:
         return None
-    # split off fragment first (kept: anchor policy handled separately)
-    frag = ""
-    if "#" in u:
-        u, _, frag = u.partition("#")
-        frag = ""  # BasicURLNormalizer drops fragments
+    # fragment dropped outright (BasicURLNormalizer semantics; the
+    # separate anchor policy runs earlier in the clean chain)
+    u = u.partition("#")[0]
     m = u.split("://", 1)
     if len(m) != 2:
         return None
@@ -310,13 +315,22 @@ def _manuscript_elsevier(url: Column, doc_id: Column, wiley_base: Column) -> tup
 
 
 def _nasa(url: Column, doc_id: Column, wiley_base: Column) -> tuple[Column, Column]:
-    # checkAndGetNasaDocUrl (:118-131): citations page -> api download url.
+    # checkAndGetNasaDocUrl (:118-131): citations page -> api download
+    # url, mirrored STEP FOR STEP (replaceFirst of the https base,
+    # ensure trailing slash, rebuild) — the old single-regex form
+    # diverged from the reference on http:// inputs, where the
+    # replaceFirst is a no-op and the reference rebuilds around the
+    # UNSTRIPPED url (both shapes are broken fetch targets, but
+    # parity means producing the reference's bytes, not ours)
     cond = url.contains("ntrs.nasa.gov/citations") & ~url.contains("api/")
-    out = F.regexp_replace(
-        url, r"^https://ntrs\.nasa\.gov/(citations/.*?)/?$",
-        "https://ntrs.nasa.gov/api/$1/downloads/",
+    path = F.regexp_replace(url, r"^https://ntrs\.nasa\.gov/", "")
+    path = F.when(path.endswith("/"), path).otherwise(
+        F.concat(path, F.lit("/"))
     )
-    out = F.concat(out, doc_id, F.lit(".pdf"))
+    out = F.concat(
+        F.lit("https://ntrs.nasa.gov/api/"), path, F.lit("downloads/"),
+        doc_id, F.lit(".pdf"),
+    )
     return cond & doc_id.isNotNull(), out
 
 

@@ -127,17 +127,25 @@ def build_training_dataset(
             .localCheckpoint(eager=True)
         )
         checked = payloads.join(metrics, "image_id")
-        clean = checked.filter(
-            F.col("decode_ok") & (F.col("phash_check") == F.col("phash"))
-        ).select(*cols)
-        audit_rejects = checked.filter(
-            ~(F.col("decode_ok") & (F.col("phash_check") == F.col("phash")))
-        ).select(
+        # coalesce to a two-valued condition: a NULL phash (or a NULL
+        # decode flag) would make BOTH filters three-valued-NULL and
+        # the row would vanish from clean AND audit_rejects — every
+        # drop must leave an audit row
+        ok = F.coalesce(
+            F.col("decode_ok")
+            & F.col("phash_check").eqNullSafe(F.col("phash")),
+            F.lit(False),
+        )
+        clean = checked.filter(ok).select(*cols)
+        audit_rejects = checked.filter(~ok).select(
             "image_id",
             "fmt",
             "phash",
             "phash_check",
-            F.when(~F.col("decode_ok"), F.lit("decode_failed"))
+            F.when(
+                ~F.coalesce(F.col("decode_ok"), F.lit(False)),
+                F.lit("decode_failed"),
+            )
             .otherwise(F.lit("phash_mismatch"))
             .alias("reject_reason"),
         )

@@ -47,7 +47,16 @@ class SnapshotCatalog:
     # -- manifest helpers ---------------------------------------------------
 
     def _manifest_paths(self) -> list[Path]:
-        return sorted(self.root.glob("snap-*/manifest.json"))
+        # sort on the PARSED integer suffix, not lexicographically:
+        # after snap-99999 the next id gains a digit and a string sort
+        # would pin latest()/parent/resume to snap-99999 forever (one
+        # snapshot per round makes this reachable on a long catalog)
+        def snap_no(p: Path) -> tuple[int, str]:
+            tail = p.parent.name.rsplit("-", 1)[-1]
+            return (int(tail), p.parent.name) if tail.isdigit() \
+                else (1 << 62, p.parent.name)
+
+        return sorted(self.root.glob("snap-*/manifest.json"), key=snap_no)
 
     def snapshots(self) -> list[dict]:
         out = []
@@ -78,34 +87,16 @@ class SnapshotCatalog:
         come from the written parquet (footer metadata — no plan
         recompute). The snapshot is INVISIBLE until ``finish_commit``
         writes the manifest — an interrupted job leaves no half-commit
-        (same atomicity contract as an Iceberg metadata swap)."""
-        snap_id = f"snap-{len(self.snapshots()):05d}"
-        snap_dir = self.root / snap_id
+        (same atomicity contract as an Iceberg metadata swap).
 
-        def write_one(item):
-            name, df = item
-            path = snap_dir / name
-            df.write.mode("overwrite").parquet(str(path))
-            back = spark.read.parquet(str(path))
-            return name, {"path": str(path), "rows": back.count()}, back
-
-        # ``warm_first`` names the table whose plan reads every fan-out
-        # cache (the results union): write it ALONE first so one job
-        # materializes the cold caches, then the rest run concurrently
-        # against warm caches. Launching all writes at once would race
-        # to compute the same cold cache partitions, duplicating the
-        # round's work once per concurrent job.
-        written = []
-        rest = dict(tables)
-        if warm_first is not None and warm_first in rest:
-            written.append(write_one((warm_first, rest.pop(warm_first))))
-        # independent write jobs -> run concurrently (wall = max, not sum)
-        if rest:
-            with ThreadPoolExecutor(max_workers=max(1, len(rest))) as pool:
-                written.extend(pool.map(write_one, rest.items()))
-        table_meta = {n: meta for n, meta, _ in written}
-        loaded = {n: back for n, _, back in written}
-        return snap_id, table_meta, loaded
+        Delegates to :meth:`write_round` with no deltas — ONE
+        write_one/warm_first/thread-pool implementation for both
+        commit paths (they had drifted into near-verbatim copies;
+        the meta entry carries "paths" now, which every reader
+        already handles via the paths-or-path fallback)."""
+        return self.write_round(
+            spark, deltas={}, fulls=tables, warm_first=warm_first
+        )
 
     def finish_commit(
         self, snap_id: str, table_meta: dict, round_no: int, lineage: dict

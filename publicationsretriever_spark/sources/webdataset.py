@@ -111,7 +111,27 @@ def wds_shard_plan(
             key_col="_wds_key",
         )
     else:
+        # numeric-id precondition ENFORCED at runtime: a non-numeric
+        # string id casts to NULL in prefix_sum_start's bucket key,
+        # every join matches nothing, and the plan (and writer) would
+        # silently return zero rows — total data loss with no error.
+        # Digit strings ('7') are fine (cast succeeds), so the check
+        # is per-VALUE, not per-type: assert_true fails the job
+        # loudly on the first uncastable id.
         base = df.select(F.col(id_col), sz)
+        if dict(df.dtypes)[id_col] == "string":
+            base = base.filter(
+                F.assert_true(
+                    F.col(id_col).try_cast("long").isNotNull(),
+                    F.concat(
+                        F.lit(
+                            "wds layout='id' needs numeric ids; got "
+                        ),
+                        F.col(id_col),
+                        F.lit(" — use layout='hash' for string ids"),
+                    ),
+                ).isNull()
+            )
         started = prefix_sum_start(
             base, "_sample_sz", id_col, bucket_size=bucket_size
         )

@@ -186,3 +186,32 @@ def test_url_hash_is_stable(spark):
     h1 = df.select(U.url_hash64(F.col("url"))).collect()[0][0]
     h2 = df.select(U.url_hash64(F.col("url"))).collect()[0][0]
     assert h1 == h2 and isinstance(h1, int)
+
+
+def test_temporal_strip_multi_param_and_path_ampersand(spark):
+    """UrlUtils.java:294-297 exactly: the '&'->'?' fix replaces
+    GROUP2's first '&' (only when group1 has no '?'); it must not
+    rewrite the last '&' of a multi-param tail nor touch '&'
+    characters that belong to the path."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.functions.urls import (
+        remove_temporal_identifier,
+    )
+
+    cases = [
+        # token first => '?a=1&b=2', NOT '...&a=1?b=2'
+        ("http://x.com/doc?token=abc&a=1&b=2", "http://x.com/doc?a=1&b=2"),
+        # token later: g1 already has '?', no fix
+        ("http://x.com/doc?a=1&jsessionid=ZZZ&b=2",
+         "http://x.com/doc?a=1&b=2"),
+        # '&' in the PATH with a following param: g1 contains '&' but
+        # the fix keys on g2's first char, so the path stays intact
+        ("http://x.com/a&b?token=q&c=3", "http://x.com/a&b?c=3"),
+        # no temporal id: untouched, path '&' never rewritten
+        ("http://x.com/a&b?c=3", "http://x.com/a&b?c=3"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.withColumn("got", remove_temporal_identifier(F.col("url")))
+    for r in out.collect():
+        assert r["got"] == r["want"], (r["url"], r["got"], r["want"])

@@ -217,3 +217,31 @@ def test_null_caption_roundtrips_as_empty_and_empty_df_is_noop(
     out2 = str(tmp_path / "wds2")
     assert write_webdataset(empty, out2, shard_max_bytes=8 * 1024) == []
     assert os.listdir(out2) == []
+
+
+def test_layout_id_with_noncastable_string_ids_fails_loudly(
+    spark, tmp_path
+):
+    """A crawl-style string id ('img-3-5') under layout='id' casts to
+    NULL in the bucket key and used to return an EMPTY plan/write —
+    silent total data loss. It must raise instead; digit strings
+    keep working (the cast succeeds)."""
+    import pytest as _pytest
+
+    rows = [make_payload_row("img-3-5")]
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in
+               ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+         for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    with _pytest.raises(Exception, match="layout='hash'"):
+        write_webdataset(df, str(tmp_path / "wds"),
+                         shard_max_bytes=8 * 1024)
+    # the hash layout handles the same frame fine
+    manifest = write_webdataset(
+        df, str(tmp_path / "wds_h"), shard_max_bytes=8 * 1024,
+        layout="hash",
+    )
+    assert manifest[0]["n_samples"] == 1
