@@ -142,7 +142,11 @@ ENDING_WITH_SLASH_OR_EXTENSION = _re_mod.compile(
 
 
 def dir_path(url: str) -> str:
-    """UrlUtils.getPathStr — prefix up to and incl. the last '/'."""
+    """UrlUtils.getPathStr — prefix up to and incl. the last '/',
+    after stripping one trailing '/' (getUrlMatcher's 'mistake'
+    rule). Mirrors operators/blocking.dir_path."""
+    if url.endswith("/"):
+        url = url[:-1]
     i = url.rfind("/")
     return url[: i + 1] if i >= 0 else ""
 

@@ -67,9 +67,15 @@ _COUNTER_COLS = (
 
 
 def dir_path(url_col) -> F.Column:
-    """The reference's ``UrlUtils.getPathStr`` — the url prefix up to and
-    including the last '/' (util/url/UrlUtils.java:162-178)."""
-    return F.regexp_extract(url_col, r"^(.*/)[^/]*$", 1)
+    """The reference's ``UrlUtils.getPathStr`` — the url prefix up to
+    and including the last '/', computed AFTER stripping one trailing
+    '/' like getUrlMatcher does (util/url/UrlUtils.java:216-233, "If
+    the url ends with '/' then remove it as it's a mistake"): 403s
+    from '.../a/b' and '.../a/b/' must accumulate under ONE path key
+    or each variant needs its own threshold's worth of errors before
+    the A3 block fires. Mirrored by crawl/oracle.dir_path."""
+    u = F.regexp_replace(url_col, r"/$", "")
+    return F.regexp_extract(u, r"^(.*/)[^/]*$", 1)
 
 
 def merge_domain_counts(cumulative: DataFrame, delta: DataFrame) -> DataFrame:

@@ -29,6 +29,10 @@ from ..functions import urls as U
 #: too noisy to predict from.
 MAX_DOC_PATHS_PER_PAGE_PATH = 5
 
+#: html-ish page extensions stripped from the page's docId before the
+#: prediction concat (the engine's PLAIN_PAGE_EXT_RE)
+_PLAIN_PAGE_EXT = r"(?i)\.(?:html?|php\d?|aspx?|jsp|jspx|do|asp|cfm|cgi|shtml)$"
+
 
 def _page_path(col):
     """Directory part of the url (UrlUtils.getPathStr semantics)."""
@@ -37,11 +41,17 @@ def _page_path(col):
 
 def learn_path_model(results: DataFrame) -> DataFrame:
     """Path-MLA learning: successful (pageUrl -> docUrl) pairs ->
-    (page_path, doc_path) with noisy page-paths dropped."""
+    (page_path, doc_path) with noisy page-paths dropped. Rows where
+    the page IS the doc are skipped (gatherMLData's first guard,
+    MachineLearning.java:123-124 — direct-doc results otherwise teach
+    the model self-referential pairs that can push a legitimate
+    page_path over the noise cap). The engine's in-crawl learn
+    (plans/rounds.py) applies the same guard on final_url."""
     ok = results.filter(
         ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
         & F.col("pageUrl").isNotNull()
         & (F.col("pageUrl") != "null")
+        & (F.col("pageUrl") != F.col("docOrDatasetUrl"))
     )
     pairs = ok.select(
         _page_path(F.col("pageUrl")).alias("page_path"),
@@ -65,14 +75,25 @@ def predict_doc_urls(
     the page; accepted only if it appears among the page's extracted
     links (MachineLearning.java:253-353 membership rule). ``links_col``
     is an array<string> column."""
+    # page-extension strip + learned doc-extension append, the
+    # engine's in-crawl recipe (plans/rounds.py MLA prediction;
+    # MachineLearning.java:289-296,305+): '.../123.html' predicts
+    # docPath + '123' + learned ext, not docPath + '123.html'
     pages = pages.withColumn("_pp", _page_path(F.col(page_url_col))).withColumn(
-        "_docid", U.doc_id_of(F.col(page_url_col))
-    )
+        "_docid",
+        F.regexp_replace(
+            U.doc_id_of(F.col(page_url_col)), _PLAIN_PAGE_EXT, ""
+        ),
+    ).filter(F.col("_docid").isNotNull() & (F.col("_docid") != ""))
     joined = pages.join(
         F.broadcast(path_model), pages["_pp"] == path_model["page_path"], "inner"
     )
+    ext = (
+        F.coalesce(F.col("doc_ext"), F.lit(""))
+        if "doc_ext" in path_model.columns else F.lit("")
+    )
     predicted = joined.withColumn(
-        "predicted_doc_url", F.concat(F.col("doc_path"), F.col("_docid"))
+        "predicted_doc_url", F.concat(F.col("doc_path"), F.col("_docid"), ext)
     )
     return predicted.filter(
         F.array_contains(F.col(links_col), F.col("predicted_doc_url"))

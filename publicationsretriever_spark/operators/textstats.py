@@ -136,10 +136,19 @@ def stratified_sample(
         .cast("long")
         % 1_000_000
     )
-    thresh = F.lit(int(round(default_frac * 1_000_000)))
+    def _micro(v: float) -> int:
+        # half-AWAY rounding (floor(x+0.5)) — SQL ROUND semantics, not
+        # Python's banker's round(), so a threshold spelled to 7
+        # decimals can never disagree with a SQL oracle; plain floor
+        # would break on IEEE artifacts (0.3*1e6 = 299999.99...)
+        import math
+
+        return int(math.floor(v * 1_000_000 + 0.5))
+
+    thresh = F.lit(_micro(default_frac))
     for k, v in sorted(fracs.items()):
         thresh = F.when(
-            F.col(stratum_col) == k, F.lit(int(round(v * 1_000_000)))
+            F.col(stratum_col) == k, F.lit(_micro(v))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
 
@@ -560,7 +569,9 @@ def mixture_sample(
         .collect()
     }
     budget_caps = [
-        avail.get(s, 0) / f for s, f in target_fracs.items() if f > 0
+        (avail.get(s) or 0) / f  # `or 0`: a present key can map
+        # to None when every row's text is NULL (SUM over NULLs)
+        for s, f in target_fracs.items() if f > 0
     ]
     t_max = min(budget_caps) if budget_caps else 0.0
     if total_tokens is not None:

@@ -25,24 +25,34 @@ HIT_RATE_THRESHOLD = 0.002
 
 def crawl_report(results: DataFrame) -> DataFrame:
     """One row per report line (metric, value) — the showStatistics()
-    equivalent."""
-    total = results.count()
-    docs = results.filter(
-        ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
-    ).count()
-    dups = results.filter(F.col("docOrDatasetUrl") == "duplicate").count()
-    unreachable = results.filter(F.col("docOrDatasetUrl") == "unreachable").count()
-    retryable = results.filter(F.col("couldRetry") == "true").count()
-    spark = results.sparkSession
+    equivalent. ONE aggregation job (conditional sums), honouring the
+    module contract — five separate count() actions would scan the
+    cumulative results lineage five times per report."""
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    row = results.agg(
+        F.count(F.lit(1)).alias("total"),
+        c(~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")).alias(
+            "docs"
+        ),
+        c(F.col("docOrDatasetUrl") == "duplicate").alias("dups"),
+        c(F.col("docOrDatasetUrl") == "unreachable").alias("unreach"),
+        c(F.col("couldRetry") == "true").alias("retryable"),
+    ).collect()[0]
+    total = row["total"]
     rows = [
         ("total_records", float(total)),
-        ("doc_or_dataset_urls_found", float(docs)),
-        ("doc_url_rate_pct", 100.0 * docs / total if total else 0.0),
-        ("duplicates", float(dups)),
-        ("unreachable", float(unreachable)),
-        ("could_retry", float(retryable)),
+        ("doc_or_dataset_urls_found", float(row["docs"] or 0)),
+        (
+            "doc_url_rate_pct",
+            100.0 * (row["docs"] or 0) / total if total else 0.0,
+        ),
+        ("duplicates", float(row["dups"] or 0)),
+        ("unreachable", float(row["unreach"] or 0)),
+        ("could_retry", float(row["retryable"] or 0)),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return results.sparkSession.createDataFrame(
+        rows, "metric string, value double"
+    )
 
 
 def reject_reason_report(results: DataFrame) -> DataFrame:
@@ -70,17 +80,27 @@ def domains_by_hits(results: DataFrame) -> DataFrame:
 
 
 def should_check_remaining_links(results: DataFrame) -> bool:
-    """A7: keep the remaining-links phase enabled? Evaluated at round
-    boundaries: hits = doc results found via non-doc-like internal
-    links; evaluations = all internal-link fetches."""
-    internal = results.filter(F.col("pageUrl") != F.col("sourceUrl"))
-    evaluations = internal.count()
+    """A7, REPORT-LEVEL APPROXIMATION over the results contract: the
+    results table carries no link-phase column, so this proxies
+    "evaluations" as rows whose pageUrl differs from sourceUrl and
+    "hits" as the resolved ones among them — a coarser signal than
+    the reference's per-page remaining-phase counters. The ENGINE
+    does NOT use this helper: its conformance-exact A7 wiring counts
+    one evaluation per page entering the remaining phase and hits
+    from remaining links only (plans/rounds.py, pytest-pinned by
+    test_mla_a7_conformance). Use this only for offline reporting on
+    a bare results table. One aggregation job."""
+    row = results.filter(F.col("pageUrl") != F.col("sourceUrl")).agg(
+        F.count(F.lit(1)).alias("evaluations"),
+        F.sum(
+            (~F.col("docOrDatasetUrl").isin("duplicate", "unreachable"))
+            .cast("long")
+        ).alias("hits"),
+    ).collect()[0]
+    evaluations = row["evaluations"]
     if evaluations < MIN_EVALUATIONS:
         return True
-    hits = internal.filter(
-        ~F.col("docOrDatasetUrl").isin("duplicate", "unreachable")
-    ).count()
-    return (hits / evaluations) >= HIT_RATE_THRESHOLD
+    return ((row["hits"] or 0) / evaluations) >= HIT_RATE_THRESHOLD
 
 
 class MlaGate:

@@ -37,9 +37,19 @@ def seed_stream_to_frontier(stream: DataFrame, num_buckets: int = 32) -> DataFra
     out = (
         canon.withColumn("url_hash", U.url_hash64(F.col("canon_url")))
         .withColumn("host", U.top3_domain(U.domain_of(F.col("url"))))
+        # batch parity: the _gate's domain_unretrievable reject — a
+        # NULL domain would otherwise mint host_bucket =
+        # pmod(xxhash64(NULL)=42, n) and serialize every such row in
+        # one NULL host group (the rounds.py:583 trap)
+        .filter(F.col("host").isNotNull())
         .withColumn("host_bucket", U.host_bucket(F.col("host"), num_buckets))
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["url_hash"])
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: with the
+        # event-time column absent from the subset, plain
+        # dropDuplicates never evicts state (the watermark has no
+        # effect) and the url_hash store grows forever — the exact
+        # pathology payload_dedup_stream documents
+        .dropDuplicatesWithinWatermark(["url_hash"])
     )
     return out.select(
         "id", "url", "canon_url", "url_hash", "host", "host_bucket", "ts"
@@ -81,15 +91,25 @@ def schedule_politely(
         import pandas as pd
 
         (next_slot,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url_hash", kind="mergesort")
-            slots = [next_slot + i * politeness_ms for i in range(len(pdf))]
-            if slots:
-                next_slot = slots[-1] + politeness_ms
+        # buffer ALL Arrow chunks before sorting: a host group larger
+        # than arrow.maxRecordsPerBatch arrives as several pdfs, and
+        # per-chunk sorts would make the slot order depend on
+        # nondeterministic chunk boundaries. The buffer is bounded by
+        # the GROUP (one host's rows in one micro-batch), the same
+        # bound the state contract already assumes.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            whole = (
+                parts[0] if len(parts) == 1 else pd.concat(parts)
+            ).sort_values("url_hash", kind="mergesort")
+            slots = [
+                next_slot + i * politeness_ms for i in range(len(whole))
+            ]
+            next_slot = slots[-1] + politeness_ms
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"], "url": pdf["url"],
-                    "url_hash": pdf["url_hash"], "host": pdf["host"],
+                    "id": whole["id"], "url": whole["url"],
+                    "url_hash": whole["url_hash"], "host": whole["host"],
                     "planned_fetch_ms": slots,
                 }
             )
