@@ -2509,14 +2509,19 @@ def oracle_sql() -> dict[str, str]:
               FROM r WHERE rn > 1 GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   -- coalesce: DuckDB array_to_string([]) is NULL,
-                   -- Spark concat_ws([]) is ''
-                   coalesce(array_to_string(list_filter(d.w, (x, i) ->
-                     len(list_filter(coalesce(l.ps, CAST([] AS BIGINT[])),
-                       q -> (i-1) >= q*4 AND (i-1) < q*4+8)) = 0),
-                     ' '), '') AS clean_text,
+                   -- unaffected docs keep their ORIGINAL text; only
+                   -- span-losing docs get the token rebuild
+                   -- (coalesce: DuckDB array_to_string([]) is NULL,
+                   -- Spark concat_ws([]) is '')
+                   CASE WHEN coalesce(nr, 0) > 0 THEN
+                     coalesce(array_to_string(list_filter(d.w, (x, i) ->
+                       len(list_filter(coalesce(l.ps, CAST([] AS BIGINT[])),
+                         q -> (i-1) >= q*4 AND (i-1) < q*4+8)) = 0),
+                       ' '), '')
+                   ELSE dd.text END AS clean_text,
                    CAST(coalesce(nr, 0) AS BIGINT) AS n_removed_spans
-            FROM d LEFT JOIN l USING (doc_id) ORDER BY d.doc_id
+            FROM d LEFT JOIN l USING (doc_id)
+            JOIN documents dd USING (doc_id) ORDER BY d.doc_id
         """,
         "decontaminate": """
             -- mirrors operators/dedup.decontaminate (w=13, stride 1,

@@ -86,7 +86,19 @@ def main() -> int:
             file=sys.stderr,
         )
         resume = False
-    if args.input_url and not resume:
+    if resume:
+        # a resumed crawl continues from the snapshot's own frontier;
+        # say so explicitly when the operator ALSO passed seeds, or
+        # the flag is dropped with no signal at all
+        if args.input_url:
+            print(
+                "--resume: continuing from the committed snapshot; "
+                f"--input-url {args.input_url} is IGNORED (seed lists "
+                "only apply to a fresh crawl)",
+                file=sys.stderr,
+            )
+        seeds = None
+    elif args.input_url:
         from publicationsretriever_spark.sources.seeds import (
             read_id_url_pairs_from_url,
         )
@@ -97,7 +109,7 @@ def main() -> int:
     else:
         seeds = web.seeds_df(spark)
     state = engine.crawl(
-        None if resume else seeds,
+        seeds,
         max_rounds=args.rounds,
         catalog=catalog,
         resume=resume,

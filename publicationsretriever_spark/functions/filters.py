@@ -221,8 +221,17 @@ class FilterBattery:
                 .when(F.regexp_extract(lower_url, dom_pat, 7) != "", REASON_CONN_PROBLEM)
             )
         else:
+            # just_html pattern drops alternatives 3-6, so
+            # '(200.17.137.108)' becomes capture group 3 — and the
+            # reference's dispatch (UrlTypeChecker.java:215-217)
+            # checks group(3) WITHOUT the shouldJustDownloadHtmlFiles
+            # guard, so it labels the conn-problem domain with the
+            # html-fulltext reason/counter. A numbering quirk, but
+            # verbatim dispatch parity is this module's contract
+            # (same adjudication as the documented ethic(s)? case).
             dom_reason = dom_reason.when(
-                F.regexp_extract(lower_url, dom_pat, 3) != "", REASON_CONN_PROBLEM
+                F.regexp_extract(lower_url, dom_pat, 3) != "",
+                REASON_HTML_DOCURL,
             )
         dom_reason = dom_reason.otherwise(REASON_DOMAIN)
 

@@ -113,15 +113,16 @@ def classify_mime(
         result("document", pdf_lit),
     ).otherwise(null_result)
 
-    # branch 2-fallback: plain-mime extraction failed (:285-295)
-    plain_failed = F.when(
-        F.lit(retrieve_documents) & lower_url.contains("pdf"), result("document", pdf_lit)
+    # branch 2-fallback: plain-mime extraction failed (:285-291).
+    # UNGATED on purpose: the reference checks the url's 'pdf' /
+    # dataset shape here WITHOUT consulting retrieveDocuments /
+    # retrieveDatasets (unlike every other branch) — mirroring the
+    # gates diverged in non-default configs
+    plain_failed = (
+        F.when(lower_url.contains("pdf"), result("document", pdf_lit))
+        .when(url_is_dataset, result("dataset", F.lit("unspecified")))
+        .otherwise(null_result)
     )
-    if retrieve_datasets:
-        plain_failed = plain_failed.when(
-            url_is_dataset, result("dataset", F.lit("unspecified"))
-        )
-    plain_failed = plain_failed.otherwise(null_result)
 
     # branch 4: possible doc-or-dataset mime (:306-334)
     possible = F.when(
@@ -140,14 +141,21 @@ def classify_mime(
         .otherwise(null_result)
     )
 
-    # branch 5: page-candidate with doc-ish Content-Disposition (:336-351)
+    # branch 5: page-candidate with doc-ish Content-Disposition
+    # (:336-344). NOTE the reference's dataset check is NOT in an
+    # else: when both '.pdf' and the dataset filter match, the
+    # dataset assignment OVERWRITES the document one — so dataset
+    # takes first position in this when-chain (branch 6 below DOES
+    # have the else, document-first there is correct)
     page_disp = F.when(
         content_disposition.isNotNull(),
         F.when(
+            F.lit(retrieve_datasets) & disp_is_dataset,
+            result("dataset", plain),
+        ).when(
             F.lit(retrieve_documents) & lower_disp.contains(".pdf"),
             result("document", pdf_lit),
-        ).when(F.lit(retrieve_datasets) & disp_is_dataset, result("dataset", plain))
-        .otherwise(null_result),
+        ).otherwise(null_result),
     ).otherwise(null_result)
 
     # branch 6: no mime — disposition only (:354-364)

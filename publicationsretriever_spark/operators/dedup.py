@@ -387,8 +387,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> Data
     (+1 if bit_i(md5(token)) else -1). ``bits`` kept small (16) so the
     explode stays 16x tokens; md5-nibble based for oracle portability.
     Returns (id, simhash as bigint)."""
+    # _words, not an inline split: a tokenizer change applied to the
+    # module helper must reach simhash too, or fingerprints silently
+    # desync from the minhash/ngram operators built on _words
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("t")
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("t")
     )
     # token hash: first 16 hex chars of md5 -> 4 bits per nibble
     toks = toks.withColumn("th", F.substring(F.md5("t"), 1, bits // 4))
@@ -968,6 +971,7 @@ def drop_dup_spans(
     )
     base = df.select(
         F.col(id_col),
+        F.col(text_col).alias("_orig"),
         _words(F.col(text_col)).alias("_w"),
     )
     keyed = base.select(
@@ -1015,13 +1019,22 @@ def drop_dup_spans(
         base.join(losers, id_col, "left")
         .select(
             F.col(id_col),
+            F.col("_orig"),
             F.col("_w"),
             F.coalesce(F.col("_ps"), F.array().cast("array<int>")).alias("_ps"),
             F.coalesce(F.col("_nr"), F.lit(0)).alias("n_removed_spans"),
         )
         .select(
             id_col,
-            F.concat_ws(" ", kept).alias("clean_text"),
+            # docs that lose NO span pass through with their ORIGINAL
+            # text (the docstring's contract) — the token rebuild
+            # (lowercased, whitespace-collapsed) is inherent to
+            # token-index cuts and applies ONLY to affected docs;
+            # rebuilding every row silently corrupted casing/spacing
+            # corpus-wide
+            F.when(
+                F.col("n_removed_spans") > 0, F.concat_ws(" ", kept)
+            ).otherwise(F.col("_orig")).alias("clean_text"),
             "n_removed_spans",
         )
     )

@@ -54,17 +54,20 @@ class SyntheticWeb:
     def _build(self) -> None:
         for hi in range(self.n_hosts):
             host = self._host(hi)
-            # deterministic robots.txt: every 5th host disallows /private/,
-            # every 7th also /article/9 (a real page prefix) — exercises
-            # the pre-fetch robots gate (north rule; the reference has NO
-            # robots handling, SURVEY.md §2.6 note)
+            # deterministic robots.txt: EVERY host disallows /private/;
+            # hosts with hi % 7 == 3 also disallow their own LAST
+            # article — a real existing page, so the pre-fetch robots
+            # gate provably blocks live content (north rule; the
+            # reference has NO robots handling, SURVEY.md §2.6 note).
+            # The first cut hardcoded '/article/9', which no hi%7==3
+            # host ever had under default sizes — a dead rule.
+            n_pages = max(1, self.pages_per_host_max // (hi + 1))
             rules = ["/private/"]
             if hi % 7 == 3:
-                rules.append("/article/9")
+                rules.append(f"/article/{n_pages - 1}")
             self.robots[host] = rules
-            n_pages = max(1, self.pages_per_host_max // (hi + 1))
             for pi in range(n_pages):
-                self._build_page(host, hi, pi)
+                self._build_page(host, hi, pi, n_pages)
         # a redirect chain that exceeds the 7-hop cap (HttpConnUtils.java:68)
         deep = [f"https://host0.example0.org/chain/{i}" for i in range(9)]
         for i, u in enumerate(deep[:-1]):
@@ -141,7 +144,8 @@ class SyntheticWeb:
             "body_kind": "image", "image_id": image_id, "html_links": [],
         }
 
-    def _build_page(self, host: str, hi: int, pi: int) -> None:
+    def _build_page(self, host: str, hi: int, pi: int,
+                    n_pages: int) -> None:
         page_url = f"https://{host}/article/{pi}"
         rv = _h(page_url, self.seed)
         image_id = f"img-{hi}-{pi}"
@@ -156,7 +160,10 @@ class SyntheticWeb:
                 if kind == 0
                 else ""
             )
-            sibling = f"https://{host}/article/{(pi + 1) % (pi + 2)}"
+            # wraparound sibling: the last page links back to article 0
+            # (the old '(pi + 1) % (pi + 2)' was a no-op that sent the
+            # last page to a nonexistent article)
+            sibling = f"https://{host}/article/{(pi + 1) % n_pages}"
             body = f"""<html><head>{meta}</head><body>
 <div class="content">
   <a href="/files/{pi}/fulltext.pdf">view item {pi}</a>
@@ -265,7 +272,6 @@ class SyntheticWeb:
     # -- DataFrame exports ----------------------------------------------------
 
     def seeds_df(self, spark):
-        rows = [(i, n, u) for n, (i, u) in enumerate(self.seeds) for i, u in [(i, u)]]
         rows = [(sid, n, u) for n, (sid, u) in enumerate(self.seeds)]
         return spark.createDataFrame(rows, ["id", "order_in_id", "url"])
 
