@@ -1553,7 +1553,31 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is the driver's correctness-gate order (the gate
+    # caps at 50 entries): the 20 queries that have never earned (or
+    # lost) a driver-side CORRECTNESS row lead, long-proven crawl
+    # queries trail (VERDICT r5 "Next round" #1).
     return {
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_sq_topk": q_ann_sq_topk,
+        "ann_binary_topk": q_ann_binary_topk,
+        "ann_mrl_topk": q_ann_mrl_topk,
+        "semdedup": q_semdedup,
+        "image_text_alignment": q_image_text_alignment,
+        "retrieval_recall": q_retrieval_recall,
+        "hard_negatives": q_hard_negatives,
+        "host_pagerank": q_host_pagerank,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_stats": q_embedding_stats,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "dup_log": q_dup_log,
+        "sessionize": q_sessionize,
+        "tumbling_agg": q_tumbling_agg,
         "reject_stats": q_reject_stats,
         "best_url_per_id": q_best_url_per_id,
         "skipped_urls": q_skipped_urls,
@@ -1604,26 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_manifest": q_zorder_manifest,
         "sitemap_expand": q_sitemap_expand,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
-        "ann_sq_topk": q_ann_sq_topk,
-        "ann_binary_topk": q_ann_binary_topk,
-        "ann_mrl_topk": q_ann_mrl_topk,
-        "dedup_embedding": q_dedup_embedding,
-        "semdedup": q_semdedup,
-        "embedding_stats": q_embedding_stats,
-        "image_text_alignment": q_image_text_alignment,
-        "retrieval_recall": q_retrieval_recall,
-        "hard_negatives": q_hard_negatives,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "dup_log": q_dup_log,
-        "host_pagerank": q_host_pagerank,
-        "sessionize": q_sessionize,
-        "tumbling_agg": q_tumbling_agg,
     }
 
 
