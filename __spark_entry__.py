@@ -22,8 +22,37 @@ from pyspark.sql import Window as W
 
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each fixture table as a temp view.
+
+    The fixtures are single-file, mostly single-row-group parquet:
+    Spark cannot split a row group, so every stage FUSED into the scan
+    (filters, regex batteries, vector scoring, crossJoin probes) runs
+    in 1-2 tasks no matter how many cores the session has — measured
+    at sf1.0 this serialized whole queries onto one core (guide §2.5,
+    "input skew: one huge unsplittable file"). When the file cannot
+    supply enough scan splits on its own, re-spread rows with a HASH
+    repartition on the leading id column (hash, not round-robin:
+    keyless repartition pays a local sort of the whole input for
+    retry determinism — sortBeforeRepartition). The partition count
+    is derived from input size and the session's parallelism, never a
+    constant: tiny tables (region/nation) keep one partition, and on
+    a real deployment where the input is already many files/row
+    groups (est_splits >= target) this is a no-op."""
+    import os
+
+    para = spark.sparkContext.defaultParallelism
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
+        try:
+            sz = os.path.getsize(path)
+        except OSError:
+            sz = 0
+        est_splits = max(1, sz // (128 << 20))
+        target = min(para, max(1, sz // (32 << 10)))
+        if target > est_splits:
+            df = df.repartition(target, F.col(df.columns[0]))
+        df.createOrReplaceTempView(n)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # HotSpot never JIT-compiles a method above ~8000 bytecode
+        # bytes (-XX:DontCompileHugeMethods), so a whole-stage-codegen
+        # method past that limit runs INTERPRETED — measured 22.7s vs
+        # 3.8s on the unrolled vector-scoring stages (64-dim dot
+        # products fused with a broadcast join). 8000 makes Spark's
+        # existing compiled-size check fall back to per-operator
+        # codegen (small, JIT-able methods) exactly for such stages;
+        # every normal stage stays whole-stage. This is the
+        # documented purpose of the knob (SPARK-21871).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
