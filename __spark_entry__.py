@@ -600,18 +600,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document canonical cluster id. Singletons keep their own id;
     is_canonical marks the exemplar a dedup pipeline would retain."""
     from publicationsretriever_spark.operators.dedup import (
-        connected_components,
-        hamming_neardup_pairs,
         simhash64,
+        simhash_cluster_labels,
     )
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
     sims = simhash64(docs, "text", "doc_id")
-    pairs = hamming_neardup_pairs(
+    # contraction-first labels: row-identical to
+    # connected_components(hamming_neardup_pairs(...)) but built on the
+    # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
+    labels = simhash_cluster_labels(
         sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
     )
-    labels = connected_components(pairs, "id_a", "id_b")
     return (
         docs.join(labels, docs["doc_id"] == labels["node"], "left")
         .select(
@@ -634,31 +635,69 @@ def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to recomputing from scratch."""
     from publicationsretriever_spark.operators.dedup import (
         apply_component_update,
-        connected_components,
         hamming_neardup_pairs,
         incremental_components,
         simhash64,
+        simhash_cluster_labels,
     )
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
     sims = simhash64(docs, "text", "doc_id")
-    pairs = hamming_neardup_pairs(
-        sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
+    is_batch = F.col("doc_id") % 5 == 0
+    corpus_sims = sims.filter(~is_batch)
+    batch_sims = sims.filter(is_batch)
+    # corpus assignment: contraction-first, row-identical to CC over
+    # the corpus-only verified-pair list (see simhash_cluster_labels —
+    # equal-fingerprint docs are one Hamming-0 clique and pair
+    # existence depends only on the fingerprint values)
+    assign = simhash_cluster_labels(
+        corpus_sims, "doc_id", "simhash",
+        max_hamming=2, bands=3, hash_bits=16,
     )
-    is_batch_a = F.col("id_a") % 5 == 0
-    is_batch_b = F.col("id_b") % 5 == 0
-    corpus_pairs = pairs.filter(~is_batch_a & ~is_batch_b)
-    batch_pairs = pairs.filter(is_batch_a | is_batch_b)
-    assign = connected_components(corpus_pairs, "id_a", "id_b")
-    upd = incremental_components(assign, batch_pairs)
-    batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
-    updated = apply_component_update(assign, batch_ids, upd, "doc_id")
+    # the batch pair list reduced the same way: one representative per
+    # (fingerprint, side); a batch-involving pair exists between two
+    # docs iff it exists between their side-reps, and corpus members
+    # of one fingerprint share an assign label, so the mapped graph's
+    # connectivity is unchanged
+    gb = batch_sims.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    gc = corpus_sims.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    rp = hamming_neardup_pairs(
+        gb.unionByName(gc).select("doc_id", "simhash"),
+        "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16,
+    )
+    red_batch_pairs = rp.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    )
+    upd = incremental_components(assign, red_batch_pairs)
+    updated = apply_component_update(
+        assign, gb.select("doc_id"), upd, "doc_id"
+    )
+    # non-rep batch members inherit their representative's final label
+    # (each is a Hamming-0 near-dup of its rep, connected by a batch
+    # pair in the unreduced graph)
+    memb = (
+        batch_sims.join(
+            gb.withColumnRenamed("doc_id", "_rep"), "simhash"
+        )
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select("doc_id", "_rep")
+        .join(
+            updated.withColumnRenamed("doc_id", "_rid")
+            .withColumnRenamed("cluster_id", "_rcl"),
+            F.col("_rep") == F.col("_rid"),
+        )
+        .select("doc_id", F.col("_rcl").alias("cluster_id"))
+    )
     # corpus singletons are absent from `assign` (the CC contract):
     # coalesce them back in for the all-docs output
     return (
         docs.select("doc_id")
-        .join(updated.withColumnRenamed("doc_id", "_uid"),
+        .join(updated.unionByName(memb).withColumnRenamed("doc_id", "_uid"),
               F.col("doc_id") == F.col("_uid"), "left")
         .select(
             "doc_id",
@@ -681,18 +720,19 @@ def q_caption_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the labeling-QA sample."""
     from publicationsretriever_spark.operators.dedup import (
         canonicalize_clusters,
-        connected_components,
-        hamming_neardup_pairs,
         simhash64,
+        simhash_cluster_labels,
     )
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text", "source", "lang")
     sims = simhash64(docs, "text", "doc_id")
-    pairs = hamming_neardup_pairs(
+    # contraction-first labels: row-identical to
+    # connected_components(hamming_neardup_pairs(...)) but built on the
+    # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
+    labels = simhash_cluster_labels(
         sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
     )
-    labels = connected_components(pairs, "id_a", "id_b")
     assigned = docs.join(
         labels, docs["doc_id"] == labels["node"], "left"
     ).select(
@@ -713,18 +753,19 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever straddles train/test."""
     from publicationsretriever_spark.operators.dedup import (
         cluster_safe_split,
-        connected_components,
-        hamming_neardup_pairs,
         simhash64,
+        simhash_cluster_labels,
     )
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
     sims = simhash64(docs, "text", "doc_id")
-    pairs = hamming_neardup_pairs(
+    # contraction-first labels: row-identical to
+    # connected_components(hamming_neardup_pairs(...)) but built on the
+    # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
+    labels = simhash_cluster_labels(
         sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
     )
-    labels = connected_components(pairs, "id_a", "id_b")
     assigned = docs.join(
         labels, docs["doc_id"] == labels["node"], "left"
     ).select(

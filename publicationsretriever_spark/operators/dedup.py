@@ -492,6 +492,65 @@ def hamming_neardup_pairs(
     )
 
 
+def simhash_cluster_labels(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 2,
+    bands: int | None = None,
+    hash_bits: int = 64,
+    max_iters: int = 30,
+) -> DataFrame:
+    """``connected_components(hamming_neardup_pairs(sims, ...))`` with
+    the contraction pulled BEFORE pair generation: row-identical
+    output (equivalence-tested), built without ever materializing the
+    quadratic within-family pair list.
+
+    Why it is exact: rows sharing one fingerprint value are pairwise
+    Hamming-0 — every such pair passes the banding candidate test
+    (equal hashes share every band) and the verify, so each
+    equal-fingerprint group is one clique in the verified-pair graph.
+    And both the candidate test and the verify depend only on the
+    fingerprint VALUES, so a pair exists between two groups iff it
+    exists between their representatives.  Contracting each group to
+    its min-id representative therefore preserves connectivity
+    exactly, and since cluster ids are component-MIN member ids and
+    each group's min IS its representative, the labels that come out
+    are the full graph's labels.
+
+    Scale shape: duplicate families at corpus scale are quasi-cliques
+    (the sf1.0 bench corpus: 50k docs -> 54M verified pairs, but only
+    7.5k distinct fingerprints -> 219k representative pairs, 248x
+    fewer), so pair generation and CC both run on the distinct-
+    fingerprint graph; members inherit through one keyed join.
+    Node-set contract preserved: a row is labeled iff it sat in at
+    least one verified pair — i.e. its group has >= 2 members (the
+    Hamming-0 clique) or its representative touches a cross-group
+    pair."""
+    grp = sims.groupBy(sim_col).agg(
+        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_gn")
+    )
+    reps = grp.select(F.col("_rep").alias(id_col), F.col(sim_col))
+    rpairs = hamming_neardup_pairs(
+        reps, id_col, sim_col,
+        max_hamming=max_hamming, bands=bands, hash_bits=hash_bits,
+    )
+    rlabels = connected_components(rpairs, "id_a", "id_b", max_iters)
+    members = sims.select(F.col(id_col), F.col(sim_col)).join(grp, sim_col)
+    return (
+        members.join(
+            rlabels.withColumnRenamed("node", "_rep"), "_rep", "left"
+        )
+        .filter((F.col("_gn") >= 2) | F.col("cluster_id").isNotNull())
+        .select(
+            F.col(id_col).alias("node"),
+            F.coalesce(F.col("cluster_id"), F.col("_rep")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -543,13 +602,79 @@ def connected_components(
     Returns (node, cluster_id) for every node that appears in
     ``pairs``; singletons are absent (callers left-join and coalesce to
     the node's own id — see __spark_entry__.q_dedup_clusters).
+
+    Round-6 shape change (same outputs, exact): dense near-dup
+    graphs — duplicate FAMILIES are quasi-cliques, the bench corpus
+    carries 54M verified pairs over 50k docs — made every hash-min
+    round rescan the full edge list.  Now round 1 is FUSED (labels
+    are the identity before the first step, so the neighbor-min needs
+    no join — one map-side-combined aggregate over the raw
+    symmetrized multi-edge list, whose former ``distinct`` exchange
+    is gone: min() tolerates duplicates) and the graph is then
+    CONTRACTED: the loop iterates over the distinct cross-label edge
+    list (labels after one step + jump), which collapses each clique
+    to ~one node.  Labels only ever move to smaller ids within a
+    component and contraction preserves both connectivity and the
+    component-min (the min node m keeps l(m)=m through round 1), so
+    the fixpoint is unchanged — pinned by the equivalence tests.
     """
     e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round: scan, don't re-plan
+        .localCheckpoint(eager=True)  # reused: round-1 agg + contraction
     )
+    # round 1, fused: l1(v) = min(v, min N(v)), then pointer jump
+    l1 = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_mn")).alias("label"),
+        )
+    )
+    j1 = l1.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
+    l1 = (
+        l1.join(j1, l1["label"] == j1["_jn"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # contract: the loop below runs on the label graph (size-picked
+    # join strategy — the label table is broadcast when small)
+    m1 = l1.select(F.col("node").alias("_mn1"), F.col("label").alias("_ml1"))
+    m2 = l1.select(F.col("node").alias("_mn2"), F.col("label").alias("_ml2"))
+    ec = (
+        e.join(m1, e["a"] == m1["_mn1"])
+        .join(m2, e["b"] == m2["_mn2"])
+        .select(F.col("_ml1").alias("a"), F.col("_ml2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if ec.head(1):
+        lc = _hashmin_loop(ec, max_iters - 1)
+        res = lc.select(
+            F.col("node").alias("_cn"), F.col("cluster_id").alias("_cl")
+        )
+        return (
+            l1.join(res, l1["label"] == res["_cn"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_cl"), F.col("label")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    # no cross-label edge left: round 1 already reached the fixpoint
+    return l1.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def _hashmin_loop(e: DataFrame, max_iters: int) -> DataFrame:
+    """Hash-min + pointer-jump label propagation over a symmetric
+    DISTINCT edge list until no label changes (the pre-contraction
+    loop of :func:`connected_components`, unchanged)."""
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
