@@ -618,6 +618,12 @@ def connected_components(
     component-min (the min node m keeps l(m)=m through round 1), so
     the fixpoint is unchanged — pinned by the equivalence tests.
     """
+    if max_iters <= 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pointer jumping covers diameter ~2^iters — this graph is "
+            "adversarial; use the large-star/small-star variant)"
+        )
     e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     e = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
