@@ -579,14 +579,17 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     + bit_count verify. Driven here by the portable 16-bit simhash so
     DuckDB can mirror the fingerprint."""
     from publicationsretriever_spark.operators.dedup import (
-        hamming_neardup_pairs,
+        hamming_neardup_pairs_grouped,
         simhash64,
     )
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
     sims = simhash64(docs, "text", "doc_id")
-    pairs = hamming_neardup_pairs(
+    # contraction+expansion form: row-identical to
+    # hamming_neardup_pairs but the banded join runs over distinct
+    # fingerprints, never the quadratic within-family member pairs
+    pairs = hamming_neardup_pairs_grouped(
         sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("long")).orderBy(

@@ -45,27 +45,42 @@ def pagerank(
     (u,v) of rank_i(u)/out_deg(u), rounded @iter_round each step.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    # the edge list is read by every iteration plus the node/degree
+    # passes: materialize it ONCE (eager localCheckpoint — executor-
+    # local storage, the "pre-partition once, iterations reuse"
+    # shape) instead of re-deriving it from the source scan 3+iters
+    # times; node and degree tables are |V|-sized and checkpointed
+    # for the same reason. Values unchanged — same expressions over
+    # the same rows.
+    edge = edges.select(
+        src.alias("_src"), dst.alias("_dst")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
+        edge.select(F.col("_src").alias("node"))
+        .union(edge.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("empty graph")
     base = (1.0 - damping) / n_nodes
 
-    out_deg = edges.groupBy(src.alias("node")).agg(
+    out_deg = edge.groupBy(F.col("_src").alias("node")).agg(
         F.count("*").alias("_deg")
-    )
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn(
         "pr", F.round(F.lit(1.0 / n_nodes), iter_round)
     )
-    edge = edges.select(src.alias("_src"), dst.alias("_dst"))
     for _ in range(iters):
+        # rank and degree tables are |V|-sized: BROADCAST them into
+        # the |E|-scan (without the hint the nested iteration plans
+        # lose size estimates and fall back to sort-merge, shuffling
+        # the edge list twice per iteration); the new rank vector is
+        # eagerly cut per iteration so the next plan stays flat
         contribs = (
-            edge.join(ranks, edge["_src"] == ranks["node"])
-            .join(out_deg, ranks["node"] == out_deg["node"])
+            edge.join(F.broadcast(ranks), edge["_src"] == ranks["node"])
+            .join(F.broadcast(out_deg), ranks["node"] == out_deg["node"])
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("pr") / F.col("_deg")).alias("_c"),
@@ -79,5 +94,5 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
                 iter_round,
             ).alias("pr"),
-        )
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round("pr", 6).alias("pr"))

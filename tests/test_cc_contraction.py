@@ -128,3 +128,36 @@ def test_simhash_cluster_labels_matches_pairwise_path(spark):
         map(tuple, connected_components(pairs, "id_a", "id_b").collect())
     )
     assert got == want
+
+
+def test_grouped_hamming_pairs_match_banded_path(spark):
+    from publicationsretriever_spark.operators.dedup import (
+        hamming_neardup_pairs_grouped,
+    )
+
+    rows = []
+    base = [0b1010101010101010, 0b1111000011110000, 0b0000111100001111]
+    for i in range(80):
+        h = base[i % 3]
+        if i % 7 == 0:
+            h ^= 1
+        if i % 11 == 0:
+            h ^= 0b10000000
+        rows.append((i, h))
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    kw = dict(max_hamming=2, bands=3, hash_bits=16)
+    got = sorted(
+        map(
+            tuple,
+            hamming_neardup_pairs_grouped(
+                sims, "doc_id", "simhash", **kw
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            hamming_neardup_pairs(sims, "doc_id", "simhash", **kw).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
