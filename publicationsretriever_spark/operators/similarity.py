@@ -388,24 +388,43 @@ def ivf_centroids(
     F.round), argmax ties to the lowest cell, per-dimension double
     mean, empty cells keep their previous centroid.
     """
-    init = vectors.orderBy(F.col(id_col).asc()).limit(n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
-    )
     if refine_iters <= 0:
-        return init
-    _rank = (
-        _sample_rank(F.col(id_col)) if sample_order == "hash"
-        else F.col(id_col)
-    )
-    sample_rows = (
-        vectors.orderBy(_rank.asc(), F.col(id_col).asc())
-        .limit(sample_n)
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .collect()
-    )
+        return vectors.orderBy(F.col(id_col).asc()).limit(n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+        )
+    if sample_order == "id":
+        # init cells are the lowest-id prefix of the id-ordered
+        # sample: ONE TakeOrdered job serves both collects
+        rows = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(max(n_cells, sample_n))
+            .select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .collect()
+        )
+        init_rows = rows[:n_cells]
+        sample_rows = rows[:sample_n]
+    else:
+        _rank = _sample_rank(F.col(id_col))
+        sample_rows = (
+            vectors.orderBy(_rank.asc(), F.col(id_col).asc())
+            .limit(sample_n)
+            .select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .collect()
+        )
+        init_rows = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .collect()
+        )
     cent = {
-        int(r["cell_id"]): [float(x) for x in r["_cv"]]
-        for r in init.collect()
+        int(r["_id"]): [float(x) for x in r["_v"]] for r in init_rows
     }
     cells = sorted(cent)
     # members summed in id order — a fixed order (any fixed order) keeps
@@ -508,11 +527,12 @@ class IvfIndex:
     (serialized) and reused across calls."""
 
     def __init__(self, centroids: DataFrame, inverted: DataFrame,
-                 vec_col: str, id_col: str):
+                 vec_col: str, id_col: str, dim: int | None = None):
         self.centroids = centroids
         self.inverted = inverted
         self.vec_col = vec_col
         self.id_col = id_col
+        self.dim = dim
 
     def topk(
         self,
@@ -526,6 +546,7 @@ class IvfIndex:
             payload_col=self.vec_col, score_name="cos_sim",
             id_col=self.id_col, vec_col=self.vec_col,
             query_id_col=query_id_col, k=k, nprobe=nprobe,
+            dim=self.dim,
         )
 
     def append(self, new_vectors: DataFrame) -> "IvfIndex":
@@ -547,7 +568,7 @@ class IvfIndex:
         don't retrain per batch."""
         from pyspark import StorageLevel
 
-        dim = _dim_of(new_vectors, self.vec_col)
+        dim = self.dim or _dim_of(new_vectors, self.vec_col)
         add = (
             ivf_assign(
                 new_vectors, self.centroids, self.vec_col, self.id_col,
@@ -604,7 +625,7 @@ def build_ivf_index(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if materialize:
         inv.count()
-    return IvfIndex(cent, inv, vec_col, id_col)
+    return IvfIndex(cent, inv, vec_col, id_col, dim=dim)
 
 
 def ivf_topk(
@@ -678,21 +699,25 @@ def pq_codebooks(
     step is ANSI-SQL-expressible, which keeps the operator
     oracle-checkable end-to-end.
     """
-    row = vectors.select(
-        F.first(F.size(F.col(vec_col))).alias("d")
-    ).head()
-    dim = int(row["d"]) if row is not None and row["d"] is not None else 0
-    if dim == 0 or dim % m != 0:
-        raise ValueError(f"vector dim {dim} not divisible by m={m}")
-    w = dim // m
-    init_rows = (
+    # ONE TakeOrdered job serves the codeword init, the Lloyd sample
+    # AND the dim probe (both are lowest-id prefixes)
+    rows = (
         vectors.orderBy(F.col(id_col).asc())
-        .limit(n_codes)
+        .limit(max(n_codes, sample_n if refine_iters > 0 else 0))
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .collect()
     )
+    dim = (
+        len(rows[0]["_v"])
+        if rows and rows[0]["_v"] is not None
+        else 0
+    )
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    w = dim // m
     init = sorted(
-        ((int(r["_id"]), [float(x) for x in r["_v"]]) for r in init_rows),
+        ((int(r["_id"]), [float(x) for x in r["_v"]])
+         for r in rows[:n_codes]),
         key=lambda t: t[0],
     )
     # cb[j][code_id] = codeword list (doubles)
@@ -700,15 +725,9 @@ def pq_codebooks(
         {cid: v[j * w : (j + 1) * w] for cid, v in init} for j in range(m)
     ]
     if refine_iters > 0:
-        sample_rows = (
-            vectors.orderBy(F.col(id_col).asc())
-            .limit(sample_n)
-            .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-            .collect()
-        )
         samp = sorted(
             ((int(r["_id"]), [float(x) for x in r["_v"]])
-             for r in sample_rows),
+             for r in rows[:sample_n]),
             key=lambda t: t[0],
         )
         from decimal import ROUND_HALF_UP, Decimal
@@ -955,6 +974,7 @@ def _probe_topk(
     query_id_col: str,
     k: int,
     nprobe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """The ONE probe/scan/rank pipeline behind IvfIndex.topk and
     IvfPqIndex.topk (they differ only in the scored payload column
@@ -964,7 +984,8 @@ def _probe_topk(
     cosine against the precomputed norm, per-query top-k with @6dp
     rounding and id tie-breaks. A tie-break or rounding fix here
     reaches both index families at once."""
-    dim = _dim_of(queries, vec_col)
+    if dim is None:
+        dim = _dim_of(queries, vec_col)
     qscored = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).crossJoin(F.broadcast(centroids)).select(
@@ -1015,8 +1036,10 @@ class IvfPqIndex:
 
     def __init__(self, centroids: DataFrame, inverted: DataFrame,
                  id_col: str, codebooks=None, m: int = 0,
-                 vec_col: str = "embedding", residual: bool = False):
+                 vec_col: str = "embedding", residual: bool = False,
+                 dim: int | None = None):
         self.centroids = centroids
+        self.dim = dim
         self.inverted = inverted  # (cell_id, id, recon, _n)
         self.id_col = id_col
         # frozen encode parameters, kept so append() can quantize new
@@ -1040,6 +1063,7 @@ class IvfPqIndex:
             payload_col="recon", score_name="adc_sim",
             id_col=self.id_col, vec_col=vec_col,
             query_id_col=query_id_col, k=k, nprobe=nprobe,
+            dim=self.dim,
         )
 
     def append(self, new_vectors: DataFrame) -> "IvfPqIndex":
@@ -1059,7 +1083,7 @@ class IvfPqIndex:
                 "via build_ivfpq_index to enable append"
             )
         vec_col, id_col = self.vec_col, self.id_col
-        dim = _dim_of(new_vectors, vec_col)
+        dim = self.dim or _dim_of(new_vectors, vec_col)
         assigned = ivf_assign(
             new_vectors, self.centroids, vec_col, id_col, dim
         )
@@ -1207,7 +1231,7 @@ def build_ivfpq_index(
         assigned.unpersist()
         return IvfPqIndex(
             cent, inv, id_col, codebooks=cbs, m=m, vec_col=vec_col,
-            residual=True,
+            residual=True, dim=dim,
         )
     cbs = pq_codebooks(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
@@ -1221,7 +1245,7 @@ def build_ivfpq_index(
         inv.count()
     return IvfPqIndex(
         cent, inv, id_col, codebooks=cbs, m=m, vec_col=vec_col,
-        residual=False,
+        residual=False, dim=dim,
     )
 
 
