@@ -59,12 +59,22 @@ def get_spark(
         # every normal stage stays whole-stage. This is the
         # documented purpose of the knob (SPARK-21871).
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # deliberate join-strategy choice (guide §3.1): allow shuffled
+        # hash join when its size conditions are met instead of
+        # defaulting to sort-merge — the dedup/similarity self-joins
+        # build small per-partition sides (cell/bucket-keyed), where
+        # SHJ skips both sorts (semdedup -25% measured at sf1.0). The
+        # planner still falls back to SMJ when the build side is too
+        # big for a partition-local hash table.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(master)
     spark = builder.getOrCreate()
