@@ -504,14 +504,18 @@ def ivf_assign(
     )
     # argmax via max_by with a (sim, -cell_id) comparator instead of a
     # sort window: the hash aggregate combines MAP-SIDE, so the shuffle
-    # carries one row per vector, not one per (vector x centroid) —
-    # a window would ship and sort the full cross product. first()
-    # is safe: vec_col is constant within an id group.
-    return scored.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
+    # carries one row per vector, not one per (vector x centroid).
+    # Only the (id, cell) pick flows through the aggregate — dragging
+    # the vector itself through a first() forced the slow object-agg
+    # path (arrays disqualify the row-based hash map); the vector is
+    # re-attached with one id-keyed join instead.
+    picked = scored.groupBy(id_col).agg(
         F.max_by(
             F.col("cell_id"), F.struct(F.col("_sim"), -F.col("cell_id"))
         ).alias("cell_id"),
+    )
+    return vectors.select(F.col(id_col), F.col(vec_col)).join(
+        picked, id_col
     )
 
 
@@ -824,20 +828,21 @@ def pq_encode(
     )
     d2 = _pq_subspace_d2(vec_col, width)
     scored = vectors.crossJoin(F.broadcast(cb)).select(
-        F.col(id_col), F.col("sub_id"), F.col("code_id"), F.col("cw"),
+        F.col(id_col), F.col("sub_id"), F.col("code_id"),
         d2.alias("_d2"),
     )
+    # only the code id flows through the aggregate (fast row-based
+    # hash map — codeword arrays forced the object-agg path); the
+    # codeword is re-attached from the broadcast codebook afterward
     picked = scored.groupBy(id_col, "sub_id").agg(
         F.min_by(
-            F.struct(F.col("code_id"), F.col("cw")),
-            F.struct(F.col("_d2"), F.col("code_id")),
-        ).alias("_pick")
+            F.col("code_id"), F.struct(F.col("_d2"), F.col("code_id"))
+        ).alias("code_id")
     )
-    return picked.select(
-        id_col, "sub_id",
-        F.col("_pick.code_id").alias("code_id"),
-        F.col("_pick.cw").alias("cw"),
-    )
+    return picked.join(
+        F.broadcast(codebooks.select("sub_id", "code_id", "cw")),
+        ["sub_id", "code_id"],
+    ).select(id_col, "sub_id", "code_id", "cw")
 
 
 def pq_reconstruct(
@@ -880,25 +885,49 @@ def pq_reconstruct_fused(
     )
     d2 = _pq_subspace_d2(vec_col, width)
     scored = vectors.crossJoin(F.broadcast(cb)).select(
-        F.col(id_col), F.col("sub_id"), F.col("code_id"), F.col("cw"),
+        F.col(id_col), F.col("sub_id"), F.col("code_id"),
         d2.alias("_d2"),
     )
     # min_by skips rows where the VALUE expression is null, so gating
     # both operands on sub_id turns each aggregate into "argmin within
-    # subspace j" — all m of them combine map-side in the one hash agg
+    # subspace j" — all m of them combine map-side in the one hash
+    # agg. Only the code IDS flow through the aggregate (longs keep
+    # the fast row-based hash map; codeword arrays forced the object-
+    # agg path); the codewords are re-attached from the collected
+    # bounded codebook (m x n_codes rows — a literal by construction)
+    # as a literal CASE lookup, so the reconstruction is a pure
+    # projection with bit-identical values.
     picks = [
         F.min_by(
-            F.when(F.col("sub_id") == j, F.col("cw")),
+            F.when(F.col("sub_id") == j, F.col("code_id")),
             F.when(
                 F.col("sub_id") == j,
                 F.struct(F.col("_d2"), F.col("code_id")),
             ),
-        ).alias(f"_cw{j}")
+        ).alias(f"_c{j}")
         for j in range(m)
     ]
+    cw_lit = {
+        (int(r["sub_id"]), int(r["code_id"])): [float(x) for x in r["cw"]]
+        for r in codebooks.select("sub_id", "code_id", "cw").collect()
+    }
+
+    def _lookup(j: int) -> Column:
+        expr = None
+        for (sj, cid), cw in sorted(cw_lit.items()):
+            if sj != j:
+                continue
+            arr = F.array(*[F.lit(v) for v in cw])
+            expr = (
+                F.when(F.col(f"_c{j}") == cid, arr)
+                if expr is None
+                else expr.when(F.col(f"_c{j}") == cid, arr)
+            )
+        return expr
+
     return scored.groupBy(id_col).agg(*picks).select(
         id_col,
-        F.concat(*[F.col(f"_cw{j}") for j in range(m)]).alias("recon"),
+        F.concat(*[_lookup(j) for j in range(m)]).alias("recon"),
     )
 
 
@@ -1408,22 +1437,18 @@ def sq_topk(
     dimension, so recall degrades gracefully; ties broken by id."""
     mins, maxs = sq_stats(vectors, vec_col, id_col)
     dim = len(mins)
-    deq = vectors.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.lit(float(mins[i]))
-                + _sq_code(
-                    F.get(F.col(vec_col), i),
-                    F.lit(float(mins[i])),
-                    F.lit(float(maxs[i])),
-                )
-                * (F.lit(float(maxs[i])) - F.lit(float(mins[i])))
-                / F.lit(255.0)
-                for i in range(dim)
-            ]
-        ).alias("dv"),
-    ).withColumn("_n", l2_norm(F.col("dv"), dim))
+    # encode and dequantize as two projections with an eager cut
+    # between them: fused, the combined per-row expression exceeds the
+    # JIT method limit in every form the optimizer preserves
+    # (CollapseProject re-inlines split projections); and the encoded
+    # table is exactly what a deployment persists anyway. Arithmetic
+    # identical to the fused form (equivalence-verified).
+    codes = sq_encode(vectors, mins, maxs, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
+    deq = sq_dequantize(codes, mins, maxs, id_col).withColumn(
+        "_n", l2_norm(F.col("dv"), dim)
+    )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
