@@ -617,6 +617,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 30,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: the step
     that turns pairwise matches (minhash/ngram/simhash/phash output)
@@ -720,22 +721,63 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if ec.head(1):
+    n_ec = ec.count()  # ec is checkpointed: the count is a cheap scan
+    if n_ec == 0:
+        # no cross-label edge left: round 1 already reached the fixpoint
+        return l1.select(F.col("node"), F.col("label").alias("cluster_id"))
+    numeric = ec.schema["a"].dataType.typeName() in (
+        "long", "integer", "short", "byte"
+    )
+    if numeric and n_ec <= driver_max_edges:
+        # the contracted graph is bounded and integer-keyed: finish it
+        # with a driver-side union-find (exact — the label is the
+        # component MIN, same fixpoint as the hash-min loop) instead
+        # of paying 2-4 more blocking checkpoint rounds of tiny
+        # distributed jobs. Gated by size: past driver_max_edges the
+        # distributed loop below is the scale path (quantizer
+        # training sets the driver-side-bounded-work precedent).
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in ec.collect():
+            ra, rb = find(int(row["a"])), find(int(row["b"]))
+            if ra != rb:
+                # attach the larger root under the smaller: roots stay
+                # the component minimum
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = sorted((x, find(x)) for x in list(parent))
+        res = F.broadcast(
+            ec.sparkSession.createDataFrame(
+                rows,
+                ec.select(F.col("a").alias("_cn")).schema.add(
+                    "_cl", ec.schema["a"].dataType
+                ),
+            )
+        )
+    else:
         lc = _hashmin_loop(ec, max_iters - 1)
         res = lc.select(
             F.col("node").alias("_cn"), F.col("cluster_id").alias("_cl")
         )
-        return (
-            l1.join(res, l1["label"] == res["_cn"], "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_cl"), F.col("label")).alias(
-                    "cluster_id"
-                ),
-            )
+    return (
+        l1.join(res, l1["label"] == res["_cn"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_cl"), F.col("label")).alias(
+                "cluster_id"
+            ),
         )
-    # no cross-label edge left: round 1 already reached the fixpoint
-    return l1.select(F.col("node"), F.col("label").alias("cluster_id"))
+    )
 
 
 def _hashmin_loop(e: DataFrame, max_iters: int) -> DataFrame:

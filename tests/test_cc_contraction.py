@@ -161,3 +161,30 @@ def test_grouped_hamming_pairs_match_banded_path(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_contracted_cc_loop_path_matches_driver_path(spark):
+    """driver_max_edges=0 forces the distributed hash-min loop; both
+    finishing paths must be row-identical."""
+    pairs = _chain_pairs(spark)
+    drv = sorted(map(tuple, connected_components(pairs).collect()))
+    loop = sorted(
+        map(
+            tuple,
+            connected_components(pairs, driver_max_edges=0).collect(),
+        )
+    )
+    assert drv == loop
+
+
+def test_contracted_cc_string_ids_use_loop_path(spark):
+    """String ids skip the driver union-find (binary-vs-codepoint
+    ordering risk) and still produce lexicographic-min labels."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
