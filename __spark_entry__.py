@@ -650,6 +650,29 @@ def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 5 == 0
     corpus_sims = sims.filter(~is_batch)
     batch_sims = sims.filter(is_batch)
+    # ONE banded join over the union of per-(fingerprint, side)
+    # representatives serves both halves: pairs with both ends in the
+    # corpus are exactly the corpus-rep pair list (pair existence and
+    # hamming depend only on the fingerprint values, and the
+    # batch/corpus id spaces partition on doc_id % 5), pairs with a
+    # batch end are the reduced batch graph
+    gcg = corpus_sims.groupBy("simhash").agg(
+        F.min("doc_id").alias("_rep"), F.count(F.lit(1)).alias("_gn")
+    )
+    gb = batch_sims.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    gc = gcg.select(F.col("_rep").alias("doc_id"), "simhash")
+    rp = hamming_neardup_pairs(
+        gb.unionByName(gc.select("doc_id", "simhash")),
+        "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16,
+    ).localCheckpoint(eager=True)
+    corpus_rep_pairs = rp.filter(
+        (F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0)
+    )
+    red_batch_pairs = rp.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    )
     # corpus assignment: contraction-first, row-identical to CC over
     # the corpus-only verified-pair list (see simhash_cluster_labels —
     # equal-fingerprint docs are one Hamming-0 clique and pair
@@ -657,24 +680,7 @@ def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = simhash_cluster_labels(
         corpus_sims, "doc_id", "simhash",
         max_hamming=2, bands=3, hash_bits=16,
-    )
-    # the batch pair list reduced the same way: one representative per
-    # (fingerprint, side); a batch-involving pair exists between two
-    # docs iff it exists between their side-reps, and corpus members
-    # of one fingerprint share an assign label, so the mapped graph's
-    # connectivity is unchanged
-    gb = batch_sims.groupBy("simhash").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    gc = corpus_sims.groupBy("simhash").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    rp = hamming_neardup_pairs(
-        gb.unionByName(gc).select("doc_id", "simhash"),
-        "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16,
-    )
-    red_batch_pairs = rp.filter(
-        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+        groups=gcg, rep_pairs=corpus_rep_pairs,
     )
     upd = incremental_components(assign, red_batch_pairs)
     updated = apply_component_update(
