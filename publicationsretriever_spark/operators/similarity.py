@@ -1815,16 +1815,34 @@ def semdedup(
         )
     dim = _dim_of(vectors, vec_col)
     inv = index.inverted  # (id_col, vec_col, cell_id, _n)
+    # the pair pass joins ON (cell, salt), not cell alone: with
+    # n_cells below the session parallelism the cell-keyed shuffle
+    # caps the quadratic scoring stage at n_cells tasks (guide §2.5 —
+    # and one hot cell serializes). The salt is a deterministic hash
+    # of the probe-side id (never rand() — retried tasks must re-draw
+    # the same rows); the build side is replicated salt-ways, so
+    # every within-cell pair still meets exactly once.
+    n_salt = max(
+        1,
+        int(inv.sparkSession.sparkContext.defaultParallelism)
+        // max(1, int(n_cells)),
+    )
     a = inv.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         "cell_id", F.col("_n").alias("_na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        .cast("int")
+        .alias("_salt"),
     )
     b = inv.select(
         F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
         "cell_id", F.col("_n").alias("_nb"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(n_salt)])
+        ).alias("_salt"),
     )
     dup = (
-        a.join(b, "cell_id")
+        a.join(b, ["cell_id", "_salt"])
         .filter(F.col("_idb") < F.col("_ida"))
         .withColumn(
             "_sim",
