@@ -142,6 +142,111 @@ def partial_topk(
     )
 
 
+def _np_cross_scores(
+    corpus: DataFrame,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    score_name: str,
+    dim: int,
+    extra_per_query: dict | None = None,
+    extra_name: str = "_ts",
+) -> DataFrame:
+    """Broadcast-queries x corpus cosine scoring as ONE mapInPandas
+    stage (guide §4.2): the bounded query set rides in the task
+    closure as plain Python lists, each corpus batch is scored in
+    NumPy with the EXACT same IEEE op sequence as the JVM unrolled
+    fold — acc starts at 0.0 and adds the per-dimension products in
+    index order (one multiply + one add per step, no BLAS/FMA
+    reassociation), norms fold the same way, and the division
+    associates (dot / (cn * qn)) — so the raw double scores are
+    BIT-IDENTICAL to the expression path (pinned by
+    test_np_scorer_bit_identical). The @6dp HALF_UP round stays
+    JVM-side on the returned column (decimal rounding has no exact
+    vectorized form).
+
+    Why: the unrolled 64-dim expression chains cost the DRIVER
+    hundreds of ms of codegen text generation / subexpression
+    elimination per stage per action (thread dumps: Block.toString,
+    orderCommutative); this node's plan is a single opaque function.
+    The Python boundary moves (id, vec) in and (qid, id, score) out —
+    at 10^10 rows the same columns the JVM pipeline would stream
+    between operators. Queries must be the bounded eval/mining sample
+    (the operators' existing contract). ``extra_per_query`` emits one
+    extra per-query double column (e.g. the true-match score) so
+    consumers need no extra join. Null vectors are not supported on
+    this path (callers fall back to the expression path when dim is
+    unknown)."""
+    qids = [int(q) for q, _ in q_rows]
+    qvecs = [[float(x) for x in v] for _, v in q_rows]
+    extras = (
+        [float(extra_per_query[q]) for q in qids]
+        if extra_per_query is not None
+        else None
+    )
+    schema = f"{query_id_col} long, {id_col} long, {score_name} double"
+    if extras is not None:
+        schema += f", {extra_name} double"
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array(qvecs, dtype=np.float64)
+        n_q = Q.shape[0]
+        qn = np.zeros(n_q)
+        for d in range(dim):
+            qd = Q[:, d]
+            qn = qn + qd * qd
+        qn = np.sqrt(qn)
+        qid_arr = np.array(qids, dtype=np.int64)
+        ex_arr = (
+            np.array(extras, dtype=np.float64)
+            if extras is not None
+            else None
+        )
+        for pdf in batches:
+            if len(pdf) == 0 or n_q == 0:
+                continue
+            C = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[vec_col].to_numpy()
+                ]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_c = C.shape[0]
+            acc = np.zeros((n_c, n_q))
+            cn = np.zeros(n_c)
+            for d in range(dim):
+                cd = C[:, d]
+                cn = cn + cd * cd
+                acc = acc + cd[:, None] * Q[:, d][None, :]
+            s = acc / (np.sqrt(cn)[:, None] * qn[None, :])
+            out = {
+                query_id_col: np.tile(qid_arr, n_c),
+                id_col: np.repeat(ids, n_q),
+                score_name: s.ravel(),
+            }
+            if ex_arr is not None:
+                out[extra_name] = np.tile(ex_arr, n_c)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(scorer, schema)
+
+
+def _collect_query_rows(
+    queries: DataFrame, query_id_col: str, vec_col: str
+) -> list:
+    """One bounded collect of the query sample: [(qid, [floats])]."""
+    return [
+        (r[0], list(r[1]))
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None
+    ]
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -150,27 +255,38 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k per query. queries is broadcast (small side);
-    the big vectors table streams through one codegen'd stage (norms
-    precomputed once per side, unrolled dot — same fold order as the
-    interpreted form, bit-identical scores); the per-query rank runs
-    through partial_topk so the global window's input is bounded.
-    Ties broken by id for determinism."""
+    """Exact cosine top-k per query. The bounded query sample is
+    collected once and scored against the streaming corpus in a
+    single NumPy mapInPandas stage (bit-identical raw scores to the
+    unrolled expression fold — see _np_cross_scores; the @6dp round
+    stays JVM-side); the per-query rank runs through partial_topk so
+    the global window's input is bounded. Ties broken by id for
+    determinism. Falls back to the expression path when the vector
+    width is unknown (empty corpus)."""
     dim = _dim_of(vectors, vec_col)
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    v = vectors.withColumn("_n", l2_norm(F.col(vec_col), dim))
-    joined = v.crossJoin(F.broadcast(q))
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            dot(F.col(vec_col), F.col("_qv"), dim)
-            / (F.col("_n") * F.col("_qn")),
-            6,
-        ).alias("cos_sim"),
-    )
+    if dim is None:
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        v = vectors.withColumn("_n", l2_norm(F.col(vec_col), dim))
+        scored = v.crossJoin(F.broadcast(q)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"), dim)
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    else:
+        q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+        scored = _np_cross_scores(
+            vectors, q_rows, id_col, vec_col, query_id_col, "_s", dim
+        ).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_s"), 6).alias("cos_sim"),
+        )
     return partial_topk(
         scored,
         query_id_col,
@@ -1648,26 +1764,25 @@ def mrl_rerank_topk(
     dim = _dim_of(vectors, vec_col)
     prefix_q = queries.select(
         F.col(query_id_col),
-        F.slice(F.col(vec_col), 1, d_prime).alias("_qp"),
         F.col(vec_col).alias("_qv"),
     )
-    # norms once per side before the cross join (same na*nb
-    # association as cosine() — bit-identical _coarse)
-    pq_side = prefix_q.select(query_id_col, "_qp").withColumn(
-        "_qpn", l2_norm(F.col("_qp"), d_prime)
-    )
-    coarse = vectors.select(
-        F.col(id_col), F.slice(F.col(vec_col), 1, d_prime).alias("_vp")
-    ).withColumn("_vpn", l2_norm(F.col("_vp"), d_prime)).crossJoin(
-        F.broadcast(pq_side)
+    # coarse stage as the NumPy corpus scan (bit-identical raw scores,
+    # JVM @6dp round — see _np_cross_scores); queries are sliced to
+    # the d_prime prefix on the driver, the corpus slice is a one-node
+    # projection feeding the scan
+    full_q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    coarse_q_rows = [(q, v[:d_prime]) for q, v in full_q_rows]
+    coarse = _np_cross_scores(
+        vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, d_prime).alias(vec_col),
+        ),
+        coarse_q_rows, id_col, vec_col, query_id_col, "_sraw",
+        d_prime,
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot(F.col("_vp"), F.col("_qp"), d_prime)
-            / (F.col("_vpn") * F.col("_qpn")),
-            6,
-        ).alias("_coarse"),
+        F.round(F.col("_sraw"), 6).alias("_coarse"),
     )
     # the coarse stage scans the full corpus per query — its top-
     # `candidates` cut runs through partial_topk so no task ever
@@ -1973,37 +2088,53 @@ def retrieval_recall_at_k(
 
     Returns one row per k: (k, n_queries, hits, recall@6dp)."""
     dim = _dim_of(corpus, vec_col)
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
-    )
-    # corpus norms once per row (same na*nb association as cosine() —
-    # bit-identical scores); the per-pair cosine is computed ONCE in a
-    # projection and compared twice, instead of twice inline
-    c = corpus.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
-    truth = (
-        c.join(F.broadcast(q), F.col("_cid") == F.col("_qid"))
-        .select(
-            "_qid",
-            "_qv",
-            F.round(cosine(F.col("_cv"), F.col("_qv"), dim), 6).alias(
-                "_ts"
-            ),
-        )
-        .withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    )
+    # the bounded query sample is collected once; each query's TRUE
+    # match score is computed ON THE DRIVER from the matching corpus
+    # rows (plain Python floats are IEEE doubles, same sequential
+    # fold -> bit-identical raw cosine to the expression form) and
+    # rides into the NumPy corpus scan as a per-query extra column,
+    # so the whole evaluation is one scan + one bounded collect —
+    # no truth join, no broadcast of a second scored table. Queries
+    # whose id has no corpus row are dropped (same inner-join
+    # semantics as before).
+    q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    qid_set = [int(q) for q, _ in q_rows]
+    truth_rows = {
+        int(r[0]): list(r[1])
+        for r in corpus.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(qid_set))
+        .collect()
+        if r[1] is not None
+    }
+
+    def _fold_cos(a: list, b: list) -> float:
+        import math
+
+        # math.sqrt is the IEEE-correctly-rounded sqrt (same bits as
+        # Java Math.sqrt / np.sqrt); x ** 0.5 would be libm pow
+        acc = 0.0
+        na = 0.0
+        nb = 0.0
+        for i in range(dim):
+            acc = acc + float(a[i]) * float(b[i])
+            na = na + float(a[i]) * float(a[i])
+            nb = nb + float(b[i]) * float(b[i])
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    q_rows = [(q, v) for q, v in q_rows if int(q) in truth_rows]
+    ts_raw = {
+        int(q): _fold_cos(truth_rows[int(q)], v) for q, v in q_rows
+    }
     scored = (
-        c.crossJoin(F.broadcast(truth))
+        _np_cross_scores(
+            corpus, q_rows, id_col, vec_col, "_qid", "_sraw", dim,
+            extra_per_query=ts_raw, extra_name="_tsraw",
+        )
         .select(
             "_qid",
-            "_cid",
-            "_ts",
-            F.round(
-                dot(F.col("_cv"), F.col("_qv"), dim)
-                / (F.col("_cn") * F.col("_qn")),
-                6,
-            ).alias("_s"),
+            F.col(id_col).alias("_cid"),
+            F.round(F.col("_sraw"), 6).alias("_s"),
+            F.round(F.col("_tsraw"), 6).alias("_ts"),
         )
         .select(
             "_qid",
@@ -2061,23 +2192,39 @@ def hard_negatives(
     (query_id, rank, neg_id, cos_sim) because query and corpus
     usually share the pair-id namespace."""
     dim = _dim_of(corpus, vec_col)
-    q = queries.select(
-        F.col(query_id_col).alias("_hq"), F.col(vec_col).alias("_qv")
-    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    scored = (
-        corpus.withColumn("_n", l2_norm(F.col(vec_col), dim))
-        .crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("_hq"))
-        .select(
-            F.col("_hq").alias("query_id"),
-            F.col(id_col).alias("neg_id"),
-            F.round(
-                dot(F.col(vec_col), F.col("_qv"), dim)
-                / (F.col("_n") * F.col("_qn")),
-                6,
-            ).alias("cos_sim"),
+    if dim is None:
+        q = queries.select(
+            F.col(query_id_col).alias("_hq"), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        scored = (
+            corpus.withColumn("_n", l2_norm(F.col(vec_col), dim))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("_hq"))
+            .select(
+                F.col("_hq").alias("query_id"),
+                F.col(id_col).alias("neg_id"),
+                F.round(
+                    dot(F.col(vec_col), F.col("_qv"), dim)
+                    / (F.col("_n") * F.col("_qn")),
+                    6,
+                ).alias("cos_sim"),
+            )
         )
-    )
+    else:
+        # one NumPy scan (bit-identical raw scores, JVM round); the
+        # self-pair filter drops the same rows it did pre-scoring
+        q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+        scored = (
+            _np_cross_scores(
+                corpus, q_rows, id_col, vec_col, "_hq", "_s", dim
+            )
+            .filter(F.col(id_col) != F.col("_hq"))
+            .select(
+                F.col("_hq").alias("query_id"),
+                F.col(id_col).alias("neg_id"),
+                F.round(F.col("_s"), 6).alias("cos_sim"),
+            )
+        )
     return partial_topk(
         scored,
         "query_id",
