@@ -468,6 +468,328 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def _round6_py(x: float) -> float:
+    """Spark's round(double, 6): HALF_UP on the shortest decimal repr
+    of the double (BigDecimal.valueOf == Decimal(repr(x))). The same
+    rule the driver-side Lloyd loops already replicate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _double_compare(a: float, b: float) -> int:
+    """java.lang.Double.compare — the ordering Spark's sorts, windows
+    and max_by/min_by apply to DoubleType. Differs from Python's
+    native float compare in exactly two places: -0.0 < 0.0, and NaN
+    sorts above everything. The bit-compare branch only runs when
+    a == b or either is NaN."""
+    import struct as _st
+
+    if a < b:
+        return -1
+    if a > b:
+        return 1
+    ab = _st.unpack("<q", _st.pack("<d", a))[0]
+    bb = _st.unpack("<q", _st.pack("<d", b))[0]
+    return (ab > bb) - (ab < bb)
+
+
+def _py_fold_cos(a: list, b: list) -> float:
+    """Sequential-fold cosine in plain Python (IEEE doubles, same op
+    sequence as the JVM unrolled fold: products added in index order,
+    correctly-rounded sqrt, dot / (na * nb) association) — raw value
+    bit-identical to the expression form."""
+    import math
+
+    acc = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+        na = na + float(x) * float(x)
+        nb = nb + float(y) * float(y)
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _py_probe_cells(
+    q_rows: list, cent_rows: list, nprobe: int
+) -> dict:
+    """Per-query probed cells, computed ON THE DRIVER: the @6dp-rounded
+    query-to-centroid cosine ranking (desc sim, asc cell — exactly the
+    window _probe_topk ran as a Spark stage). Bounded work: |queries| x
+    n_cells driver-side folds."""
+    import functools
+
+    def _cmp(x, y):
+        # desc by sim under Double.compare, asc by cell
+        c = _double_compare(y[0], x[0])
+        return c if c != 0 else (x[1] > y[1]) - (x[1] < y[1])
+
+    out = {}
+    for qid, qv in q_rows:
+        sims = [
+            (_round6_py(_py_fold_cos(qv, cv)), c) for c, cv in cent_rows
+        ]
+        sims.sort(key=functools.cmp_to_key(_cmp))
+        out[int(qid)] = [c for _, c in sims[:nprobe]]
+    return out
+
+
+def _py_assign_cells(rows: list, cent_rows: list) -> list:
+    """Driver-side exact nearest-cell assignment for a bounded sample:
+    @6dp-rounded cosine argmax, ties to the lowest cell — the same
+    rule ivf_assign applies distributed. Returns [(id, vec, cell)]."""
+    out = []
+    for rid, v in rows:
+        best_c, best_s = None, None
+        for c, cv in cent_rows:  # ascending cell + strict '>' = ties low
+            s = _round6_py(_py_fold_cos(v, cv))
+            if best_s is None or _double_compare(s, best_s) > 0:
+                best_c, best_s = c, s
+        out.append((rid, v, best_c))
+    return out
+
+
+def _np_ivf_probe_scan(
+    vectors: DataFrame,
+    cent_rows: list,
+    q_rows: list,
+    probe_cells: dict | None,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    score_name: str,
+    dim: int,
+    pq: dict | None = None,
+) -> DataFrame:
+    """The one-shot IVF / IVF-PQ / PQ search as ONE mapInPandas corpus
+    scan (guide §4.2 / §8: decide with bounded driver-side tables, move
+    the heavy rows once). Replaces the assign-aggregate-join +
+    probe-join + scoring pipeline — whose unrolled expression trees
+    cost the driver seconds of per-action codegen text generation —
+    with a single opaque stage of NumPy batch math.
+
+    Per batch: (1) nearest-cell assignment by @6dp-rounded cosine
+    argmax with ties to the lowest cell. The fast path takes the RAW
+    argmax and accepts it when the margin to the runner-up exceeds
+    1e-6 — rounding moves a value by at most 5e-7, so a raw margin
+    > 1e-6 cannot flip the rounded order or create a rounded tie;
+    rows inside the margin go through the exact decimal path
+    (_round6_py per cell, tie to lowest). (2) optionally PQ-encode the
+    row (per-subspace squared-L2 argmin, same margin rule on the
+    rounded d2, ties to the lowest code) and reconstruct the stored
+    payload (flat: codeword concat; residual/IVFADC: centroid +
+    recon(residual)). (3) score the payload against every query that
+    probes the row's cell (``probe_cells``; None = score all rows for
+    all queries, the flat-PQ exhaustive scan) with the bit-identical
+    per-dimension fold, and emit (query_id, id, raw score). The @6dp
+    round of the score stays JVM-side on the returned column.
+
+    The query set and trained tables are bounded by contract and ride
+    in the task closure; at 10^10 rows the scan still reads each
+    corpus row once and emits only probed candidates. The distributed
+    join/aggregate formulation remains in ivf_assign/_probe_topk for
+    quantizers too large to ship as closures (n_cells x dim beyond
+    list-literal scale)."""
+    qids = [int(q) for q, _ in q_rows]
+    qvecs = [[float(x) for x in v] for _, v in q_rows]
+    cells = [int(c) for c, _ in cent_rows]
+    cvecs = [[float(x) for x in v] for _, v in cent_rows]
+    probe = (
+        {int(q): set(cs) for q, cs in probe_cells.items()}
+        if probe_cells is not None
+        else None
+    )
+    pq_cfg = None
+    if pq is not None:
+        pq_cfg = {
+            "m": int(pq["m"]),
+            "width": int(pq["width"]),
+            "residual": bool(pq.get("residual", False)),
+            # cb[j] = (codes list, codeword matrix rows in code order)
+            "cb": pq["cb_rows"],
+        }
+    schema = f"{query_id_col} long, {id_col} long, {score_name} double"
+
+    # nested (pickled-by-value) copies of _round6_py/_double_compare:
+    # the scorer must be self-contained — module-level references
+    # would require the package to be importable on every worker
+    def _r6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+
+    def _dcmp(a, b):
+        import struct as _st
+
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+        ab = _st.unpack("<q", _st.pack("<d", a))[0]
+        bb = _st.unpack("<q", _st.pack("<d", b))[0]
+        return (ab > bb) - (ab < bb)
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_q = len(qids)
+        if n_q == 0:
+            return
+        Q = np.array(qvecs, dtype=np.float64)
+        qn = np.zeros(n_q)
+        for d in range(dim):
+            qd = Q[:, d]
+            qn = qn + qd * qd
+        qn = np.sqrt(qn)
+        CENT = np.array(cvecs, dtype=np.float64)
+        cell_arr = np.array(cells, dtype=np.int64)
+        cent_n = np.zeros(len(cells))
+        for d in range(dim):
+            cd = CENT[:, d]
+            cent_n = cent_n + cd * cd
+        cent_n = np.sqrt(cent_n)
+        cell_index = {c: i for i, c in enumerate(cells)}
+        if pq_cfg is not None:
+            m, width = pq_cfg["m"], pq_cfg["width"]
+            cb_codes = []  # per subspace: sorted code ids
+            cb_mats = []  # per subspace: (n_codes, width) matrix
+            by_sub: dict[int, list] = {}
+            for sj, cid, cw in pq_cfg["cb"]:
+                by_sub.setdefault(int(sj), []).append((int(cid), cw))
+            for j in range(m):
+                ent = sorted(by_sub.get(j, []))
+                cb_codes.append(np.array([c for c, _ in ent]))
+                cb_mats.append(
+                    np.array([w for _, w in ent], dtype=np.float64)
+                )
+
+        def rounded_argbest(raw, ids_sorted_axis, maximize):
+            """Row-wise arg-best of @6dp-rounded values with ties to
+            the LOWEST id. raw: (n, k) matrix whose columns are in
+            ascending id order; fast path when the raw margin > 1e-6."""
+            n, k = raw.shape
+            if maximize:
+                best = np.argmax(raw, axis=1)  # first (lowest id) max
+            else:
+                best = np.argmin(raw, axis=1)
+            vals = raw[np.arange(n), best]
+            tmp = raw.copy()
+            tmp[np.arange(n), best] = -np.inf if maximize else np.inf
+            second = (
+                np.max(tmp, axis=1) if maximize else np.min(tmp, axis=1)
+            )
+            margin = np.abs(vals - second)
+            near = margin <= 1e-6
+            if near.any():
+                for i in np.flatnonzero(near):
+                    rb, rs = None, None
+                    for jj in range(k):
+                        s = _r6(float(raw[i, jj]))
+                        if (
+                            rs is None
+                            or (maximize and _dcmp(s, rs) > 0)
+                            or (not maximize and _dcmp(s, rs) < 0)
+                        ):
+                            rb, rs = jj, s
+                    best[i] = rb
+            return best
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[vec_col].to_numpy()
+                ]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_c = C.shape[0]
+            # (1) nearest-cell assignment (skipped for the flat-PQ
+            # exhaustive scan, which passes one dummy cell)
+            if probe is None and len(cells) == 1:
+                pick = np.zeros(n_c, dtype=np.int64)
+                row_cell = cell_arr[pick]
+            else:
+                accs = np.zeros((n_c, len(cells)))
+                cn = np.zeros(n_c)
+                for d in range(dim):
+                    cd = C[:, d]
+                    cn = cn + cd * cd
+                    accs = accs + cd[:, None] * CENT[:, d][None, :]
+                sims = accs / (np.sqrt(cn)[:, None] * cent_n[None, :])
+                pick = rounded_argbest(sims, cell_arr, maximize=True)
+                row_cell = cell_arr[pick]
+            # (2) payload
+            if pq_cfg is None:
+                payload = C
+            else:
+                base = C
+                if pq_cfg["residual"]:
+                    base = C - CENT[pick]  # elementwise, exact
+                recon = np.empty_like(base)
+                for j in range(m):
+                    sl = base[:, j * width : (j + 1) * width]
+                    cwm = cb_mats[j]  # (n_codes, width)
+                    d2 = np.zeros((n_c, cwm.shape[0]))
+                    for d in range(width):
+                        t = sl[:, d][:, None] - cwm[:, d][None, :]
+                        d2 = d2 + t * t
+                    cpick = rounded_argbest(
+                        d2, cb_codes[j], maximize=False
+                    )
+                    recon[:, j * width : (j + 1) * width] = cwm[cpick]
+                if pq_cfg["residual"]:
+                    recon = CENT[pick] + recon
+                payload = recon
+            pn = np.zeros(n_c)
+            for d in range(dim):
+                pd_ = payload[:, d]
+                pn = pn + pd_ * pd_
+            pn = np.sqrt(pn)
+            # (3) score probed rows per query
+            out_q, out_i, out_s = [], [], []
+            for j in range(n_q):
+                if probe is not None:
+                    pcells = probe.get(qids[j])
+                    mask = np.isin(row_cell, list(pcells))
+                    if not mask.any():
+                        continue
+                    P = payload[mask]
+                    pnm = pn[mask]
+                    idm = ids[mask]
+                else:
+                    P = payload
+                    pnm = pn
+                    idm = ids
+                acc = np.zeros(P.shape[0])
+                qv = Q[j]
+                for d in range(dim):
+                    acc = acc + P[:, d] * qv[d]
+                s = acc / (pnm * qn[j])
+                out_q.append(np.full(len(idm), qids[j], dtype=np.int64))
+                out_i.append(idm)
+                out_s.append(s)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        score_name: np.concatenate(out_s),
+                    }
+                )
+
+    return vectors.select(id_col, vec_col).mapInPandas(scorer, schema)
+
+
 def _sample_rank(id_col: Column) -> Column:
     """Deterministic pseudo-random rank for sampling: a 31-bit LCG
     (glibc constants) over the id, with the id reduced mod 2^31 FIRST
@@ -812,17 +1134,44 @@ def ivf_topk(
     One-shot convenience over build_ivf_index(...).topk(...): training
     + inverted-list build run per call here; a resident deployment
     keeps the IvfIndex and amortizes them (the Lloyd A/B's ~50%
-    one-shot overhead drops to ~0 across repeated queries)."""
-    ix = build_ivf_index(
+    one-shot overhead drops to ~0 across repeated queries). The
+    one-shot runs as a single NumPy probe scan (_np_ivf_probe_scan —
+    probe cells chosen on the driver, bit-identical scores, JVM @6dp
+    round) when the trained quantizer is driver-resident; the
+    distributed build path remains behind build_ivf_index for
+    resident/serve-many indexes."""
+    cent = ivf_centroids(
         vectors, vec_col, id_col, n_cells,
         refine_iters=refine_iters, sample_n=sample_n,
         sample_order=sample_order,
     )
-    out = ix.topk(queries, query_id_col, k=k, nprobe=nprobe)
-    # one-shot: drop the cache pin once the plan is built — the single
-    # downstream action computes it inline exactly as before
-    ix.inverted.unpersist()
-    return out
+    cent_rows = getattr(cent, "_cent_rows", None)
+    dim = getattr(cent, "_dim", None)
+    if cent_rows is None or dim is None:
+        ix = build_ivf_index(
+            vectors, vec_col, id_col, n_cells,
+            refine_iters=refine_iters, sample_n=sample_n,
+            sample_order=sample_order,
+        )
+        out = ix.topk(queries, query_id_col, k=k, nprobe=nprobe)
+        ix.inverted.unpersist()
+        return out
+    q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    probe = _py_probe_cells(q_rows, cent_rows, nprobe)
+    scored = _np_ivf_probe_scan(
+        vectors, cent_rows, q_rows, probe, id_col, vec_col,
+        query_id_col, "_sraw", dim,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(F.col("_sraw"), 6).alias("cos_sim"),
+    )
+    return partial_topk(
+        scored,
+        query_id_col,
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k,
+    ).select(query_id_col, "rank", id_col, "cos_sim")
 
 
 def pq_codebooks(
@@ -869,17 +1218,25 @@ def pq_codebooks(
             .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .collect()
         )
+    def _idv(r):
+        # collected Rows carry _id/_v; driver-trained callers (the
+        # residual sample) pass plain (id, vec) tuples
+        try:
+            return r["_id"], r["_v"]
+        except (TypeError, KeyError, IndexError, ValueError):
+            return r[0], r[1]
+
+    rows = [_idv(r) for r in rows]
     dim = (
-        len(rows[0]["_v"])
-        if rows and rows[0]["_v"] is not None
+        len(rows[0][1])
+        if rows and rows[0][1] is not None
         else 0
     )
     if dim == 0 or dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
     w = dim // m
     init = sorted(
-        ((int(r["_id"]), [float(x) for x in r["_v"]])
-         for r in rows[:n_codes]),
+        ((int(i), [float(x) for x in v]) for i, v in rows[:n_codes]),
         key=lambda t: t[0],
     )
     # cb[j][code_id] = codeword list (doubles)
@@ -888,8 +1245,7 @@ def pq_codebooks(
     ]
     if refine_iters > 0:
         samp = sorted(
-            ((int(r["_id"]), [float(x) for x in r["_v"]])
-             for r in rows[:sample_n]),
+            ((int(i), [float(x) for x in v]) for i, v in rows[:sample_n]),
             key=lambda t: t[0],
         )
         from decimal import ROUND_HALF_UP, Decimal
@@ -1137,24 +1493,46 @@ def pq_topk(
     )
     dim = getattr(cbs, "_dim", None) or _dim_of(vectors, vec_col)
     width = dim // m if dim else None
-    # fused encode+reconstruct: one corpus shuffle instead of two (the
-    # granular pq_encode/pq_reconstruct pair is row-identical and is
-    # what a deployment persisting the code table uses)
-    recon = pq_reconstruct_fused(
-        vectors, cbs, m, vec_col, id_col, width=width
-    ).withColumn("_n", l2_norm(F.col("recon"), dim))
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    scored = recon.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            dot(F.col("recon"), F.col("_qv"), dim)
-            / (F.col("_n") * F.col("_qn")),
-            6,
-        ).alias("adc_sim"),
-    )
+    cb_rows = getattr(cbs, "_cb_rows", None)
+    if cb_rows is None or dim is None:
+        # codebooks not driver-resident: fused encode+reconstruct in
+        # the distributed form (one corpus shuffle), expression scoring
+        recon = pq_reconstruct_fused(
+            vectors, cbs, m, vec_col, id_col, width=width
+        ).withColumn("_n", l2_norm(F.col("recon"), dim))
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        scored = recon.crossJoin(F.broadcast(q)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col("recon"), F.col("_qv"), dim)
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("adc_sim"),
+        )
+    else:
+        # one NumPy scan: encode (rounded argmin, near-tie exact),
+        # reconstruct, and asymmetric scoring fused per batch — the
+        # compressed exhaustive scan with no join and no shuffle
+        # before the bounded top-k
+        q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+        # probe=None but a full scan still needs cell assignment
+        # inputs; pass a single dummy cell so the assignment stage is
+        # trivial and unused (flat PQ has no coarse quantizer)
+        scored = _np_ivf_probe_scan(
+            vectors,
+            [(0, [0.0] * dim)],
+            q_rows, None, id_col, vec_col, query_id_col, "_sraw",
+            dim,
+            pq={"m": m, "width": width, "cb_rows": cb_rows,
+                "residual": False},
+        ).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_sraw"), 6).alias("adc_sim"),
+        )
     return partial_topk(
         scored,
         query_id_col,
@@ -1488,22 +1866,84 @@ def ivfpq_topk(
     over otherwise (probe misses + quantization), traded via nprobe
     and m/n_codes. ``residual=True`` selects the IVFADC form (codes on
     per-cell residuals — see build_ivfpq_index). Ties broken by id."""
-    ix = build_ivfpq_index(
-        vectors, vec_col, id_col, n_cells,
-        nprobe_refine_iters=refine_iters, m=m, n_codes=n_codes,
-        refine_iters=refine_iters, sample_n=sample_n,
-        residual=residual,
+    # one-shot: train everything driver-side from ONE prefix collect
+    # (coarse quantizer; flat codebooks from the raw prefix; residual
+    # codebooks from the prefix rows assigned + residualized with the
+    # same exact rounded-argmax arithmetic the distributed form uses),
+    # then search as a single NumPy probe scan. The distributed
+    # build/probe pipeline remains behind build_ivfpq_index for
+    # resident serve-many indexes.
+    prefix_n = max(n_cells, n_codes, sample_n)
+    prefix_rows = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(prefix_n)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
     )
-    out = ix.topk(queries, vec_col, query_id_col, k=k, nprobe=nprobe)
+    cent = ivf_centroids(
+        vectors, vec_col, id_col, n_cells,
+        refine_iters=refine_iters, sample_n=sample_n,
+        _prefix_rows=prefix_rows,
+    )
+    cent_rows = getattr(cent, "_cent_rows", None)
+    dim = getattr(cent, "_dim", None)
+    if cent_rows is None or dim is None or dim % m != 0:
+        ix = build_ivfpq_index(
+            vectors, vec_col, id_col, n_cells,
+            nprobe_refine_iters=refine_iters, m=m, n_codes=n_codes,
+            refine_iters=refine_iters, sample_n=sample_n,
+            residual=residual,
+        )
+        out = ix.topk(queries, vec_col, query_id_col, k=k, nprobe=nprobe)
+        if residual:
+            # the residual build materialized the inverted list
+            # eagerly; cut the tiny top-k result before dropping it
+            out = out.localCheckpoint(eager=True)
+        ix.inverted.unpersist()
+        return out
     if residual:
-        # the residual build materialized the inverted list eagerly
-        # (its count() covers the assignment-pin drop); unpersisting
-        # while `out` is still lazy would discard that cache and
-        # re-run the whole encode at the caller's action — cut the
-        # tiny top-k result eagerly first, then release the list
-        out = out.localCheckpoint(eager=True)
-    ix.inverted.unpersist()
-    return out
+        pfx = [
+            (int(r["_id"]), [float(x) for x in r["_v"]])
+            for r in prefix_rows
+        ]
+        cent_map = {c: cv for c, cv in cent_rows}
+        res_rows = [
+            (
+                rid,
+                [float(x) - cent_map[cell][i] for i, x in enumerate(v)],
+            )
+            for rid, v, cell in _py_assign_cells(pfx, cent_rows)
+        ]
+        cbs = pq_codebooks(
+            vectors, vec_col, id_col, m=m, n_codes=n_codes,
+            refine_iters=refine_iters, sample_n=sample_n,
+            _prefix_rows=res_rows,
+        )
+    else:
+        cbs = pq_codebooks(
+            vectors, vec_col, id_col, m=m, n_codes=n_codes,
+            refine_iters=refine_iters, sample_n=sample_n,
+            _prefix_rows=prefix_rows,
+        )
+    q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    probe = _py_probe_cells(q_rows, cent_rows, nprobe)
+    scored = _np_ivf_probe_scan(
+        vectors, cent_rows, q_rows, probe, id_col, vec_col,
+        query_id_col, "_sraw", dim,
+        pq={"m": m, "width": dim // m,
+            "cb_rows": getattr(cbs, "_cb_rows"),
+            "residual": residual},
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(F.col("_sraw"), 6).alias("adc_sim"),
+    )
+    return partial_topk(
+        scored,
+        query_id_col,
+        [F.col("adc_sim").desc(), F.col(id_col).asc()],
+        k,
+    ).select(query_id_col, "rank", id_col, "adc_sim")
 
 
 def sq_stats(

@@ -124,3 +124,55 @@ def test_brute_force_topk_matches_expression_formulation(spark, vecs):
         .collect()
     )
     assert got == want
+
+
+def test_ivf_scan_path_matches_distributed_index_path(spark, vecs):
+    """The one-shot NumPy probe scan must produce row-identical output
+    to the distributed build/probe pipeline (same rounded argmax
+    assignment incl. ties, same probe cells, same scores). The
+    fixture contains exact duplicate vectors, so the margin<=1e-6
+    exact-decimal path is exercised."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_topk,
+        ivfpq_topk,
+    )
+
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            vecs, queries, k=4, n_cells=4, nprobe=2, sample_n=16
+        ).collect()
+    )
+    ix = build_ivf_index(vecs, n_cells=4, refine_iters=1, sample_n=16)
+    want = sorted(
+        tuple(r)
+        for r in ix.topk(queries, k=4, nprobe=2).collect()
+    )
+    ix.inverted.unpersist()
+    assert got == want
+
+    for residual in (False, True):
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_topk(
+                vecs, queries, k=4, n_cells=4, nprobe=2, m=2,
+                n_codes=4, sample_n=16, residual=residual,
+            ).collect()
+        )
+        ix = build_ivfpq_index(
+            vecs, n_cells=4, m=2, n_codes=4, sample_n=16,
+            residual=residual, nprobe_refine_iters=1,
+        )
+        want = sorted(
+            tuple(r)
+            for r in ix.topk(queries, k=4, nprobe=2).collect()
+        )
+        ix.inverted.unpersist()
+        assert got == want, f"residual={residual}"
