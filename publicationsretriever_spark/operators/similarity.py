@@ -790,6 +790,376 @@ def _np_ivf_probe_scan(
     return vectors.select(id_col, vec_col).mapInPandas(scorer, schema)
 
 
+def _np_keyed_scores(
+    df: DataFrame,
+    q_map: dict,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+    score_name: str,
+    dim: int,
+) -> DataFrame:
+    """Rows already paired with their query by a key column: score
+    each row's vector against q_map[row[qid_col]] with the
+    bit-identical per-dimension fold (see _np_cross_scores). Used by
+    the MRL rerank stage (candidate rows carry their query id)."""
+    q_items = sorted((int(k), [float(x) for x in v]) for k, v in q_map.items())
+    schema = f"{qid_col} long, {id_col} long, {score_name} double"
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        keys = [k for k, _ in q_items]
+        Q = np.array([v for _, v in q_items], dtype=np.float64)
+        qn = np.zeros(len(keys))
+        for d in range(dim):
+            qd = Q[:, d]
+            qn = qn + qd * qd
+        qn = np.sqrt(qn)
+        kpos = {k: i for i, k in enumerate(keys)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[vec_col].to_numpy()
+                ]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            qs = pdf[qid_col].to_numpy(dtype=np.int64)
+            pos = np.array([kpos[int(k)] for k in qs])
+            Qr = Q[pos]
+            acc = np.zeros(len(C))
+            cn = np.zeros(len(C))
+            for d in range(dim):
+                cd = C[:, d]
+                cn = cn + cd * cd
+                acc = acc + cd * Qr[:, d]
+            s = acc / (np.sqrt(cn) * qn[pos])
+            yield pd.DataFrame(
+                {qid_col: qs, id_col: ids, score_name: s}
+            )
+
+    return df.select(qid_col, id_col, vec_col).mapInPandas(
+        scorer, schema
+    )
+
+
+def _np_sq_scan(
+    vectors: DataFrame,
+    mins: list,
+    maxs: list,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    score_name: str,
+) -> DataFrame:
+    """SQ8 encode -> dequantize -> asymmetric scoring fused into one
+    NumPy corpus scan. Arithmetic mirrors _sq_code/sq_dequantize
+    exactly: y = ((x - mn) * 255.0) / span; code = HALF_UP round of y
+    clamped to [0, 255] (span==0 dims code to 0); dv = mn +
+    (code * span) / 255.0; then the bit-identical cosine fold. The
+    HALF_UP round's fast path is floor(y + 0.5), which can disagree
+    with decimal HALF_UP only when y sits within ~1 ulp of a
+    half-integer — elements with |y - (floor(y) + 0.5)| <= 1e-9 are
+    re-done with exact Decimal rounding (the same rule F.round
+    applies). The @6dp score round stays JVM-side."""
+    dim = len(mins)
+    qids = [int(q) for q, _ in q_rows]
+    qvecs = [[float(x) for x in v] for _, v in q_rows]
+    mins_l = [float(x) for x in mins]
+    maxs_l = [float(x) for x in maxs]
+    schema = f"{query_id_col} long, {id_col} long, {score_name} double"
+
+    def _r0(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_q = len(qids)
+        if n_q == 0:
+            return
+        Q = np.array(qvecs, dtype=np.float64)
+        qn = np.zeros(n_q)
+        for d in range(dim):
+            qd = Q[:, d]
+            qn = qn + qd * qd
+        qn = np.sqrt(qn)
+        qid_arr = np.array(qids, dtype=np.int64)
+        mn = np.array(mins_l)
+        mx = np.array(maxs_l)
+        span = mx - mn
+        zero_span = span == 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[vec_col].to_numpy()
+                ]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_c = C.shape[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                y = ((C - mn[None, :]) * 255.0) / span[None, :]
+            code = np.floor(y + 0.5)
+            frac = y - np.floor(y)
+            near = np.abs(frac - 0.5) <= 1e-9
+            near &= ~zero_span[None, :]
+            if near.any():
+                for i, j in zip(*np.nonzero(near)):
+                    code[i, j] = _r0(float(y[i, j]))
+            code = np.clip(code, 0.0, 255.0)
+            code[:, zero_span] = 0.0
+            dv = mn[None, :] + (code * span[None, :]) / 255.0
+            pn = np.zeros(n_c)
+            for d in range(dim):
+                dd = dv[:, d]
+                pn = pn + dd * dd
+            pn = np.sqrt(pn)
+            acc = np.zeros((n_c, n_q))
+            for d in range(dim):
+                acc = acc + dv[:, d][:, None] * Q[:, d][None, :]
+            s = acc / (pn[:, None] * qn[None, :])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qid_arr, n_c),
+                    id_col: np.repeat(ids, n_q),
+                    score_name: s.ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(scorer, schema)
+
+
+def _np_binary_scan(
+    vectors: DataFrame,
+    mids: list,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """1-bit binarize + Hamming ranking as one NumPy corpus scan —
+    all-integer after the (exact) per-dimension threshold compare, so
+    there is no rounding concern at all: bit_i = x_i > mid_i, packed
+    63 bits per word exactly as binarize(), hamming = popcount(xor)
+    summed over words (byte-table popcount). Queries are binarized
+    in the closure with the same comparison."""
+    dim = len(mids)
+    n_words = (dim + 62) // 63
+    mids_l = [float(x) for x in mids]
+    qids = [int(q) for q, _ in q_rows]
+    qvecs = [[float(x) for x in v] for _, v in q_rows]
+    schema = f"{query_id_col} long, {id_col} long, hamming long"
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_q = len(qids)
+        if n_q == 0:
+            return
+        mid = np.array(mids_l)
+        pop = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+
+        def pack(M):  # (n, dim) float64 -> (n, n_words) int64
+            bits = M > mid[None, :]
+            out = np.zeros((M.shape[0], n_words), dtype=np.int64)
+            for w in range(n_words):
+                for j in range(63):
+                    i = w * 63 + j
+                    if i >= dim:
+                        break
+                    out[:, w] |= bits[:, i].astype(np.int64) << j
+            return out
+
+        QC = pack(np.array(qvecs, dtype=np.float64))
+        qid_arr = np.array(qids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[vec_col].to_numpy()
+                ]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            CC = pack(C)
+            n_c = CC.shape[0]
+            ham = np.zeros((n_c, n_q), dtype=np.int64)
+            for w in range(n_words):
+                x = CC[:, w][:, None] ^ QC[:, w][None, :]
+                ham += pop[
+                    np.ascontiguousarray(x).view(np.uint8).reshape(
+                        n_c, n_q, 8
+                    )
+                ].sum(axis=-1)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qid_arr, n_c),
+                    id_col: np.repeat(ids, n_q),
+                    "hamming": ham.ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(scorer, schema)
+
+
+def _np_ivf_assign_scan(
+    vectors: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Inverted-list build as one NumPy scan: (id, vec, cell_id, _n)
+    with the same rounded-argmax assignment (near-tie exact path, see
+    _np_ivf_probe_scan) and the bit-identical fold norm. Replaces the
+    assignment cross-join + map-side argmax aggregate + id join-back
+    and the norm projection — the vectors ride through Arrow
+    losslessly (float32 in, float32 out). The distributed ivf_assign
+    remains for quantizers too large to ship as closures."""
+    cells = [int(c) for c, _ in cent_rows]
+    cvecs = [[float(x) for x in v] for _, v in cent_rows]
+    schema = (
+        f"{id_col} long, {vec_col} array<float>, cell_id long, _n double"
+    )
+
+    def _r6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+
+    def _dcmp(a, b):
+        import struct as _st
+
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+        ab = _st.unpack("<q", _st.pack("<d", a))[0]
+        bb = _st.unpack("<q", _st.pack("<d", b))[0]
+        return (ab > bb) - (ab < bb)
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        CENT = np.array(cvecs, dtype=np.float64)
+        cell_arr = np.array(cells, dtype=np.int64)
+        cent_n = np.zeros(len(cells))
+        for d in range(dim):
+            cd = CENT[:, d]
+            cent_n = cent_n + cd * cd
+        cent_n = np.sqrt(cent_n)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw_cells = pdf[vec_col].to_numpy()
+            C = np.vstack(
+                [np.asarray(c, dtype=np.float64) for c in raw_cells]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_c = C.shape[0]
+            accs = np.zeros((n_c, len(cells)))
+            cn = np.zeros(n_c)
+            for d in range(dim):
+                cd = C[:, d]
+                cn = cn + cd * cd
+                accs = accs + cd[:, None] * CENT[:, d][None, :]
+            cn = np.sqrt(cn)
+            sims = accs / (cn[:, None] * cent_n[None, :])
+            best = np.argmax(sims, axis=1)
+            vals = sims[np.arange(n_c), best]
+            tmp = sims.copy()
+            tmp[np.arange(n_c), best] = -np.inf
+            margin = np.abs(vals - np.max(tmp, axis=1))
+            for i in np.flatnonzero(margin <= 1e-6):
+                rb, rs = None, None
+                for jj in range(len(cells)):
+                    s = _r6(float(sims[i, jj]))
+                    if rs is None or _dcmp(s, rs) > 0:
+                        rb, rs = jj, s
+                best[i] = rb
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    vec_col: raw_cells,
+                    "cell_id": cell_arr[best],
+                    "_n": cn,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(scorer, schema)
+
+
+def _np_pair_scores_cols(
+    df: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+    score_name: str,
+    dim: int,
+) -> DataFrame:
+    """Row-wise cosine between two vector columns of the SAME row
+    (post-join pairs) — the bit-identical fold, one opaque stage in
+    place of the unrolled cosine expression tree. Emits (key, raw
+    score); the @6dp round stays JVM-side."""
+    schema = f"{key_col} long, {score_name} double"
+
+    def scorer(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[a_col].to_numpy()
+                ]
+            )
+            B = np.vstack(
+                [
+                    np.asarray(c, dtype=np.float64)
+                    for c in pdf[b_col].to_numpy()
+                ]
+            )
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            acc = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for d in range(dim):
+                ad = A[:, d]
+                bd = B[:, d]
+                acc = acc + ad * bd
+                na = na + ad * ad
+                nb = nb + bd * bd
+            s = acc / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame({key_col: keys, score_name: s})
+
+    return df.select(key_col, a_col, b_col).mapInPandas(scorer, schema)
+
+
 def _sample_rank(id_col: Column) -> Column:
     """Deterministic pseudo-random rank for sampling: a 31-bit LCG
     (glibc constants) over the id, with the id reduced mod 2^31 FIRST
@@ -1097,11 +1467,19 @@ def build_ivf_index(
     # array expressions run interpreted, so per-(vector x probe)-pair
     # norm recomputation would triple the hot-path work (same move as
     # embedding_neardup_pairs). dim rides along from the centroid
-    # training collect — no separate limit-1 probe job.
+    # training collect — no separate limit-1 probe job. With a
+    # driver-resident quantizer the whole build is one NumPy scan
+    # (assignment + norm, no cross-join/aggregate/join-back).
     dim = getattr(cent, "_dim", None) or _dim_of(vectors, vec_col)
-    inv = ivf_assign(vectors, cent, vec_col, id_col, dim).withColumn(
-        "_n", l2_norm(F.col(vec_col), dim)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cent_rows = getattr(cent, "_cent_rows", None)
+    if cent_rows is not None and dim is not None:
+        inv = _np_ivf_assign_scan(
+            vectors, cent_rows, id_col, vec_col, dim
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        inv = ivf_assign(vectors, cent, vec_col, id_col, dim).withColumn(
+            "_n", l2_norm(F.col(vec_col), dim)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     if materialize:
         inv.count()
     return IvfIndex(cent, inv, vec_col, id_col, dim=dim)
@@ -2063,29 +2441,23 @@ def sq_topk(
     dimension, so recall degrades gracefully; ties broken by id."""
     mins, maxs = sq_stats(vectors, vec_col, id_col)
     dim = len(mins)
-    # encode and dequantize as two projections with an eager cut
-    # between them: fused, the combined per-row expression exceeds the
-    # JIT method limit in every form the optimizer preserves
-    # (CollapseProject re-inlines split projections); and the encoded
-    # table is exactly what a deployment persists anyway. Arithmetic
-    # identical to the fused form (equivalence-verified).
-    codes = sq_encode(vectors, mins, maxs, vec_col, id_col).localCheckpoint(
-        eager=True
-    )
-    deq = sq_dequantize(codes, mins, maxs, id_col).withColumn(
-        "_n", l2_norm(F.col("dv"), dim)
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    scored = deq.crossJoin(F.broadcast(q)).select(
+    # encode -> dequantize -> score fused into ONE NumPy corpus scan
+    # (_np_sq_scan): the expression form needed an eager materialized
+    # cut between encode and dequantize because the fused per-row
+    # expression exceeded the JIT method limit in every split the
+    # optimizer preserves; the scan has no such limit, no
+    # materialization, and no cross join. Encode rounding is exact
+    # (near-half-integer elements re-done with Decimal HALF_UP); the
+    # @6dp score round stays JVM-side. sq_encode/sq_dequantize remain
+    # the persisted-code-table operators a deployment uses.
+    q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    scored = _np_sq_scan(
+        vectors, mins, maxs, q_rows, id_col, vec_col, query_id_col,
+        "_sraw",
+    ).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot(F.col("dv"), F.col("_qv"), dim)
-            / (F.col("_n") * F.col("_qn")),
-            6,
-        ).alias("sq_sim"),
+        F.round(F.col("_sraw"), 6).alias("sq_sim"),
     )
     return partial_topk(
         scored,
@@ -2153,23 +2525,12 @@ def binary_topk(
     with ALL dims as planes instead of a sampled few)."""
     mins, maxs = sq_stats(vectors, vec_col, id_col)
     mids = [(a + b) / 2.0 for a, b in zip(mins, maxs)]
-    codes = binarize(vectors, mids, vec_col, id_col)
-    qcodes = binarize(
-        queries, mids, vec_col, query_id_col, out_col="_qc"
-    )
-    # unrolled hamming fold (n_words known from dim): same seed/order
-    # as the interpreted zip_with/aggregate form — bit-identical —
-    # but whole-stage codegen
-    n_words = (len(mids) + 62) // 63
-    ham = F.lit(0).cast("long")
-    for wd in range(n_words):
-        ham = ham + F.bit_count(
-            F.get(F.col("codes"), wd).bitwiseXOR(F.get(F.col("_qc"), wd))
-        ).cast("long")
-    scored = codes.crossJoin(F.broadcast(qcodes)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        ham.alias("hamming"),
+    # binarize + hamming ranking as one NumPy corpus scan — exact
+    # (threshold compare + integer bit ops, no rounding anywhere);
+    # binarize() remains the persisted-code-table operator
+    q_rows = _collect_query_rows(queries, query_id_col, vec_col)
+    scored = _np_binary_scan(
+        vectors, mids, q_rows, id_col, vec_col, query_id_col
     )
     return partial_topk(
         scored,
@@ -2237,16 +2598,29 @@ def mrl_rerank_topk(
     # semi-join fetch: candidates are tiny (#queries * candidates),
     # broadcast them INTO the vectors scan — no shuffle of the corpus
     full = vectors.join(F.broadcast(cand), on=id_col)
-    rescored = full.join(
-        F.broadcast(prefix_q.select(query_id_col, "_qv")),
-        on=query_id_col,
-    ).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv"), dim), 6).alias(
-            "cos_sim"
-        ),
-    )
+    if dim is None:
+        rescored = full.join(
+            F.broadcast(prefix_q.select(query_id_col, "_qv")),
+            on=query_id_col,
+        ).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qv"), dim), 6).alias(
+                "cos_sim"
+            ),
+        )
+    else:
+        # candidate rows already carry their query id from the cand
+        # join: full-dim rescore through the keyed NumPy stage (query
+        # vectors in the closure — no second broadcast join)
+        rescored = _np_keyed_scores(
+            full, dict(full_q_rows), query_id_col, id_col, vec_col,
+            "_rsraw", dim,
+        ).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_rsraw"), 6).alias("cos_sim"),
+        )
     # rerank input is already bounded (#queries x candidates rows)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -2350,12 +2724,22 @@ def alignment_gate(
     dim = _dim_of(images, vec_col)
     img = images.select(F.col(id_col), F.col(vec_col).alias("_iv"))
     cap = captions.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    scored = img.join(cap, id_col).select(
-        F.col(id_col),
-        F.round(
-            cosine(F.col("_iv"), F.col("_cv"), dim), round_dp
-        ).alias("align_score"),
-    )
+    if dim is None:
+        scored = img.join(cap, id_col).select(
+            F.col(id_col),
+            F.round(
+                cosine(F.col("_iv"), F.col("_cv"), dim), round_dp
+            ).alias("align_score"),
+        )
+    else:
+        # row-wise pair cosine as one NumPy stage after the equi-join
+        # (bit-identical fold; round JVM-side)
+        scored = _np_pair_scores_cols(
+            img.join(cap, id_col), id_col, "_iv", "_cv", "_sraw", dim
+        ).select(
+            F.col(id_col),
+            F.round(F.col("_sraw"), round_dp).alias("align_score"),
+        )
     return scored.select(
         F.col(id_col),
         F.col("align_score"),

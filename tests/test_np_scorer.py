@@ -176,3 +176,33 @@ def test_ivf_scan_path_matches_distributed_index_path(spark, vecs):
         )
         ix.inverted.unpersist()
         assert got == want, f"residual={residual}"
+
+
+def test_np_assign_scan_matches_distributed_assign(spark, vecs):
+    """The NumPy inverted-list build must be row-identical (including
+    the _n norm BITS) to ivf_assign + l2_norm."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.similarity import (
+        _np_ivf_assign_scan,
+        ivf_centroids,
+        ivf_assign,
+        l2_norm,
+    )
+
+    cent = ivf_centroids(vecs, refine_iters=1, n_cells=4, sample_n=16)
+    got = {
+        r["vec_id"]: (r["cell_id"], st.pack("d", r["_n"]))
+        for r in _np_ivf_assign_scan(
+            vecs, cent._cent_rows, "vec_id", "embedding", 8
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: (r["cell_id"], st.pack("d", r["_n"]))
+        for r in ivf_assign(vecs, cent, "embedding", "vec_id", 8)
+        .withColumn("_n", l2_norm(F.col("embedding"), 8))
+        .collect()
+    }
+    assert got == want
