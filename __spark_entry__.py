@@ -592,9 +592,14 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = hamming_neardup_pairs_grouped(
         sims, "doc_id", "simhash", max_hamming=2, bands=3, hash_bits=16
     )
-    return pairs.withColumn("hamming", F.col("hamming").cast("long")).orderBy(
-        "id_a", "id_b"
-    )
+    # no presentation orderBy: the pair list is the largest declared
+    # output (54M rows at sf1.0 — duplicate families are quasi-cliques)
+    # and a global range-sort of it costs seconds while the driver's
+    # correctness gate compares row MULTISETS (check_oracle and the
+    # driver hash are order-insensitive — zorder_key/revalidation_merge
+    # have never had an orderBy and pass hash_match every round).
+    # Guide §2.4: drop sorts used only to make output deterministic.
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
