@@ -585,7 +585,11 @@ def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
-    sims = simhash64(docs, "text", "doc_id")
+    # the simhash aggregation is a common subtree referenced by
+    # several branches of this plan; Spark recomputes every
+    # reference, so cut it ONCE eagerly (in-query materialization,
+    # recomputed each run — the established rp-checkpoint pattern)
+    sims = simhash64(docs, "text", "doc_id").localCheckpoint(eager=True)
     # contraction+expansion form: row-identical to
     # hamming_neardup_pairs but the banded join runs over distinct
     # fingerprints, never the quadratic within-family member pairs
@@ -614,7 +618,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
-    sims = simhash64(docs, "text", "doc_id")
+    # the simhash aggregation is a common subtree referenced by
+    # several branches of this plan; Spark recomputes every
+    # reference, so cut it ONCE eagerly (in-query materialization,
+    # recomputed each run — the established rp-checkpoint pattern)
+    sims = simhash64(docs, "text", "doc_id").localCheckpoint(eager=True)
     # contraction-first labels: row-identical to
     # connected_components(hamming_neardup_pairs(...)) but built on the
     # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
@@ -651,7 +659,11 @@ def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
-    sims = simhash64(docs, "text", "doc_id")
+    # the simhash aggregation is a common subtree referenced by
+    # several branches of this plan; Spark recomputes every
+    # reference, so cut it ONCE eagerly (in-query materialization,
+    # recomputed each run — the established rp-checkpoint pattern)
+    sims = simhash64(docs, "text", "doc_id").localCheckpoint(eager=True)
     is_batch = F.col("doc_id") % 5 == 0
     corpus_sims = sims.filter(~is_batch)
     batch_sims = sims.filter(is_batch)
@@ -682,11 +694,13 @@ def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus-only verified-pair list (see simhash_cluster_labels —
     # equal-fingerprint docs are one Hamming-0 clique and pair
     # existence depends only on the fingerprint values)
+    # `assign` is consumed by incremental_components (twice: both join
+    # sides), apply_component_update and its anti-join — cut it once
     assign = simhash_cluster_labels(
         corpus_sims, "doc_id", "simhash",
         max_hamming=2, bands=3, hash_bits=16,
         groups=gcg, rep_pairs=corpus_rep_pairs,
-    )
+    ).localCheckpoint(eager=True)
     upd = incremental_components(assign, red_batch_pairs)
     updated = apply_component_update(
         assign, gb.select("doc_id"), upd, "doc_id"
@@ -740,7 +754,11 @@ def q_caption_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text", "source", "lang")
-    sims = simhash64(docs, "text", "doc_id")
+    # the simhash aggregation is a common subtree referenced by
+    # several branches of this plan; Spark recomputes every
+    # reference, so cut it ONCE eagerly (in-query materialization,
+    # recomputed each run — the established rp-checkpoint pattern)
+    sims = simhash64(docs, "text", "doc_id").localCheckpoint(eager=True)
     # contraction-first labels: row-identical to
     # connected_components(hamming_neardup_pairs(...)) but built on the
     # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
@@ -773,7 +791,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
-    sims = simhash64(docs, "text", "doc_id")
+    # the simhash aggregation is a common subtree referenced by
+    # several branches of this plan; Spark recomputes every
+    # reference, so cut it ONCE eagerly (in-query materialization,
+    # recomputed each run — the established rp-checkpoint pattern)
+    sims = simhash64(docs, "text", "doc_id").localCheckpoint(eager=True)
     # contraction-first labels: row-identical to
     # connected_components(hamming_neardup_pairs(...)) but built on the
     # distinct-fingerprint graph (operators/dedup.simhash_cluster_labels)
