@@ -191,7 +191,13 @@ def minhash_lsh_pairs(
     the self-join key is the band bucket — cardinality ~n*bands, never
     n^2. Returns distinct candidate pairs (id_a < id_b, n_shared_bands).
     """
-    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, k)
+    # both sides of the self-join reference the band index — an eager
+    # cut materializes the tokenize + shingle + num_hashes-way
+    # signature work once instead of twice per action (Spark does not
+    # dedupe common subplans)
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, k
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -85,9 +85,14 @@ def bm25_topk(
         F.explode("_toks").alias("term"),
     ).join(F.broadcast(vocab), on="term")
 
+    # tf feeds BOTH the df aggregate and the score join; without a cut
+    # each reference re-runs the tokenize+explode+vocab-join+aggregate
+    # subtree (Spark does not dedupe common subplans). The tf table is
+    # vocabulary-pruned (matched terms only) so the eager
+    # materialization is small at any corpus scale.
     tf = posting.groupBy(id_col, "term").agg(
         F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
-    )
+    ).localCheckpoint(eager=True)
     df_ = tf.groupBy("term").agg(F.count("*").alias("_df"))
 
     idf = F.log(
