@@ -68,19 +68,24 @@ def pagerank(
 
     out_deg = edge.groupBy(F.col("_src").alias("node")).agg(
         F.count("*").alias("_deg")
-    ).localCheckpoint(eager=True)
+    )
+    # fold the out-degree into the edge table ONCE: every iteration
+    # previously paid a second broadcast join just to fetch deg(src);
+    # the division pr/deg itself stays per-iteration (pr changes)
+    edge = edge.join(
+        F.broadcast(out_deg), edge["_src"] == out_deg["node"]
+    ).select("_src", "_dst", "_deg").localCheckpoint(eager=True)
     ranks = nodes.withColumn(
         "pr", F.round(F.lit(1.0 / n_nodes), iter_round)
     )
     for _ in range(iters):
-        # rank and degree tables are |V|-sized: BROADCAST them into
-        # the |E|-scan (without the hint the nested iteration plans
-        # lose size estimates and fall back to sort-merge, shuffling
-        # the edge list twice per iteration); the new rank vector is
-        # eagerly cut per iteration so the next plan stays flat
+        # the rank table is |V|-sized: BROADCAST it into the |E|-scan
+        # (without the hint the nested iteration plans lose size
+        # estimates and fall back to sort-merge, shuffling the edge
+        # list twice per iteration); the new rank vector is eagerly
+        # cut per iteration so the next plan stays flat
         contribs = (
             edge.join(F.broadcast(ranks), edge["_src"] == ranks["node"])
-            .join(F.broadcast(out_deg), ranks["node"] == out_deg["node"])
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("pr") / F.col("_deg")).alias("_c"),

@@ -2824,35 +2824,59 @@ def semdedup(
         )
     dim = index.dim or _dim_of(vectors, vec_col)
     inv = index.inverted  # (id_col, vec_col, cell_id, _n)
+    # CONTRACT BY IDENTICAL VECTOR before the quadratic pass (the
+    # simhash-family move applied to embeddings): bit-equal vectors
+    # produce bit-equal sims (the fold is a pure function of the
+    # array) and land in the same cell, so the pair pass only needs
+    # ONE representative per distinct (cell, vector) — semantic-dup
+    # corpora are exactly the ones with exact-duplicate embeddings.
+    # A member m of group g inherits: every other member of g is a
+    # rounded-sim-1.0 neighbor of m (>= threshold whenever
+    # threshold <= 1), and a member of another group h qualifies iff
+    # the REPRESENTATIVES qualify — so m's lowest qualifying lower id
+    # is min(M_g) when that min sits below m, where M_g = min over
+    # {g if 1.0 qualifies} + {qualifying h} of the group's min member
+    # id (= its representative, reps are group minima). With
+    # all-distinct vectors this degrades to one extra aggregate.
+    grp = inv.groupBy("cell_id", vec_col).agg(
+        F.min(F.col(id_col)).alias("_rep"),
+        F.min(F.col("_n")).alias("_rn"),  # identical within the group
+        F.count(F.lit(1)).alias("_gn"),
+    ).localCheckpoint(eager=True)
     # the pair pass joins ON (cell, salt), not cell alone: with
     # n_cells below the session parallelism the cell-keyed shuffle
     # caps the quadratic scoring stage at n_cells tasks (guide §2.5 —
     # and one hot cell serializes). The salt is a deterministic hash
     # of the probe-side id (never rand() — retried tasks must re-draw
     # the same rows); the build side is replicated salt-ways, so
-    # every within-cell pair still meets exactly once.
+    # every within-cell representative pair still meets exactly once.
     n_salt = max(
         1,
         int(inv.sparkSession.sparkContext.defaultParallelism)
         // max(1, int(n_cells)),
     )
-    a = inv.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
-        "cell_id", F.col("_n").alias("_na"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    a = grp.select(
+        F.col("_rep").alias("_ida"), F.col(vec_col).alias("_va"),
+        "cell_id", F.col("_rn").alias("_na"),
+        F.pmod(F.xxhash64(F.col("_rep")), F.lit(n_salt))
         .cast("int")
         .alias("_salt"),
     )
-    b = inv.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
-        "cell_id", F.col("_n").alias("_nb"),
+    b = grp.select(
+        F.col("_rep").alias("_idb"), F.col(vec_col).alias("_vb"),
+        "cell_id", F.col("_rn").alias("_nb"),
         F.explode(
             F.array(*[F.lit(s) for s in range(n_salt)])
         ).alias("_salt"),
     )
-    dup = (
+    # qualifying NEIGHBOR rep per rep, in BOTH directions (the group
+    # inheritance needs each group's lowest qualifying neighbor
+    # regardless of id order — members above the rep can dup onto a
+    # higher-id group's members only through their own group, never
+    # across, so rep-level min suffices)
+    qual = (
         a.join(b, ["cell_id", "_salt"])
-        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(F.col("_idb") != F.col("_ida"))
         .withColumn(
             "_sim",
             F.round(
@@ -2862,19 +2886,34 @@ def semdedup(
             ),
         )
         .filter(F.col("_sim") >= F.lit(float(threshold)))
-        # min() combines MAP-SIDE, so the shuffle after the pair pass
-        # carries one row per dropped vector, not one per dup pair
-        .groupBy(F.col("_ida").alias(id_col))
-        .agg(F.min("_idb").alias("dup_of"))
+        .groupBy(F.col("_ida").alias("_rep"))
+        .agg(F.min("_idb").alias("_qmin"))
+    )
+    self_qualifies = 1.0 >= float(threshold)
+    mg = grp.join(qual, "_rep", "left").select(
+        "cell_id",
+        F.col(vec_col),
+        F.col("_rep"),
+        (
+            F.least(F.col("_qmin"), F.col("_rep"))
+            if self_qualifies
+            else F.col("_qmin")
+        ).alias("_mg"),
     )
     return (
-        inv.select(id_col, "cell_id")
-        .join(dup, id_col, "left")
+        inv.select(id_col, "cell_id", vec_col)
+        .join(mg, ["cell_id", vec_col])
         .select(
             F.col(id_col),
             F.col("cell_id"),
-            F.col("dup_of"),
-            F.col("dup_of").isNull().alias("kept"),
+            F.when(F.col("_mg") < F.col(id_col), F.col("_mg")).alias(
+                "dup_of"
+            ),
+            # coalesce: _mg is NULL when nothing qualifies at all
+            # (threshold > 1 with no neighbor) — those rows are kept
+            F.coalesce(
+                ~(F.col("_mg") < F.col(id_col)), F.lit(True)
+            ).alias("kept"),
         )
     )
 

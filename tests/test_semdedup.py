@@ -102,3 +102,69 @@ def test_semdedup_cross_cell_duplicates_survive(spark):
     got = {r["vec_id"]: r for r in out.collect()}
     assert got[0]["kept"] and got[1]["kept"]
     assert got[0]["cell_id"] != got[1]["cell_id"]
+
+
+def test_semdedup_vector_contraction_matches_pairwise(spark):
+    """The identical-vector contraction must reproduce the pairwise
+    formulation exactly on a duplicate-heavy corpus (exact duplicate
+    vectors, near-threshold neighbors, singletons)."""
+    from pyspark.sql import functions as F
+
+    from publicationsretriever_spark.operators.similarity import (
+        build_ivf_index,
+        dot,
+        semdedup,
+    )
+
+    rows = []
+    for i in range(60):
+        base = [((i % 7) * 13 + j * 3) % 17 - 8.0 for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # i % 7 buckets create exact duplicate families of ~9 members
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        tuple(r)
+        for r in semdedup(
+            vecs, n_cells=4, threshold=0.9, sample_n=16
+        ).collect()
+    )
+    # reference: the uncontracted pairwise formulation
+    ix = build_ivf_index(vecs, n_cells=4, refine_iters=1, sample_n=16)
+    inv = ix.inverted
+    a = inv.select(
+        F.col("vec_id").alias("_ida"), F.col("embedding").alias("_va"),
+        "cell_id", F.col("_n").alias("_na"),
+    )
+    b = inv.select(
+        F.col("vec_id").alias("_idb"), F.col("embedding").alias("_vb"),
+        "cell_id", F.col("_n").alias("_nb"),
+    )
+    dup = (
+        a.join(b, "cell_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .withColumn(
+            "_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"), 8)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("_sim") >= 0.9)
+        .groupBy(F.col("_ida").alias("vec_id"))
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in inv.select("vec_id", "cell_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id", "cell_id", "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+        .collect()
+    )
+    ix.inverted.unpersist()
+    assert got == want
