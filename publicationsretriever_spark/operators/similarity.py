@@ -450,6 +450,10 @@ def embedding_neardup_pairs(
         l2_norm(F.col(vec_col), dim).alias("_n"),
     )
     a, b = v.alias("a"), v.alias("b")
+    # the verify stays a JVM expression here: a NumPy pair stage was
+    # measured SLOWER (per-pair-row Arrow list conversion on the
+    # joined candidates exceeds the codegen savings — unlike the
+    # corpus scans, where conversion is per corpus row)
     pairs = (
         a.join(b, "_bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -1113,17 +1117,24 @@ def _np_ivf_assign_scan(
 
 def _np_pair_scores_cols(
     df: DataFrame,
-    key_col: str,
+    key_cols: str | list,
     a_col: str,
     b_col: str,
     score_name: str,
     dim: int,
+    norms: tuple | None = None,
 ) -> DataFrame:
     """Row-wise cosine between two vector columns of the SAME row
     (post-join pairs) — the bit-identical fold, one opaque stage in
-    place of the unrolled cosine expression tree. Emits (key, raw
-    score); the @6dp round stays JVM-side."""
-    schema = f"{key_col} long, {score_name} double"
+    place of the unrolled cosine expression tree. Emits (*keys, raw
+    score); the @6dp round stays JVM-side. With ``norms`` =
+    (na_col, nb_col) the precomputed per-side norms pass through and
+    the score divides by their product (the bucket-join shape where
+    norms were computed once per vector BEFORE the self-join)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    schema = ", ".join(f"{k} long" for k in keys)
+    schema += f", {score_name} double"
+    in_cols = keys + [a_col, b_col] + (list(norms) if norms else [])
 
     def scorer(batches):
         import numpy as np
@@ -1144,20 +1155,29 @@ def _np_pair_scores_cols(
                     for c in pdf[b_col].to_numpy()
                 ]
             )
-            keys = pdf[key_col].to_numpy(dtype=np.int64)
             acc = np.zeros(len(A))
-            na = np.zeros(len(A))
-            nb = np.zeros(len(A))
-            for d in range(dim):
-                ad = A[:, d]
-                bd = B[:, d]
-                acc = acc + ad * bd
-                na = na + ad * ad
-                nb = nb + bd * bd
-            s = acc / (np.sqrt(na) * np.sqrt(nb))
-            yield pd.DataFrame({key_col: keys, score_name: s})
+            if norms is None:
+                na = np.zeros(len(A))
+                nb = np.zeros(len(A))
+                for d in range(dim):
+                    ad = A[:, d]
+                    bd = B[:, d]
+                    acc = acc + ad * bd
+                    na = na + ad * ad
+                    nb = nb + bd * bd
+                s = acc / (np.sqrt(na) * np.sqrt(nb))
+            else:
+                for d in range(dim):
+                    acc = acc + A[:, d] * B[:, d]
+                s = acc / (
+                    pdf[norms[0]].to_numpy(dtype=np.float64)
+                    * pdf[norms[1]].to_numpy(dtype=np.float64)
+                )
+            out = {k: pdf[k].to_numpy(dtype=np.int64) for k in keys}
+            out[score_name] = s
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, a_col, b_col).mapInPandas(scorer, schema)
+    return df.select(*in_cols).mapInPandas(scorer, schema)
 
 
 def _sample_rank(id_col: Column) -> Column:
