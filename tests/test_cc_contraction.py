@@ -188,3 +188,39 @@ def test_contracted_cc_string_ids_use_loop_path(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_ngram_grouped_matches_base(spark):
+    """ngram_jaccard_pairs_grouped must be row-identical to the base
+    PPJoin on a duplicate-heavy corpus including shingle-less (short)
+    and duplicate-short docs."""
+    from publicationsretriever_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_grouped,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog once more today",
+        "completely different words entirely here nothing shared at all",
+        "tiny",          # shingle-less at k=3
+        "tiny",          # duplicate shingle-less
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    )
+    grouped = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs_grouped(
+            df, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    )
+    assert grouped == base
+    assert len(base) > 0
