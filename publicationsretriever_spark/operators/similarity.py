@@ -675,10 +675,11 @@ def _np_ivf_probe_scan(
                     np.array([w for _, w in ent], dtype=np.float64)
                 )
 
-        def rounded_argbest(raw, ids_sorted_axis, maximize):
+        def rounded_argbest(raw, maximize):
             """Row-wise arg-best of @6dp-rounded values with ties to
             the LOWEST id. raw: (n, k) matrix whose columns are in
-            ascending id order; fast path when the raw margin > 1e-6."""
+            ascending id order (so the exact path's first-win scan
+            breaks ties low); fast path when the raw margin > 1e-6."""
             n, k = raw.shape
             if maximize:
                 best = np.argmax(raw, axis=1)  # first (lowest id) max
@@ -730,7 +731,7 @@ def _np_ivf_probe_scan(
                     cn = cn + cd * cd
                     accs = accs + cd[:, None] * CENT[:, d][None, :]
                 sims = accs / (np.sqrt(cn)[:, None] * cent_n[None, :])
-                pick = rounded_argbest(sims, cell_arr, maximize=True)
+                pick = rounded_argbest(sims, maximize=True)
                 row_cell = cell_arr[pick]
             # (2) payload
             if pq_cfg is None:
@@ -747,9 +748,7 @@ def _np_ivf_probe_scan(
                     for d in range(width):
                         t = sl[:, d][:, None] - cwm[:, d][None, :]
                         d2 = d2 + t * t
-                    cpick = rounded_argbest(
-                        d2, cb_codes[j], maximize=False
-                    )
+                    cpick = rounded_argbest(d2, maximize=False)
                     recon[:, j * width : (j + 1) * width] = cwm[cpick]
                 if pq_cfg["residual"]:
                     recon = CENT[pick] + recon
